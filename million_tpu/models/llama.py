@@ -1,0 +1,392 @@
+"""Llama-family model, TPU-native: pure-functional params pytree + lax.scan
+over layers, with the KV cache (PQ or dense) as explicit carried state.
+
+Replaces the reference's HF monkey-patching integration
+(scripts/modeldb/models/modeling_llama.py): where the reference swaps
+LlamaSdpaAttention.forward at runtime via Injector contexts, here the
+attention implementation is a static argument of the jitted step — XLA
+specializes each (mode, shape) combination, which is the idiomatic analogue
+of the reference's per-stage patched forwards:
+
+  attn "dense"          ~ baseline_forward        (modeling_llama.py:345-453)
+  attn "pq"             ~ attn_forward_custom_kernel (modeling_llama.py:455-554)
+  distort_recent prefill ~ the ppl-mode quantized prefill (pq_utils.py:243-247)
+
+Weight layout: every per-layer weight is stacked on a leading (L, ...) axis
+so one lax.scan runs all layers (fast compiles, mesh-shardable on the L-free
+dims). GQA supported via num_kv_heads < num_heads. RoPE includes the
+llama-3 frequency rescaling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from million_tpu.cache.pq_cache import (
+    PQCacheLayerState,
+    prefill_update,
+    decode_update,
+)
+from million_tpu.cache.dense_cache import dense_prefill_update
+from million_tpu.ops.pq_attention_ref import (
+    causal_attention,
+    dense_decode_attention,
+    masked_partial_attention,
+    merge_partials,
+    pq_decode_attention_ref,
+)
+from million_tpu.ops.pq_attention_pallas import (
+    GROUP_PAD,
+    pack_centroid_tables,
+    pq_codes_attention,
+)
+from million_tpu.pq.ops import pq_encode, pq_decode
+
+SUBSPACE_LAYOUT = "strided"  # see pq.ops.subspace_view — the TPU-native split
+
+
+def build_tables(cents):
+    """Precompute per-layer Pallas gather tables from stacked centroids.
+
+    cents {"key": (L, M, C, d_m), "value": ...} ->
+    {"key": ..., "value": ..., "kpack": (L, d_m, M, 128), "vpack": ...}
+    """
+    return {
+        **cents,
+        "kpack": jax.vmap(pack_centroid_tables)(cents["key"]),
+        "vpack": jax.vmap(pack_centroid_tables)(cents["value"]),
+    }
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    rope_scaling: Optional[str] = None  # None | "llama3"
+    rope_scaling_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    dtype: Any = jnp.bfloat16
+
+
+# Model-family presets mirroring the reference's configs/ JSONs
+# (configs/llama-2-7b.json, configs/llama-3.1-8b.json, tinyllama).
+PRESETS: Dict[str, ModelConfig] = {
+    "llama-2-7b": ModelConfig(),
+    "llama-3.1-8b": ModelConfig(
+        vocab_size=128256,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        rope_theta=500000.0,
+        rope_scaling="llama3",
+    ),
+    "llama-3.2-3b": ModelConfig(
+        vocab_size=128256,
+        hidden_size=3072,
+        intermediate_size=8192,
+        num_layers=28,
+        num_heads=24,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=500000.0,
+        rope_scaling="llama3",
+        rope_scaling_factor=32.0,
+        tie_word_embeddings=True,
+    ),
+    "tinyllama-1.1b": ModelConfig(
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5632,
+        num_layers=22,
+        num_heads=32,
+        num_kv_heads=4,
+        head_dim=64,
+    ),
+    # tiny config for tests / CI
+    "test-tiny": ModelConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        dtype=jnp.float32,
+    ),
+}
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
+    """Random-init params (the reference's _synthetic mode analogue,
+    main_pq.py:252-260: random weights/codebooks for speed benchmarking)."""
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    nh, nk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ks = jax.random.split(key, 10)
+    s = lambda *sh: (2.0 / (sh[-2] + sh[-1])) ** 0.5
+
+    def w(k, *sh):
+        return (jax.random.normal(k, sh, jnp.float32) * s(*sh)).astype(cfg.dtype)
+
+    params: Params = {
+        "embed": w(ks[0], cfg.vocab_size, D),
+        "final_norm": jnp.ones((D,), cfg.dtype),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), cfg.dtype),
+            "mlp_norm": jnp.ones((L, D), cfg.dtype),
+            "wq": w(ks[1], L, D, nh * dh),
+            "wk": w(ks[2], L, D, nk * dh),
+            "wv": w(ks[3], L, D, nk * dh),
+            "wo": w(ks[4], L, nh * dh, D),
+            "w_gate": w(ks[5], L, D, I),
+            "w_up": w(ks[6], L, D, I),
+            "w_down": w(ks[7], L, I, D),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(ks[8], D, cfg.vocab_size)
+    return params
+
+
+def _rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * g
+
+
+def _rope_freqs(cfg: ModelConfig) -> jax.Array:
+    """Inverse frequencies, with llama-3 rescaling when configured."""
+    dh = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    if cfg.rope_scaling == "llama3":
+        # HF Llama3 rope scaling (transformers modeling_rope_utils).
+        low = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+        high = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+        wavelen = 2 * jnp.pi / inv
+        smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+        )
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = (1 - smooth) * inv / cfg.rope_scaling_factor + smooth * inv
+        inv = jnp.where(wavelen > low, inv / cfg.rope_scaling_factor, inv)
+        inv = jnp.where((wavelen <= low) & (wavelen > high), scaled, inv)
+    return inv
+
+
+def _apply_rope(x: jax.Array, pos: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """x (bs, nh, n, dh), pos (n,) -> rotated x. HF half-split convention."""
+    ang = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (n, dh/2)
+    cos = jnp.cos(ang)[None, None]
+    sin = jnp.sin(ang)[None, None]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _qkv(x: jax.Array, lp: Params, cfg: ModelConfig, pos: jax.Array):
+    """Project + reshape + RoPE. x (bs, n, D) -> q (bs,nh,n,dh), k/v (bs,nk,n,dh)."""
+    bs, n, _ = x.shape
+    nh, nk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = (x @ lp["wq"]).reshape(bs, n, nh, dh).transpose(0, 2, 1, 3)
+    k = (x @ lp["wk"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
+    v = (x @ lp["wv"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
+    inv_freq = _rope_freqs(cfg)
+    q = _apply_rope(q, pos, inv_freq)
+    k = _apply_rope(k, pos, inv_freq)
+    return q, k, v
+
+
+def _mlp(x: jax.Array, lp: Params) -> jax.Array:
+    return (jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])) @ lp["w_down"]
+
+
+def _logits(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return (x.astype(jnp.float32) @ head.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent"))
+def prefill(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # (bs, n)
+    cache: PQCacheLayerState,  # stacked (L, ...) pytree (PQ or dense)
+    cents: Optional[Dict[str, jax.Array]] = None,  # {"key": (L,M,C,dm), "value": ...}
+    pos_offset: jax.Array | int = 0,
+    mode: str = "pq",
+    distort_recent: bool = False,
+) -> Tuple[jax.Array, PQCacheLayerState]:
+    """Full prefill. Returns (logits (bs, n, V) f32, updated cache).
+
+    mode "pq": encode k/v into the code arena; attention over exact (or, with
+    distort_recent, decode(encode(.)) — the reference ppl protocol,
+    perplexity.py:27 + pq_utils.py:243-247) KV.
+    mode "dense": baseline fp16-KV path.
+    """
+    bs, n = input_ids.shape
+    x = params["embed"][input_ids]
+    pos = pos_offset + jnp.arange(n)
+
+    def layer(x, scanned):
+        lp, cache_l, cents_l = scanned
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, pos)
+        if mode == "pq":
+            cache_l = prefill_update(
+                cache_l, k, v, cents_l["key"], cents_l["value"], SUBSPACE_LAYOUT
+            )
+            if distort_recent:
+                k = pq_decode(
+                    pq_encode(k, cents_l["key"], SUBSPACE_LAYOUT),
+                    cents_l["key"], SUBSPACE_LAYOUT,
+                ).astype(k.dtype)
+                v = pq_decode(
+                    pq_encode(v, cents_l["value"], SUBSPACE_LAYOUT),
+                    cents_l["value"], SUBSPACE_LAYOUT,
+                ).astype(v.dtype)
+            attn = causal_attention(q, k, v)
+        else:
+            cache_l = dense_prefill_update(cache_l, k, v)
+            attn = causal_attention(q, k, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(bs, n, -1)
+        x = x + (attn @ lp["wo"]).astype(x.dtype)
+        h = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + _mlp(h, lp).astype(x.dtype)
+        return x, cache_l
+
+    if cents is None:
+        cents = {"key": jnp.zeros((cfg.num_layers, 0)), "value": jnp.zeros((cfg.num_layers, 0))}
+    x, cache = jax.lax.scan(layer, x, (params["layers"], cache, cents))
+    return _logits(params, cfg, x), cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
+def decode_step(
+    params: Params,
+    cfg: ModelConfig,
+    token: jax.Array,  # (bs,) int32
+    pos: jax.Array,  # scalar int32 — absolute position of this token
+    cache: PQCacheLayerState,
+    cents: Optional[Dict[str, jax.Array]] = None,
+    mode: str = "pq",
+) -> Tuple[jax.Array, PQCacheLayerState]:
+    """One decode token. Returns (logits (bs, V) f32, updated cache).
+
+    The PQ path appends to the residual window (flushing to codes when full)
+    and runs the fused PQ decode attention — the analogue of the reference
+    hot path cache.decoding + flash_decoding kernel (pq_utils.py:281-328).
+    """
+    bs = token.shape[0]
+    x = params["embed"][token][:, None, :]  # (bs, 1, D)
+    pos_arr = pos[None] if jnp.ndim(pos) == 0 else pos
+
+    def layer(x, scanned):
+        lp, cache_l, cents_l = scanned
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, pos_arr)
+        if mode in ("pq", "pq_pallas"):
+            cache_l = decode_update(
+                cache_l, k, v, cents_l["key"], cents_l["value"], SUBSPACE_LAYOUT
+            )
+            if mode == "pq_pallas":
+                attn = _pq_pallas_attention(q[:, :, 0], cache_l, cents_l, cfg)
+            else:
+                attn = pq_decode_attention_ref(
+                    q[:, :, 0],
+                    cache_l["key_codes"],
+                    cache_l["value_codes"],
+                    cents_l["key"],
+                    cents_l["value"],
+                    cache_l["key_residual"],
+                    cache_l["value_residual"],
+                    cache_l["n_codes"],
+                    cache_l["r"],
+                    layout=SUBSPACE_LAYOUT,
+                )
+        else:
+            cache_l = dense_prefill_update(cache_l, k, v)
+            kmask = jnp.arange(cache_l["k"].shape[2]) < cache_l["length"]
+            attn = _masked_dense_decode(q[:, :, 0], cache_l["k"], cache_l["v"], kmask)
+        attn = attn.reshape(bs, 1, -1)  # (bs, nh, d) -> (bs, 1, nh*d)
+        x = x + (attn @ lp["wo"]).astype(x.dtype)
+        h = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + _mlp(h, lp).astype(x.dtype)
+        return x, cache_l
+
+    if cents is None:
+        cents = {"key": jnp.zeros((cfg.num_layers, 0)), "value": jnp.zeros((cfg.num_layers, 0))}
+    x, cache = jax.lax.scan(layer, x, (params["layers"], cache, cents))
+    return _logits(params, cfg, x)[:, 0], cache
+
+
+def _pq_pallas_attention(q, cache_l, cents_l, cfg):
+    """Fused-kernel decode attention (analogue of the reference's
+    attn_forward_custom_kernel path, modeling_llama.py:455-554): Pallas
+    kernel over the code arena + exact residual partial, LSE-merged.
+
+    q (bs, nh, d) -> (bs, nh, d). Requires cents_l to carry precomputed
+    "kpack"/"vpack" tables (see build_tables).
+    """
+    bs, nh, d = q.shape
+    nh_k = cache_l["key_codes"].shape[1]
+    G = nh // nh_k
+    scale = 1.0 / (d**0.5)
+    C = cents_l["key"].shape[1]
+
+    qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
+    q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
+    q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
+
+    out_c, lse_c = pq_codes_attention(
+        q_pad,
+        cache_l["key_codes"],
+        cache_l["value_codes"],
+        cents_l["kpack"],
+        cents_l["vpack"],
+        cache_l["n_codes"],
+        packed=C > 128,
+    )
+    out_r, lse_r = masked_partial_attention(
+        q_pad.astype(jnp.float32) / 1.0,  # already scaled
+        cache_l["key_residual"],
+        cache_l["value_residual"],
+        cache_l["r"],
+        scale=1.0,
+    )
+    merged, _ = merge_partials(
+        jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r])
+    )
+    return merged[:, :, :G].reshape(bs, nh, d).astype(q.dtype)
+
+
+def _masked_dense_decode(q, k, v, mask):
+    """Decode attention over a padded dense cache. q (bs,nh,d), k/v (bs,nk,N,d)."""
+    from million_tpu.ops.pq_attention_ref import _gqa_expand, NEG_INF
+
+    nh, d = q.shape[1], q.shape[2]
+    scale = 1.0 / (d**0.5)
+    kf = _gqa_expand(k, nh).astype(jnp.float32)
+    vf = _gqa_expand(v, nh).astype(jnp.float32)
+    s = jnp.einsum("bhk,bhnk->bhn", q.astype(jnp.float32), kf) * scale
+    s = jnp.where(mask[None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhn,bhnk->bhk", p, vf).astype(q.dtype)

@@ -1,0 +1,89 @@
+"""Device mesh + sharding layouts.
+
+The reference is strictly single-GPU (SURVEY.md §2.3: no torch.distributed,
+no collectives, `# TODO: support multi-gpu` at main_pq.py:74). This module
+is therefore new design, not a port: a `jax.sharding.Mesh` over up to three
+axes —
+
+  dp : data parallel, shards the batch;
+  tp : tensor parallel, shards attention heads and the MLP intermediate
+       dim (Megatron layout: column-parallel in, row-parallel out);
+  sp : sequence parallel for the KV code arena — each sp shard owns a
+       contiguous slice of quantized tokens and computes a (partial, lse)
+       pair, merged with the same associative LSE combine the reference
+       uses across its intra-GPU splits (Kernel.cuh:1211-1270).
+
+Codebooks/tables are tiny (M*C*d_m fp32 ~ 128 KB) and replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = dp * tp * sp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(dp, tp, sp)
+    return Mesh(arr, ("dp", "tp", "sp"))
+
+
+def param_shardings(mesh: Mesh) -> Dict[str, Any]:
+    """NamedShardings for the stacked-layer Llama params (Megatron TP).
+
+    wq/wk/wv column-parallel (heads split over tp), wo row-parallel;
+    w_gate/w_up column-parallel, w_down row-parallel; embeddings and norms
+    replicated (vocab-parallel embedding is a later refinement).
+    """
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    return {
+        "embed": s(None, None),
+        "final_norm": s(None),
+        "lm_head": s(None, None),
+        "layers": {
+            "attn_norm": s(None, None),
+            "mlp_norm": s(None, None),
+            "wq": s(None, None, "tp"),
+            "wk": s(None, None, "tp"),
+            "wv": s(None, None, "tp"),
+            "wo": s(None, "tp", None),
+            "w_gate": s(None, None, "tp"),
+            "w_up": s(None, None, "tp"),
+            "w_down": s(None, "tp", None),
+        },
+    }
+
+
+def pq_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
+    """Cache pytree shardings: codes sequence-sharded over sp, batch over dp,
+    KV heads over tp; the residual window is small (Lt tokens) and
+    replicated across sp."""
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    return {
+        "key_codes": s(None, "dp", "tp", None, "sp"),
+        "value_codes": s(None, "dp", "tp", None, "sp"),
+        "key_residual": s(None, "dp", "tp", None, None),
+        "value_residual": s(None, "dp", "tp", None, None),
+        "n_codes": s(),
+        "r": s(),
+    }
+
+
+def dense_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    return {
+        "k": s(None, "dp", "tp", "sp", None),
+        "v": s(None, "dp", "tp", "sp", None),
+        "length": s(None),
+    }
+
+
+def shard_pytree(tree: Any, shardings: Any) -> Any:
+    """device_put every leaf with its sharding."""
+    return jax.tree.map(lambda x, sh: jax.device_put(x, sh), tree, shardings)

@@ -1,0 +1,82 @@
+"""Sequence-sharded PQ decode attention over a device mesh.
+
+The multi-chip generalization of the reference's intra-GPU split-KV
+flash-decoding (Kernel.cuh:15, 75-77): each `sp` shard owns a contiguous
+slice of the quantized code arena, runs the fused Pallas kernel over its
+slice to produce a normalized partial and its LSE, and the shards combine
+with the associative LSE merge (reference reduce kernel math,
+Kernel.cuh:1211-1270) — here as `pmax`/`psum` collectives that ride ICI.
+Per merge, each chip contributes only (G, d) floats + a scalar per head:
+the communication is tiny compared to the code reads, so scaling efficiency
+is set by the slowest shard, not bandwidth.
+
+`tp` shards KV heads (each chip runs the kernel on its local heads — no
+communication needed inside attention for TP because head outputs are
+disjoint), `dp` shards the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from million_tpu.ops.pq_attention_pallas import pq_codes_attention
+
+
+def sharded_pq_codes_attention(
+    mesh: Mesh,
+    q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled; replicated over sp
+    key_codes: jax.Array,  # (bs, nh_k, M, N) uint8, N sharded over sp
+    value_codes: jax.Array,
+    kpack: jax.Array,  # (d_m, M, 128) f32, replicated
+    vpack: jax.Array,
+    n_codes: jax.Array,  # () int32, replicated — GLOBAL valid token count
+    *,
+    block: int = 1024,
+    packed: bool = True,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (out, lse) exactly like pq_codes_attention, but computed with
+    the code arena sequence-sharded across the mesh's "sp" axis (and batch /
+    KV heads sharded over "dp" / "tp")."""
+    sp = mesh.shape["sp"]
+    N = key_codes.shape[3]
+    if N % sp != 0:
+        raise ValueError(f"arena length {N} not divisible by sp={sp}")
+    n_local = N // sp
+
+    def local_fn(q, kc, vc, kp, vp, nc):
+        i = jax.lax.axis_index("sp")
+        # tokens owned by this shard: [i*n_local, (i+1)*n_local)
+        local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
+        out, lse = pq_codes_attention(
+            q, kc, vc, kp, vp, local_valid,
+            block=min(block, n_local), packed=packed, interpret=interpret,
+        )
+        # associative LSE merge across shards (reduce kernel math)
+        mx = jax.lax.pmax(lse, "sp")  # (bs, nh_k, G)
+        w = jnp.exp(lse - mx)
+        num = jax.lax.psum(out * w[..., None], "sp")
+        den = jax.lax.psum(w, "sp")
+        merged = num / jnp.maximum(den, 1e-30)[..., None]
+        return merged, mx + jnp.log(jnp.maximum(den, 1e-30))
+
+    shmap = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("dp", "tp", None, None),  # q
+            P("dp", "tp", None, "sp"),  # key codes
+            P("dp", "tp", None, "sp"),  # value codes
+            P(),  # kpack
+            P(),  # vpack
+            P(),  # n_codes (1,)
+        ),
+        out_specs=(P("dp", "tp", None, None), P("dp", "tp", None)),
+        check_vma=False,
+    )
+    return shmap(q, key_codes, value_codes, kpack, vpack, n_codes.reshape(1))

@@ -1,0 +1,130 @@
+"""Core product-quantization ops: encode, decode, LUT construction.
+
+Semantics match the reference's torch implementation (sa_encode_4d /
+sa_encode_4d_keops, pq_utils.py:410-499; sa_decode_4d, pq_utils.py:501-540;
+the host-side LUT matmul, Interface.cu:48-51) but are expressed as pure jnp
+functions over arbitrary leading batch dims, shaped for the TPU MXU: the
+per-subspace distance computation is one batched matmul instead of a cdist /
+LazyTensor reduction, and encode/decode are jit-friendly with static shapes.
+
+Shape vocabulary (SURVEY.md table):
+  d    head dim (e.g. 128)
+  M    number of subspaces (e.g. 64)
+  d_m  = d // M, subspace dim (e.g. 2)
+  C    codebook size per subspace (e.g. 256 for nbits=8)
+  cents: (M, C, d_m) codebook tensor, one C-entry codebook per subspace.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def subspace_view(x: jax.Array, M: int, layout: str = "contiguous") -> jax.Array:
+    """Reshape (..., d) -> (..., M, d_m); the PQ subspace split.
+
+    layout "contiguous": subspace m owns dims [m*d_m, (m+1)*d_m) — the
+        reference's split (pq_utils.py:429 view(bs,nh,n,M,d/M)).
+    layout "strided": subspace m owns dims {m, m+M, m+2M, ...} — the
+        TPU-native split: decoded component rows stack into a (d, n) tile
+        without interleaving, and for d_m=2, M=d/2 each subspace is exactly
+        a RoPE rotation pair (HF rotate_half couples dims (i, i+d/2)), so
+        the rotationally-coupled dims share one codebook.
+    """
+    d = x.shape[-1]
+    if d % M != 0:
+        raise ValueError(f"head dim {d} not divisible by M={M}")
+    d_m = d // M
+    if layout == "contiguous":
+        return x.reshape(*x.shape[:-1], M, d_m)
+    elif layout == "strided":
+        return jnp.swapaxes(x.reshape(*x.shape[:-1], d_m, M), -1, -2)
+    raise ValueError(f"unknown subspace layout {layout!r}")
+
+
+def merge_subspaces(xs: jax.Array, layout: str = "contiguous") -> jax.Array:
+    """Inverse of subspace_view: (..., M, d_m) -> (..., d)."""
+    M, d_m = xs.shape[-2], xs.shape[-1]
+    if layout == "contiguous":
+        return xs.reshape(*xs.shape[:-2], M * d_m)
+    elif layout == "strided":
+        return jnp.swapaxes(xs, -1, -2).reshape(*xs.shape[:-2], M * d_m)
+    raise ValueError(f"unknown subspace layout {layout!r}")
+
+
+def pq_encode(x: jax.Array, cents: jax.Array, layout: str = "contiguous") -> jax.Array:
+    """Nearest-centroid encode. x (..., d), cents (M, C, d_m) -> (..., M) uint8.
+
+    Equivalent to the reference's sa_encode_4d_keops (pq_utils.py:451-499):
+    per-subspace squared-L2 argmin over C centroids, computed in f32.
+    Implemented as one batched matmul: argmin_c ||x_m||^2 - 2 x_m.c_mc +
+    ||c_mc||^2 == argmin_c (||c_mc||^2 - 2 x_m.c_mc), which keeps the MXU fed
+    and avoids materializing a (..., M, C, d_m) difference tensor.
+    """
+    M = cents.shape[0]
+    xs = subspace_view(x.astype(jnp.float32), M, layout)  # (..., M, d_m)
+    c = cents.astype(jnp.float32)
+    # (..., M, C): inner products per subspace. Full f32 precision — a
+    # low-precision matmul here flips argmin ties and changes codes.
+    ip = jnp.einsum("...mk,mck->...mc", xs, c, precision=jax.lax.Precision.HIGHEST)
+    c_sq = jnp.sum(c * c, axis=-1)  # (M, C)
+    dists = c_sq - 2.0 * ip
+    codes = jnp.argmin(dists, axis=-1)
+    return codes.astype(jnp.uint8 if cents.shape[1] <= 256 else jnp.int32)
+
+
+def pq_decode(
+    codes: jax.Array, cents: jax.Array, layout: str = "contiguous"
+) -> jax.Array:
+    """Reconstruct vectors from codes. codes (..., M), cents (M, C, d_m) -> (..., d).
+
+    Equivalent to the reference's sa_decode_4d gather (pq_utils.py:501-540).
+    """
+    M, C, d_m = cents.shape
+    batch_shape = codes.shape[:-1]
+    idx = codes.astype(jnp.int32).reshape(-1, M)  # (B, M)
+    # out[b, m, :] = cents[m, codes[b, m], :]
+    gathered = cents[jnp.arange(M)[None, :], idx]  # (B, M, d_m)
+    merged = merge_subspaces(gathered, layout)  # (B, d)
+    return merged.reshape(*batch_shape, M * d_m).astype(cents.dtype)
+
+
+def build_lut(q: jax.Array, cents: jax.Array, layout: str = "contiguous") -> jax.Array:
+    """Asymmetric-distance (inner-product) lookup table.
+
+    q (..., d), cents (M, C, d_m) -> lut (..., M, C) with
+    lut[..., m, c] = <q_m, cents[m, c]>.
+
+    This is the host-side "simple matmul" of the reference
+    (Interface.cu:48-51) — tiny (M*C*d_m flops per query) and done in f32.
+    The fused decode kernel then evaluates scores as
+    s[n] = sum_m lut[m, key_codes[n, m]].
+    """
+    M = cents.shape[0]
+    qs = subspace_view(q.astype(jnp.float32), M, layout)
+    return jnp.einsum(
+        "...mk,mck->...mc",
+        qs,
+        cents.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def lut_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """Evaluate PQ scores through the LUT.
+
+    lut (..., M, C), codes (..., n, M) -> scores (..., n) with
+    s[..., n] = sum_m lut[..., m, codes[..., n, m]].
+
+    Batch dims of `lut` and `codes` must broadcast. This is the jnp oracle
+    for the Pallas kernel's gather phase (reference Kernel.cuh:89-106).
+    """
+    M, C = lut.shape[-2], lut.shape[-1]
+    flat_lut = lut.reshape(*lut.shape[:-2], M * C)  # (..., M*C)
+    offs = jnp.arange(M, dtype=jnp.int32) * C
+    idx = codes.astype(jnp.int32) + offs  # (..., n, M)
+    gathered = jnp.take_along_axis(
+        flat_lut[..., None, :], idx, axis=-1
+    )  # (..., n, M)
+    return jnp.sum(gathered, axis=-1)

@@ -1,0 +1,99 @@
+"""Autoregressive generation loop over the functional model + cache.
+
+Replaces the reference's reliance on HF `model.generate` + monkey-patched
+`prepare_inputs_for_generation` (modeling_llama.py:127-216): here generation
+is an explicit loop over the jitted `decode_step`, with the cache pytree
+threaded through. Tokens stay on device across steps (the data dependency
+serializes execution without host syncs); TTFT/TPOT are measured by forcing
+completion only at phase boundaries — the role of the reference's injected
+TextStreamer Ticker (speedtest.py:36-45).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from million_tpu.models import llama
+from million_tpu.runtime.sampling import SamplingConfig, sample
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    tokens: np.ndarray  # (bs, n_generated)
+    ttft_s: float  # prefill + first token
+    tpot_s: float  # mean per subsequent token
+    decode_s: float  # total decode-loop wall time
+
+
+def generate(
+    params: Any,
+    cfg: llama.ModelConfig,
+    input_ids: jax.Array,  # (bs, n_prompt)
+    cache: Any,
+    cents: Optional[Dict[str, jax.Array]],
+    *,
+    mode: str = "pq_pallas",
+    max_new_tokens: int = 64,
+    sampling: SamplingConfig = SamplingConfig(),
+    seed: int = 0,
+) -> Tuple[GenerationResult, Any]:
+    """Prefill + decode loop. Returns (result, final cache state)."""
+    bs, n_prompt = input_ids.shape
+    key = jax.random.PRNGKey(seed)
+
+    # Guard cache capacity on the host: inside jit, dynamic_update_slice
+    # CLAMPS out-of-range writes, which would silently overwrite the newest
+    # codes instead of failing (observed in verification probe P5).
+    if mode != "dense":
+        n_max = cache["key_codes"].shape[-1]
+        lt = cache["key_residual"].shape[-2]
+        # Prefill writes all prompt tokens as codes; decode flushes whole
+        # Lt-sized residual windows, so the arena high-water mark is
+        # n_prompt + Lt * floor((max_new - 1) / Lt).
+        peak_codes = n_prompt + lt * ((max(max_new_tokens, 1) - 1) // lt)
+        if peak_codes > n_max:
+            raise ValueError(
+                f"prompt({n_prompt}) + max_new_tokens({max_new_tokens}) would "
+                f"flush {peak_codes} codes into an arena of N_max({n_max}); "
+                f"increase N_max (Lt={lt})"
+            )
+    else:
+        n_max = cache["k"].shape[-2]
+        if n_prompt + max_new_tokens > n_max:
+            raise ValueError(
+                f"prompt({n_prompt}) + max_new_tokens({max_new_tokens}) exceeds "
+                f"dense cache capacity N_max({n_max})"
+            )
+
+    t0 = time.perf_counter()
+    prefill_mode = "dense" if mode == "dense" else "pq"
+    logits, cache = llama.prefill(params, cfg, input_ids, cache, cents, mode=prefill_mode)
+    key, sk = jax.random.split(key)
+    tok = sample(logits[:, -1], sk, sampling)
+    tok.block_until_ready()
+    np.asarray(tok[:1])  # force through any async tunnel
+    ttft = time.perf_counter() - t0
+
+    toks = [tok]
+    t1 = time.perf_counter()
+    for i in range(max_new_tokens - 1):
+        pos = jnp.asarray(n_prompt + i, jnp.int32)
+        logits, cache = llama.decode_step(
+            params, cfg, tok, pos, cache, cents, mode=mode
+        )
+        key, sk = jax.random.split(key)
+        tok = sample(logits, sk, sampling)
+        toks.append(tok)
+    tok.block_until_ready()
+    np.asarray(tok[:1])
+    decode_s = time.perf_counter() - t1
+    tpot = decode_s / max(max_new_tokens - 1, 1)
+
+    tokens = np.stack([np.asarray(t) for t in toks], axis=1)
+    return GenerationResult(tokens=tokens, ttft_s=ttft, tpot_s=tpot, decode_s=decode_s), cache

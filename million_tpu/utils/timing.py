@@ -1,0 +1,58 @@
+"""Benchmark timing that is honest on remote/async TPU runtimes.
+
+Two failure modes of naive `block_until_ready` loops on tunneled devices:
+(1) repeated identical dispatches may be elided/cached, reporting impossible
+speeds; (2) a device->host readback costs a large fixed RTT that swamps
+microsecond kernels. `chained_bench` defeats both: every iteration consumes
+the previous iteration's output (a real data dependency, so all iterations
+must execute on device) and only the final state is read back; the fixed
+RTT is removed by differencing two chain lengths.
+
+This is the role the reference's Timer + torch.cuda.synchronize() protocol
+plays (scripts/utils/Timer.py, main_pq.py:50), rebuilt for XLA semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+
+def _force(x: Any) -> None:
+    """Force real completion: read a few bytes back to the host."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
+
+
+def chained_bench(
+    step: Callable[[Any], Any],
+    init_state: Any,
+    iters: int = 30,
+    warmup: int = 2,
+) -> float:
+    """Return seconds per call of `step`, a state -> state function.
+
+    All `iters` calls are chained through the state so the device must run
+    every one; the tunnel RTT and dispatch overheads are removed by timing
+    chains of length `iters` and length `iters // 4` and differencing.
+    """
+    s = init_state
+    for _ in range(warmup):
+        s = step(s)
+    _force(s)
+
+    def run(n: int) -> float:
+        st = init_state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st = step(st)
+        _force(st)
+        return time.perf_counter() - t0
+
+    short = max(1, iters // 4)
+    t_long = run(iters)
+    t_short = run(short)
+    return max((t_long - t_short) / (iters - short), 1e-9)

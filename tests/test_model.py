@@ -1,0 +1,140 @@
+"""End-to-end model tests: PQ path vs dense path.
+
+The strongest check: while total tokens < Lt, the PQ decode path keeps every
+token in the exact residual window, so its logits must match the dense-cache
+baseline to numerical precision — this validates the entire wiring
+(projections, RoPE, cache state machine, LSE merge) independent of
+codebook quality.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from million_tpu.models.llama import (
+    PRESETS,
+    init_params,
+    prefill,
+    decode_step,
+)
+from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+from million_tpu.cache.dense_cache import DenseCacheConfig, init_dense_state
+from million_tpu.pq.kmeans import train_pq
+
+
+CFG = PRESETS["test-tiny"]
+
+
+def make_model(rng):
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    M = CFG.head_dim // 2
+    kc = jnp.asarray(rng.standard_normal((CFG.num_layers, M, 32, 2)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((CFG.num_layers, M, 32, 2)), jnp.float32)
+    cents = {"key": kc, "value": vc}
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=CFG.num_kv_heads, d=CFG.head_dim, M=M, C=32, Lt=8, N_max=128,
+        dtype=jnp.float32,
+    )
+    dense_cfg = DenseCacheConfig(
+        bs=1, nh_k=CFG.num_kv_heads, d=CFG.head_dim, N_max=136, dtype=jnp.float32
+    )
+    return params, cents, pq_cfg, dense_cfg
+
+
+def test_decode_in_residual_matches_dense(rng):
+    """< Lt tokens, no prefill: PQ == dense exactly (residual is exact)."""
+    params, cents, pq_cfg, dense_cfg = make_model(rng)
+    pq_cache = init_state(pq_cfg, CFG.num_layers)
+    dn_cache = init_dense_state(dense_cfg, CFG.num_layers)
+    toks = rng.integers(0, CFG.vocab_size, 6)
+    for t, tok in enumerate(toks):
+        tok_a = jnp.asarray([tok], jnp.int32)
+        pos = jnp.asarray(t, jnp.int32)
+        lp, pq_cache = decode_step(params, CFG, tok_a, pos, pq_cache, cents, mode="pq")
+        ld, dn_cache = decode_step(params, CFG, tok_a, pos, dn_cache, None, mode="dense")
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ld), rtol=1e-3, atol=1e-3)
+
+
+def test_prefill_pq_matches_dense_logits(rng):
+    """Prefill attention is exact in both modes (distort_recent=False)."""
+    params, cents, pq_cfg, dense_cfg = make_model(rng)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 12)), jnp.int32)
+    lp, pq_cache = prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers), cents, mode="pq")
+    ld, _ = prefill(params, CFG, ids, init_dense_state(dense_cfg, CFG.num_layers), None, mode="dense")
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ld), rtol=1e-3, atol=1e-3)
+    assert int(pq_cache["n_codes"][0]) == 12
+
+
+def test_generate_with_trained_codebooks_tracks_dense(rng):
+    """With codebooks trained on the model's own KV vectors, PQ decode after a
+    prefill should produce logits close to dense (the ppl-parity property,
+    scaled down). Uses enough decode steps to cross a residual flush."""
+    params, cents_rand, pq_cfg, dense_cfg = make_model(rng)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 24)), jnp.int32)
+
+    # Collect KV samples by running a dense prefill and capturing k/v via the
+    # cache (the "sampling stage" analogue, modeling_llama.py:21-125).
+    dn_cache0 = init_dense_state(dense_cfg, CFG.num_layers)
+    _, dn_filled = prefill(params, CFG, ids, dn_cache0, None, mode="dense")
+    M = pq_cfg.M
+    key_cents, val_cents = [], []
+    for layer in range(CFG.num_layers):
+        ksamp = np.asarray(dn_filled["k"][layer, 0, :, :24]).reshape(-1, CFG.head_dim)
+        vsamp = np.asarray(dn_filled["v"][layer, 0, :, :24]).reshape(-1, CFG.head_dim)
+        key_cents.append(
+            np.asarray(train_pq(jnp.asarray(ksamp), M=M, nbits=5, iters=8, layout="strided"))
+        )
+        val_cents.append(
+            np.asarray(train_pq(jnp.asarray(vsamp), M=M, nbits=5, iters=8, layout="strided"))
+        )
+    cents = {
+        "key": jnp.asarray(np.stack(key_cents)),
+        "value": jnp.asarray(np.stack(val_cents)),
+    }
+
+    pq_cache = init_state(pq_cfg, CFG.num_layers)
+    dn_cache = init_dense_state(dense_cfg, CFG.num_layers)
+    lp, pq_cache = prefill(params, CFG, ids, pq_cache, cents, mode="pq")
+    ld, dn_cache = prefill(params, CFG, ids, dn_cache, None, mode="dense")
+
+    agree = 0
+    for t in range(10):  # crosses the Lt=8 residual flush
+        tok = jnp.asarray([int(np.argmax(np.asarray(ld)[0, -1] if t == 0 else ld_step))], jnp.int32)
+        pos = jnp.asarray(24 + t, jnp.int32)
+        lp_step, pq_cache = decode_step(params, CFG, tok, pos, pq_cache, cents, mode="pq")
+        ld_full, dn_cache = decode_step(params, CFG, tok, pos, dn_cache, None, mode="dense")
+        ld_step = np.asarray(ld_full)[0]
+        agree += int(np.argmax(np.asarray(lp_step)[0]) == np.argmax(ld_step))
+    assert np.isfinite(np.asarray(lp_step)).all()
+    assert agree >= 6  # top-1 agreement on most steps (tiny random model,
+    # nbits=5 codebooks — loose by construction; real-ppl parity is the
+    # benchmark suite's job)
+    assert int(pq_cache["n_codes"][0]) > 24  # flush happened
+
+
+@pytest.mark.parametrize("preset", ["llama-3.1-8b", "tinyllama-1.1b"])
+def test_presets_construct(preset):
+    cfg = PRESETS[preset]
+    assert cfg.num_heads % cfg.num_kv_heads == 0
+
+
+def test_pallas_mode_matches_ref_mode(rng):
+    """mode="pq_pallas" (fused kernel + residual merge) must match mode="pq"
+    (jnp oracle) closely — same cache state machine, same math."""
+    from million_tpu.models.llama import build_tables
+
+    params, cents, pq_cfg, dense_cfg = make_model(rng)
+    tables = build_tables(cents)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 16)), jnp.int32)
+    cache_a = init_state(pq_cfg, CFG.num_layers)
+    cache_b = init_state(pq_cfg, CFG.num_layers)
+    la, cache_a = prefill(params, CFG, ids, cache_a, cents, mode="pq")
+    lb, cache_b = prefill(params, CFG, ids, cache_b, tables, mode="pq")
+    toks = rng.integers(0, CFG.vocab_size, 4)
+    for t, tok in enumerate(toks):
+        tok_a = jnp.asarray([tok], jnp.int32)
+        pos = jnp.asarray(16 + t, jnp.int32)
+        la, cache_a = decode_step(params, CFG, tok_a, pos, cache_a, cents, mode="pq")
+        lb, cache_b = decode_step(params, CFG, tok_a, pos, cache_b, tables, mode="pq_pallas")
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=2e-2)

@@ -1,0 +1,76 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import PartitionSpec as P, NamedSharding
+
+from million_tpu.parallel.mesh import make_mesh, pq_cache_shardings
+from million_tpu.parallel.sharded_decode import sharded_pq_codes_attention
+from million_tpu.ops.pq_attention_pallas import (
+    GROUP_PAD,
+    pack_centroid_tables,
+    pq_codes_attention,
+)
+
+
+def test_mesh_axes():
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    assert mesh.shape == {"dp": 2, "tp": 2, "sp": 2}
+
+
+@pytest.mark.parametrize("dp,tp,sp", [(1, 1, 8), (2, 1, 4), (2, 2, 2)])
+def test_sharded_attention_matches_single_device(rng, dp, tp, sp):
+    mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+    bs, nh_k, d, M, C, N = dp, 2 * tp, 32, 16, 256, 1024
+    n_codes = 700
+    q = jnp.asarray(
+        rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16
+    )
+    kc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
+    vc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
+    kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
+    vcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
+    kpack, vpack = pack_centroid_tables(kcent), pack_centroid_tables(vcent)
+    nc = jnp.asarray(n_codes, jnp.int32)
+
+    want_out, want_lse = pq_codes_attention(
+        q, kc, vc, kpack, vpack, nc, block=128
+    )
+    got_out, got_lse = sharded_pq_codes_attention(
+        mesh, q, kc, vc, kpack, vpack, nc, block=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(want_out), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_lse), np.asarray(want_lse), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_sharded_attention_with_placed_inputs(rng):
+    """Same result when inputs are actually device_put with the cache
+    shardings (codes split over sp on the last axis)."""
+    mesh = make_mesh(dp=1, tp=2, sp=4)
+    bs, nh_k, d, M, C, N = 1, 2, 32, 16, 64, 512
+    q = jnp.asarray(
+        rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16
+    )
+    kc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
+    vc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
+    kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
+    vcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
+    kpack, vpack = pack_centroid_tables(kcent), pack_centroid_tables(vcent)
+    nc = jnp.asarray(300, jnp.int32)
+
+    kc_sh = jax.device_put(kc, NamedSharding(mesh, P(None, "tp", None, "sp")))
+    vc_sh = jax.device_put(vc, NamedSharding(mesh, P(None, "tp", None, "sp")))
+
+    want, _ = pq_codes_attention(q, kc, vc, kpack, vpack, nc, block=128, packed=False)
+    got, _ = sharded_pq_codes_attention(
+        mesh, q, kc_sh, vc_sh, kpack, vpack, nc, block=128, packed=False
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
