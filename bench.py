@@ -1,0 +1,178 @@
+"""Headline benchmark: decode tokens/s/chip at 32K context, PQ vs fp16-KV.
+
+Protocol (north star in BASELINE.json; reference numbers BASELINE.md): a
+Llama-3.2-3B-class model (random bf16 weights — the reference's _synthetic
+protocol, main_pq.py:252-260) decoding with a 32K-token context on one
+chip. Each method runs at the largest batch that fits the chip's HBM
+alongside the weights: the 4x KV compression is precisely what lets PQ
+serve a larger batch, which is where the tokens/s/chip win comes from —
+same logic as the reference's memory-reduction claim, measured as
+throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = PQ tokens/s / dense-KV tokens/s on the same chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+CTX = 32768
+HBM_BUDGET = 13.5e9  # bytes usable for weights+cache on a 16 GB chip
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_model():
+    from million_tpu.models.llama import PRESETS, init_params
+
+    cfg = PRESETS["llama-3.2-3b"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    n_param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    log(f"model: llama-3.2-3b-class, {n_param_bytes/1e9:.2f} GB weights")
+    return cfg, params, n_param_bytes
+
+
+def pq_bytes_per_seq(cfg, M=64):
+    codes = 2 * cfg.num_layers * cfg.num_kv_heads * M * CTX
+    resid = 2 * cfg.num_layers * cfg.num_kv_heads * 128 * cfg.head_dim * 2
+    return codes + resid
+
+
+def dense_bytes_per_seq(cfg):
+    return 2 * cfg.num_layers * cfg.num_kv_heads * CTX * cfg.head_dim * 2
+
+
+def measure_pq(cfg, params, bs, iters):
+    from million_tpu.models.llama import build_tables, decode_step
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+    from million_tpu.utils.timing import chained_bench
+
+    M, C = cfg.head_dim // 2, 256
+    rng = np.random.default_rng(0)
+    L = cfg.num_layers
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+    }
+    tables = build_tables(cents)
+    pq_cfg = PQCacheConfig(
+        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128, N_max=CTX
+    )
+
+    def make_state():
+        cache = init_state(pq_cfg, L)
+        key = jax.random.PRNGKey(1)
+        cache = dict(cache)
+        cache["key_codes"] = jax.random.bits(key, cache["key_codes"].shape, jnp.uint8)
+        cache["value_codes"] = jax.random.bits(
+            jax.random.PRNGKey(2), cache["value_codes"].shape, jnp.uint8
+        )
+        cache["n_codes"] = jnp.full_like(cache["n_codes"], CTX - 512)
+        tok = jnp.zeros((bs,), jnp.int32)
+        return (tok, cache)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=())
+    def step(params, tables, state):
+        tok, cache = state
+        logits, cache = decode_step(
+            params, cfg, tok, jnp.asarray(CTX - 500, jnp.int32), cache, tables,
+            mode="pq_pallas",
+        )
+        return (jnp.argmax(logits, -1).astype(jnp.int32), cache)
+
+    dt = chained_bench(lambda st: step(params, tables, st), make_state, iters=iters)
+    return dt
+
+
+def measure_dense(cfg, params, bs, iters):
+    from million_tpu.models.llama import decode_step
+    from million_tpu.cache.dense_cache import DenseCacheConfig, init_dense_state
+    from million_tpu.utils.timing import chained_bench
+
+    dcfg = DenseCacheConfig(
+        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=CTX, dtype=jnp.bfloat16
+    )
+    L = cfg.num_layers
+
+    def make_state():
+        cache = init_dense_state(dcfg, L)
+        cache = dict(cache)
+        cache["k"] = jax.random.normal(jax.random.PRNGKey(1), cache["k"].shape, jnp.bfloat16)
+        cache["v"] = jax.random.normal(jax.random.PRNGKey(2), cache["v"].shape, jnp.bfloat16)
+        cache["length"] = jnp.full_like(cache["length"], CTX - 512)
+        tok = jnp.zeros((bs,), jnp.int32)
+        return (tok, cache)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(params, state):
+        tok, cache = state
+        logits, cache = decode_step(
+            params, cfg, tok, jnp.asarray(CTX - 500, jnp.int32), cache, None,
+            mode="dense",
+        )
+        return (jnp.argmax(logits, -1).astype(jnp.int32), cache)
+
+    dt = chained_bench(lambda st: step(params, st), make_state, iters=iters)
+    return dt
+
+
+def main():
+    iters = 16
+    cfg, params, w_bytes = build_model()
+
+    budget = HBM_BUDGET - w_bytes
+    bs_pq = max(1, int(budget // pq_bytes_per_seq(cfg)))
+    bs_dense = max(1, int(budget // dense_bytes_per_seq(cfg)))
+    bs_pq = min(bs_pq, 8)
+    bs_dense = min(bs_dense, 8)
+    log(f"batch: pq={bs_pq} ({pq_bytes_per_seq(cfg)/1e9:.2f} GB/seq), "
+        f"dense={bs_dense} ({dense_bytes_per_seq(cfg)/1e9:.2f} GB/seq)")
+
+    def with_oom_fallback(fn, bs):
+        while bs >= 1:
+            try:
+                return fn(cfg, params, bs, iters), bs
+            except Exception as e:  # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                    log(f"OOM at bs={bs}, halving")
+                    bs //= 2
+                    continue
+                raise
+        raise RuntimeError("could not fit bs=1")
+
+    dt_dense, bs_dense = with_oom_fallback(measure_dense, bs_dense)
+    dense_tps = bs_dense / dt_dense
+    log(f"dense: bs={bs_dense} tpot={dt_dense*1e3:.2f} ms -> {dense_tps:.1f} tok/s")
+
+    dt_pq, bs_pq = with_oom_fallback(measure_pq, bs_pq)
+    pq_tps = bs_pq / dt_pq
+    log(f"pq:    bs={bs_pq} tpot={dt_pq*1e3:.2f} ms -> {pq_tps:.1f} tok/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode tokens/s/chip, llama-3.2-3b-class @32K ctx (PQ 4-bit KV, max-batch-per-HBM vs bf16 KV)",
+                "value": round(pq_tps, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(pq_tps / dense_tps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

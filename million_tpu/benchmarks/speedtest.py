@@ -1,0 +1,48 @@
+"""End-to-end latency harness (reference scripts/benchmarks/speedtest.py).
+
+Synthetic random prompts (speedtest.py:31-33), greedy decode, TPOT/TTFT per
+prefill length (speedtest.py:104-108). Decode lengths and the prefill sweep
+default to the reference's values (speedtest.py:11-14).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from million_tpu.models import llama
+from million_tpu.runtime.generate import generate
+from million_tpu.runtime.sampling import SamplingConfig
+
+
+def speedtest(
+    params,
+    cfg: llama.ModelConfig,
+    make_cache,  # (prefill_len) -> fresh cache
+    cents,
+    *,
+    mode: str = "pq_pallas",
+    prefill_lengths: List[int] = (1024, 4096),
+    decode_length: int = 64,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for pl in prefill_lengths:
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, pl)), jnp.int32)
+        res, _ = generate(
+            params, cfg, ids, make_cache(pl), cents,
+            mode=mode, max_new_tokens=decode_length, sampling=SamplingConfig(),
+        )
+        rows.append(
+            {
+                "prefill_length": pl,
+                "decode_length": decode_length,
+                "ttft_s": res.ttft_s,
+                "tpot_s": res.tpot_s,
+                "tokens_per_s": 1.0 / res.tpot_s if res.tpot_s > 0 else None,
+            }
+        )
+    return {"mode": mode, "results": rows}

@@ -1,0 +1,240 @@
+"""Pipeline driver CLI — the analogue of the reference's main_pq.py.
+
+    python -m million_tpu.cli -f configs/llama-3.2-3b.json \
+        -p baseline sampling training evaluation [key=value ...]
+
+Stages (reference main_pq.py:151-407):
+  baseline    benchmark the model with the dense bf16 KV cache
+  sampling    collect KV head-vectors to .fvecs files for codebook training
+              (reference save_forward hook, modeling_llama.py:21-125 — here
+              the functional dense cache IS the collection point, no hooks)
+  training    per-layer k-means -> centroid .npz artifact
+              (reference train_pq/faiss, pq_utils.py:586-609)
+  evaluation  benchmark with the PQ cache + fused kernel; results appended
+              to the results.jsonl ledger with the full config
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from million_tpu.benchmarks.perplexity import perplexity
+from million_tpu.benchmarks.registry import load_tokens, select_benchmark
+from million_tpu.benchmarks.speedtest import speedtest
+from million_tpu.cache.dense_cache import DenseCacheConfig, init_dense_state
+from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+from million_tpu.models import llama
+from million_tpu.pq.kmeans import train_pq
+from million_tpu.utils.config import Config, load_config
+from million_tpu.utils.fvecs import read_fvecs, write_fvecs
+from million_tpu.utils.ledger import append_result
+
+DEFAULTS = {
+    "model": {"preset": "tinyllama-1.1b", "weights": None, "seed": 0},
+    "pq": {"M": None, "nbits": 8, "Lt": 128, "train_iters": 25, "sample_target": 32768},
+    "cache": {"N_max": 32768},
+    "run": {
+        "dataset": "_synthetic",
+        "max_length": 2048,
+        "max_windows": 4,
+        "prefill_lengths": [1024, 4096],
+        "decode_length": 64,
+        "mode": "pq_pallas",
+        "results": "results.jsonl",
+        "artifacts": "artifacts",
+    },
+}
+
+
+def log(*a):
+    print("[million-tpu]", *a, file=sys.stderr, flush=True)
+
+
+def build_model(cfg: Config):
+    mcfg = llama.PRESETS[cfg.model.preset]
+    if cfg.model.weights:
+        from million_tpu.models.hf_loader import load_hf_weights
+
+        params = load_hf_weights(cfg.model.weights, mcfg)
+        log(f"loaded weights from {cfg.model.weights}")
+    else:
+        params = llama.init_params(mcfg, jax.random.PRNGKey(cfg.model.seed))
+        log(f"random weights for preset {cfg.model.preset} (synthetic mode)")
+    return mcfg, params
+
+
+def art_dir(cfg: Config) -> Path:
+    d = Path(cfg.run.artifacts) / cfg.model.preset / Path(cfg.run.dataset).name
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def pq_m(cfg: Config, mcfg) -> int:
+    return cfg.pq.M or mcfg.head_dim // 2
+
+
+def make_pq_cache_factory(cfg, mcfg, bs=1, n_max=None):
+    pqc = PQCacheConfig(
+        bs=bs,
+        nh_k=mcfg.num_kv_heads,
+        d=mcfg.head_dim,
+        M=pq_m(cfg, mcfg),
+        C=2**cfg.pq.nbits,
+        Lt=cfg.pq.Lt,
+        N_max=n_max or cfg.cache.N_max,
+    )
+    return lambda *_: init_state(pqc, mcfg.num_layers)
+
+
+def make_dense_cache_factory(cfg, mcfg, bs=1, n_max=None):
+    dc = DenseCacheConfig(
+        bs=bs, nh_k=mcfg.num_kv_heads, d=mcfg.head_dim, N_max=n_max or cfg.cache.N_max
+    )
+    return lambda *_: init_dense_state(dc, mcfg.num_layers)
+
+
+def load_cents(cfg: Config, mcfg):
+    path = art_dir(cfg) / f"cents_M{pq_m(cfg, mcfg)}_nbits{cfg.pq.nbits}.npz"
+    if path.exists():
+        z = np.load(path)
+        cents = {"key": jnp.asarray(z["key"]), "value": jnp.asarray(z["value"])}
+        log(f"loaded centroids {path}")
+    else:
+        # reference _synthetic fallback: random codebooks (main_pq.py:252-255)
+        rng = np.random.default_rng(0)
+        M, C, dm = pq_m(cfg, mcfg), 2**cfg.pq.nbits, mcfg.head_dim // pq_m(cfg, mcfg)
+        L = mcfg.num_layers
+        cents = {
+            "key": jnp.asarray(rng.standard_normal((L, M, C, dm)), jnp.float32),
+            "value": jnp.asarray(rng.standard_normal((L, M, C, dm)), jnp.float32),
+        }
+        log(f"no trained centroids at {path}; using random codebooks (_synthetic)")
+    return llama.build_tables(cents)
+
+
+def run_benchmark(cfg: Config, mcfg, params, mode: str, cents):
+    kind = select_benchmark(cfg.run.dataset)
+    if kind == "speedtest":
+        factory = (
+            make_dense_cache_factory(cfg, mcfg)
+            if mode == "dense"
+            else make_pq_cache_factory(cfg, mcfg)
+        )
+        return speedtest(
+            params, mcfg, factory, cents,
+            mode=mode,
+            prefill_lengths=list(cfg.run.prefill_lengths),
+            decode_length=cfg.run.decode_length,
+        )
+    if kind == "perplexity":
+        tokens = load_tokens(cfg.run.dataset, vocab_size=mcfg.vocab_size)
+        factory = (
+            make_dense_cache_factory(cfg, mcfg, n_max=cfg.run.max_length)
+            if mode == "dense"
+            else make_pq_cache_factory(cfg, mcfg, n_max=cfg.run.max_length)
+        )
+        return perplexity(
+            params, mcfg, tokens, factory, cents,
+            mode=mode,
+            max_length=cfg.run.max_length,
+            max_windows=cfg.run.max_windows,
+        )
+    raise NotImplementedError(f"benchmark kind {kind} (dataset {cfg.run.dataset})")
+
+
+def stage_baseline(cfg, mcfg, params):
+    res = run_benchmark(cfg, mcfg, params, "dense", None)
+    append_result(cfg.run.results, {"stage": "baseline", "result": res, "config": cfg.to_dict()})
+    log("baseline:", res)
+
+
+def stage_sampling(cfg, mcfg, params):
+    """Collect per-layer KV samples (reference sampling stage,
+    main_pq.py:168-205): run dense prefills over the dataset and persist
+    subsampled head-vectors until sample_target rows per layer."""
+    tokens = load_tokens(cfg.run.dataset, vocab_size=mcfg.vocab_size)
+    target = cfg.pq.sample_target
+    out = art_dir(cfg)
+    for L in range(mcfg.num_layers):
+        (out / f"layer{L}.key.fvecs").unlink(missing_ok=True)
+        (out / f"layer{L}.value.fvecs").unlink(missing_ok=True)
+    collected = 0
+    wlen = cfg.run.max_length
+    rng = np.random.default_rng(0)
+    factory = make_dense_cache_factory(cfg, mcfg, n_max=wlen)
+    w = 0
+    while collected < target and (w + 1) * wlen <= len(tokens):
+        ids = jnp.asarray(tokens[w * wlen : (w + 1) * wlen][None, :])
+        _, cache = llama.prefill(params, mcfg, ids, factory(), None, mode="dense")
+        keep = min(wlen * mcfg.num_kv_heads, target - collected)
+        for L in range(mcfg.num_layers):
+            k = np.asarray(cache["k"][L, 0, :, :wlen].astype(jnp.float32)).reshape(-1, mcfg.head_dim)
+            v = np.asarray(cache["v"][L, 0, :, :wlen].astype(jnp.float32)).reshape(-1, mcfg.head_dim)
+            sel = rng.choice(len(k), size=keep, replace=False)
+            write_fvecs(out / f"layer{L}.key.fvecs", k[sel])
+            write_fvecs(out / f"layer{L}.value.fvecs", v[sel])
+        collected += keep
+        w += 1
+        log(f"sampling: {collected}/{target} rows/layer")
+    if collected < target:
+        log(f"warning: dataset exhausted at {collected} rows/layer")
+
+
+def stage_training(cfg, mcfg, params=None):
+    """Per-layer codebook k-means (reference training stage,
+    main_pq.py:208-242), strided subspace layout to match the kernel."""
+    out = art_dir(cfg)
+    M, nbits = pq_m(cfg, mcfg), cfg.pq.nbits
+    keys, vals = [], []
+    for L in range(mcfg.num_layers):
+        ks = read_fvecs(out / f"layer{L}.key.fvecs")
+        vs = read_fvecs(out / f"layer{L}.value.fvecs")
+        keys.append(np.asarray(train_pq(jnp.asarray(ks), M=M, nbits=nbits,
+                                        iters=cfg.pq.train_iters, layout="strided")))
+        vals.append(np.asarray(train_pq(jnp.asarray(vs), M=M, nbits=nbits,
+                                        iters=cfg.pq.train_iters, layout="strided")))
+        log(f"training: layer {L} codebooks done ({len(ks)} samples)")
+    path = out / f"cents_M{M}_nbits{nbits}.npz"
+    np.savez(path, key=np.stack(keys), value=np.stack(vals))
+    log(f"saved centroids to {path}")
+
+
+def stage_evaluation(cfg, mcfg, params):
+    tables = load_cents(cfg, mcfg)
+    res = run_benchmark(cfg, mcfg, params, cfg.run.mode, tables)
+    append_result(cfg.run.results, {"stage": "evaluation", "result": res, "config": cfg.to_dict()})
+    log("evaluation:", res)
+
+
+STAGES = {
+    "baseline": stage_baseline,
+    "sampling": stage_sampling,
+    "training": stage_training,
+    "evaluation": stage_evaluation,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="million_tpu.cli")
+    ap.add_argument("-f", "--config", action="append", default=[], help="JSON config file(s)")
+    ap.add_argument("-p", "--pipelines", nargs="+", default=["evaluation"],
+                    choices=list(STAGES), help="stages to run, in order")
+    ap.add_argument("-o", "--override", action="append", default=[],
+                    dest="overrides", help="dotted key=value override (repeatable)")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config, args.overrides, base=DEFAULTS)
+    mcfg, params = build_model(cfg)
+    for stage in args.pipelines:
+        log(f"=== stage: {stage} ===")
+        STAGES[stage](cfg, mcfg, params)
+
+
+if __name__ == "__main__":
+    main()

@@ -221,7 +221,11 @@ def _mlp(x: jax.Array, lp: Params) -> jax.Array:
 def _logits(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return (x.astype(jnp.float32) @ head.astype(jnp.float32))
+    # keep the (d, V) head in its storage dtype — casting it to f32 is a
+    # GB-scale transient per step; f32 accumulation comes from the matmul.
+    return jnp.matmul(
+        x.astype(head.dtype), head, preferred_element_type=jnp.float32
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent"))
@@ -279,7 +283,7 @@ def prefill(
     return _logits(params, cfg, x), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "mode"))
+@partial(jax.jit, static_argnames=("cfg", "mode", "mesh"))
 def decode_step(
     params: Params,
     cfg: ModelConfig,
@@ -288,6 +292,7 @@ def decode_step(
     cache: PQCacheLayerState,
     cents: Optional[Dict[str, jax.Array]] = None,
     mode: str = "pq",
+    mesh=None,  # jax.sharding.Mesh -> sequence-sharded kernel attention
 ) -> Tuple[jax.Array, PQCacheLayerState]:
     """One decode token. Returns (logits (bs, V) f32, updated cache).
 
@@ -308,7 +313,7 @@ def decode_step(
                 cache_l, k, v, cents_l["key"], cents_l["value"], SUBSPACE_LAYOUT
             )
             if mode == "pq_pallas":
-                attn = _pq_pallas_attention(q[:, :, 0], cache_l, cents_l, cfg)
+                attn = _pq_pallas_attention(q[:, :, 0], cache_l, cents_l, cfg, mesh)
             else:
                 attn = pq_decode_attention_ref(
                     q[:, :, 0],
@@ -338,7 +343,7 @@ def decode_step(
     return _logits(params, cfg, x)[:, 0], cache
 
 
-def _pq_pallas_attention(q, cache_l, cents_l, cfg):
+def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
     """Fused-kernel decode attention (analogue of the reference's
     attn_forward_custom_kernel path, modeling_llama.py:455-554): Pallas
     kernel over the code arena + exact residual partial, LSE-merged.
@@ -356,15 +361,29 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg):
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
     q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
 
-    out_c, lse_c = pq_codes_attention(
-        q_pad,
-        cache_l["key_codes"],
-        cache_l["value_codes"],
-        cents_l["kpack"],
-        cents_l["vpack"],
-        cache_l["n_codes"],
-        packed=C > 128,
-    )
+    if mesh is not None:
+        from million_tpu.parallel.sharded_decode import sharded_pq_codes_attention
+
+        out_c, lse_c = sharded_pq_codes_attention(
+            mesh,
+            q_pad,
+            cache_l["key_codes"],
+            cache_l["value_codes"],
+            cents_l["kpack"],
+            cents_l["vpack"],
+            cache_l["n_codes"],
+            packed=C > 128,
+        )
+    else:
+        out_c, lse_c = pq_codes_attention(
+            q_pad,
+            cache_l["key_codes"],
+            cache_l["value_codes"],
+            cents_l["kpack"],
+            cents_l["vpack"],
+            cache_l["n_codes"],
+            packed=C > 128,
+        )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32) / 1.0,  # already scaled
         cache_l["key_residual"],
@@ -379,14 +398,28 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg):
 
 
 def _masked_dense_decode(q, k, v, mask):
-    """Decode attention over a padded dense cache. q (bs,nh,d), k/v (bs,nk,N,d)."""
-    from million_tpu.ops.pq_attention_ref import _gqa_expand, NEG_INF
+    """Decode attention over a padded dense cache. q (bs,nh,d), k/v (bs,nk,N,d).
 
-    nh, d = q.shape[1], q.shape[2]
+    GQA heads are contracted in grouped form (no head-repeat, no f32 copy of
+    the KV — at 32K context a materialized f32 GQA-expanded KV is GBs of
+    transient per layer); softmax statistics stay f32 via the einsum
+    accumulator dtype."""
+    from million_tpu.ops.pq_attention_ref import NEG_INF
+
+    bs, nh, d = q.shape
+    nh_k = k.shape[1]
+    G = nh // nh_k
     scale = 1.0 / (d**0.5)
-    kf = _gqa_expand(k, nh).astype(jnp.float32)
-    vf = _gqa_expand(v, nh).astype(jnp.float32)
-    s = jnp.einsum("bhk,bhnk->bhn", q.astype(jnp.float32), kf) * scale
-    s = jnp.where(mask[None, None, :], s, NEG_INF)
+    qg = q.reshape(bs, nh_k, G, d)
+    s = jnp.einsum(
+        "bhgk,bhnk->bhgn", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask[None, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhn,bhnk->bhk", p, vf).astype(q.dtype)
+    out = jnp.einsum(
+        "bhgn,bhnk->bhgk",
+        p.astype(k.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(bs, nh, d).astype(q.dtype)

@@ -1,0 +1,235 @@
+"""Batched decode step over the paged PQ cache — the serving-path forward.
+
+This is what continuous batching runs: S sequence slots decode one token
+each per step, with per-slot lengths/positions, page-table attention
+(pq_paged_attention), per-slot exact residual windows, and per-slot
+residual flushes (a lax.cond per slot so only full windows pay the encode).
+
+The reference has no analogue — its batch size is hardcoded 1
+(main_pq.py:338) — this is the scheduler substrate the north star asks for.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from million_tpu.cache.paged_pq_cache import PagedPQCacheConfig
+from million_tpu.models.llama import (
+    ModelConfig,
+    Params,
+    SUBSPACE_LAYOUT,
+    _logits,
+    _mlp,
+    _qkv,
+    _rms_norm,
+    _rope_freqs,
+)
+from million_tpu.ops.pq_attention_ref import causal_attention
+from million_tpu.ops.pq_attention_pallas import (
+    GROUP_PAD,
+    pq_paged_attention,
+)
+from million_tpu.ops.pq_attention_ref import masked_partial_attention, merge_partials
+from million_tpu.pq.ops import pq_encode
+
+
+def _rope_per_seq(x: jax.Array, pos: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """x (S, nh, 1, dh), pos (S,) — per-sequence rotary positions."""
+    ang = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (S, dh/2)
+    cos = jnp.cos(ang)[:, None, None, :]
+    sin = jnp.sin(ang)[:, None, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pcfg"))
+def paged_decode_step(
+    params: Params,
+    cfg: ModelConfig,
+    pcfg: PagedPQCacheConfig,
+    tokens: jax.Array,  # (S,) int32 — last sampled token per slot
+    positions: jax.Array,  # (S,) int32 — absolute position of `tokens`
+    state: Dict[str, jax.Array],  # paged cache state (all layers)
+    tables: Dict[str, jax.Array],  # cents + kpack/vpack, stacked (L, ...)
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One decode token for every slot. Returns (logits (S, V) f32, state).
+
+    Inactive slots (seq_active == 0) still compute (lockstep batch) but
+    their cache writes are masked out.
+    """
+    S = tokens.shape[0]
+    nh, nh_k, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    G = nh // nh_k
+    scale = 1.0 / (dh**0.5)
+    C = tables["key"].shape[2]
+    inv_freq = _rope_freqs(cfg)
+    active = state["seq_active"] > 0  # (S,)
+    r = state["seq_r"]  # (S,)
+
+    x = params["embed"][tokens][:, None, :]  # (S, 1, D)
+
+    # --- residual-flush decision (per slot, shared across layers) --------
+    must_flush = (r >= pcfg.Lt) & active  # (S,)
+    flush_any = jnp.any(must_flush)
+
+    def layer(x, scanned):
+        lp, kpool, vpool, kres, vres, tab = scanned
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q = (h @ lp["wq"]).reshape(S, 1, nh, dh).transpose(0, 2, 1, 3)
+        k = (h @ lp["wk"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
+        v = (h @ lp["wv"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
+        q = _rope_per_seq(q, positions, inv_freq)
+        k = _rope_per_seq(k, positions, inv_freq)
+
+        # flush full residual windows into pages (encode Lt tokens); only
+        # slots with must_flush write — one masked scatter for all slots.
+        def do_flush(pools):
+            kpool, vpool = pools
+            kc = jnp.swapaxes(
+                pq_encode(kres, tab["key"], SUBSPACE_LAYOUT), -1, -2
+            )  # (S, nh_k, M, Lt)
+            vc = jnp.swapaxes(pq_encode(vres, tab["value"], SUBSPACE_LAYOUT), -1, -2)
+            t_idx = state["seq_n_codes"][:, None] + jnp.arange(pcfg.Lt)[None]  # (S, Lt)
+            pages = jnp.take_along_axis(
+                state["page_table"], t_idx // pcfg.page_size, axis=1
+            )  # (S, Lt)
+            offs = t_idx % pcfg.page_size
+            pages = jnp.maximum(pages, 0)
+            ok = must_flush[:, None] & jnp.broadcast_to(
+                jnp.ones((1, pcfg.Lt), bool), (S, pcfg.Lt)
+            )
+            # route masked-out writes to a scratch page slot (page 0 pos 0
+            # would corrupt; instead write the CURRENT value back)
+            def scat(pool, codes):
+                # pool (P, H, M, ps); codes (S, H, M, Lt)
+                vals = codes.transpose(0, 3, 1, 2)  # (S, Lt, H, M)
+                cur = pool[pages, :, :, offs]  # (S, Lt, H, M)
+                vals = jnp.where(ok[..., None, None], vals, cur)
+                return pool.at[pages, :, :, offs].set(vals)
+
+            return scat(kpool, kc), scat(vpool, vc)
+
+        kpool, vpool = jax.lax.cond(flush_any, do_flush, lambda p: p, (kpool, vpool))
+        r_eff = jnp.where(must_flush, 0, r)  # window restarts after flush
+        n_codes_eff = state["seq_n_codes"] + jnp.where(must_flush, pcfg.Lt, 0)
+
+        # append the new token to the residual window at r_eff (per slot)
+        k1 = k[:, :, 0].astype(kres.dtype)  # (S, nh_k, d)
+        v1 = v[:, :, 0].astype(vres.dtype)
+        wr = jnp.where(active, r_eff, 0)
+        kres_new = kres.at[jnp.arange(S), :, wr].set(
+            jnp.where(active[:, None, None], k1, kres[jnp.arange(S), :, wr])
+        )
+        vres_new = vres.at[jnp.arange(S), :, wr].set(
+            jnp.where(active[:, None, None], v1, vres[jnp.arange(S), :, wr])
+        )
+
+        # --- attention: paged codes partial + residual partial, LSE merge
+        qg = (q[:, :, 0].astype(jnp.float32) * scale).reshape(S, nh_k, G, dh)
+        q_pad = jnp.zeros((S, nh_k, GROUP_PAD, dh), jnp.bfloat16)
+        q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
+        out_c, lse_c = pq_paged_attention(
+            q_pad, kpool, vpool, tab["kpack"], tab["vpack"],
+            state["page_table"], n_codes_eff, packed=C > 128,
+        )
+        # valid residual entries per slot: [0, r_eff] (token just appended)
+        rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, r_eff, -1)[:, None]
+        out_r, lse_r = masked_partial_attention(
+            q_pad.astype(jnp.float32),
+            kres_new,
+            vres_new,
+            rmask[:, None, None, :],  # broadcast over (nh_k, G)
+            scale=1.0,
+        )
+        merged, _ = merge_partials(jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r]))
+        attn = merged[:, :, :G].reshape(S, 1, nh * dh)
+
+        x_out = x + (attn.astype(x.dtype) @ lp["wo"]).astype(x.dtype)
+        h2 = _rms_norm(x_out, lp["mlp_norm"], cfg.rms_eps)
+        x_out = x_out + _mlp(h2, lp).astype(x.dtype)
+        return x_out, (kpool, vpool, kres_new, vres_new)
+
+    scan_tables = {k: tables[k] for k in ("key", "value", "kpack", "vpack")}
+    x, (kpools, vpools, kress, vress) = jax.lax.scan(
+        layer,
+        x,
+        (
+            params["layers"],
+            state["key_pool"],
+            state["value_pool"],
+            state["key_residual"],
+            state["value_residual"],
+            scan_tables,
+        ),
+    )
+
+    logits = _logits(params, cfg, x)[:, 0]  # (S, V)
+
+    new = dict(state)
+    new["key_pool"] = kpools
+    new["value_pool"] = vpools
+    new["key_residual"] = kress
+    new["value_residual"] = vress
+    new["seq_n_codes"] = state["seq_n_codes"] + jnp.where(must_flush, pcfg.Lt, 0)
+    new["seq_r"] = jnp.where(active, jnp.where(must_flush, 1, r + 1), r)
+    return logits, new
+
+
+@partial(jax.jit, static_argnames=("cfg", "pcfg"))
+def paged_prefill_seq(
+    params: Params,
+    cfg: ModelConfig,
+    pcfg: PagedPQCacheConfig,
+    seq_id: jax.Array,  # () int32 — slot being admitted
+    input_ids: jax.Array,  # (1, n) int32
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Admit one sequence: exact-attention prefill whose K/V are encoded and
+    scattered into the slot's (pre-allocated) pages. Returns (last-token
+    logits (1, V), new state). The reference's prefill quantizes everything
+    and leaves the residual empty (pq_utils.py:222-247); same here."""
+    n = input_ids.shape[1]
+    S = state["seq_r"].shape[0]
+    pos = jnp.arange(n)
+    x = params["embed"][input_ids[0]][None]  # (1, n, D)
+
+    def layer(x, scanned):
+        lp, kpool, vpool, tab = scanned
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, pos)
+        # encode + scatter this layer's codes into the slot's pages
+        kc = jnp.swapaxes(pq_encode(k[0], tab["key"], SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(pq_encode(v[0], tab["value"], SUBSPACE_LAYOUT), -1, -2)
+        t_idx = jnp.arange(n)
+        pages = jnp.maximum(state["page_table"][seq_id, t_idx // pcfg.page_size], 0)
+        offs = t_idx % pcfg.page_size
+        kpool = kpool.at[pages, :, :, offs].set(kc.transpose(2, 0, 1))
+        vpool = vpool.at[pages, :, :, offs].set(vc.transpose(2, 0, 1))
+        attn = causal_attention(q, k, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(1, n, -1)
+        x = x + (attn @ lp["wo"]).astype(x.dtype)
+        h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + _mlp(h2, lp).astype(x.dtype)
+        return x, (kpool, vpool)
+
+    scan_tables = {k: tables[k] for k in ("key", "value", "kpack", "vpack")}
+    x, (kpools, vpools) = jax.lax.scan(
+        layer,
+        x,
+        (params["layers"], state["key_pool"], state["value_pool"], scan_tables),
+    )
+    logits = _logits(params, cfg, x)[:, -1]  # (1, V)
+
+    new = dict(state)
+    new["key_pool"] = kpools
+    new["value_pool"] = vpools
+    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set(n)
+    new["seq_r"] = state["seq_r"].at[seq_id].set(0)
+    new["seq_active"] = state["seq_active"].at[seq_id].set(1)
+    return logits, new

@@ -265,3 +265,146 @@ def pq_codes_attention(
         interpret=interpret,
     )(q, key_codes, value_codes, kpack, vpack, nc)
     return out, lse[..., 0]
+
+
+def _pq_paged_attn_kernel(
+    # scalar prefetch
+    pt_ref,  # (bs, P_max) int32 page table
+    nc_ref,  # (bs,) int32 per-sequence valid code counts
+    # inputs
+    q_ref,  # (1, 1, GROUP_PAD, d)
+    kc_ref,  # (1, 1, M, page_size) uint8 — the page selected by the index map
+    vc_ref,  # (1, 1, M, page_size) uint8
+    kpack_ref,  # (d_m, M, 128) f32
+    vpack_ref,
+    # outputs
+    out_ref,  # (1, 1, GROUP_PAD, d) f32
+    lse_ref,  # (1, 1, GROUP_PAD, 128) f32
+    # scratch
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    page_size: int,
+    d_m: int,
+    packed: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    nb = pl.num_programs(2)
+    n_codes = nc_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(i * page_size < n_codes)
+    def _compute():
+        q = q_ref[0, 0]
+        for t in range(page_size // LANES):
+            base = i * page_size + t * LANES
+            ck = kc_ref[0, 0, :, t * LANES : (t + 1) * LANES].astype(jnp.int32)
+            khat = _decode_tile(kpack_ref, ck, d_m, packed)
+            s = jax.lax.dot_general(
+                q, khat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < n_codes, s, NEG_INF)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(pos < n_codes, p, 0.0)
+            l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            cv = vc_ref[0, 0, :, t * LANES : (t + 1) * LANES].astype(jnp.int32)
+            vhat = _decode_tile(vpack_ref, cv, d_m, packed)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vhat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] = acc_ref[:] * alpha + pv
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == nb - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        m = m_ref[:, :1]
+        safe_l = jnp.maximum(l, 1e-30)
+        out_ref[0, 0] = acc_ref[:] / safe_l
+        lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
+def pq_paged_attention(
+    q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
+    key_pool: jax.Array,  # (n_pages, nh_k, M, page_size) uint8 — ONE layer's slab
+    value_pool: jax.Array,
+    kpack: jax.Array,  # (d_m, M, 128) f32
+    vpack: jax.Array,
+    page_table: jax.Array,  # (bs, P_max) int32, -1 = unallocated
+    n_codes: jax.Array,  # (bs,) int32 per-sequence
+    *,
+    interpret: bool | None = None,
+    packed: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused decode attention over a PAGED code pool: the grid walks each
+    sequence's page table (scalar-prefetched, so the page id feeds the
+    BlockSpec index map — pages stream straight from HBM in table order, the
+    TPU equivalent of the reference's paged kernel goal that its CUDA
+    variant never stabilized, paged_pq_utils.py:399-681)."""
+    bs, nh_k, G, d = q.shape
+    n_pages, _, M, page_size = key_pool.shape
+    P_max = page_table.shape[1]
+    d_m = kpack.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    kernel = functools.partial(
+        _pq_paged_attn_kernel, page_size=page_size, d_m=d_m, packed=packed
+    )
+    pt = jnp.maximum(page_table, 0).astype(jnp.int32)  # clamp -1; masked by n_codes
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bs, nh_k, P_max),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, G, d), lambda b, h, i, pt, nc: (b, h, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, M, page_size), lambda b, h, i, pt, nc: (pt[b, i], h, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, M, page_size), lambda b, h, i, pt, nc: (pt[b, i], h, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, d), lambda b, h, i, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, G, LANES), lambda b, h, i, pt, nc: (b, h, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nh_k, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pt, n_codes.astype(jnp.int32), q, key_pool, value_pool, kpack, vpack)
+    return out, lse[..., 0]

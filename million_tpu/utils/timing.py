@@ -38,18 +38,26 @@ def chained_bench(
     All `iters` calls are chained through the state so the device must run
     every one; the tunnel RTT and dispatch overheads are removed by timing
     chains of length `iters` and length `iters // 4` and differencing.
+
+    `init_state` may be a zero-arg callable producing a fresh state — use
+    this when `step` donates its input buffers (each timing run then starts
+    from a new state instead of a consumed one).
     """
-    s = init_state
+    factory = init_state if callable(init_state) else (lambda: init_state)
+
+    s = factory()
     for _ in range(warmup):
         s = step(s)
     _force(s)
+    del s  # don't hold GBs of warmup state across the timed runs
 
     def run(n: int) -> float:
-        st = init_state
+        st = factory()
         t0 = time.perf_counter()
         for _ in range(n):
             st = step(st)
         _force(st)
+        del st
         return time.perf_counter() - t0
 
     short = max(1, iters // 4)
