@@ -69,15 +69,30 @@ def measure_pq(cfg, params, bs, iters):
         bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128, N_max=CTX
     )
 
+    code_shape = (L, bs, cfg.num_kv_heads, M, CTX)
+
+    @jax.jit
+    def make_codes(seed):
+        # random codes as a 4K-token tile repeated: kernel cost is
+        # data-independent, and GB-scale eager uint8 RNG upsets some
+        # compile backends. Built directly (no zero-arena predecessor) to
+        # avoid a 2x transient at these sizes.
+        tile = jax.random.bits(jax.random.PRNGKey(seed), (*code_shape[:-1], 4096), jnp.uint8)
+        return jnp.tile(tile, (1,) * (len(code_shape) - 1) + (CTX // 4096,))
+
     def make_state():
-        cache = init_state(pq_cfg, L)
-        key = jax.random.PRNGKey(1)
-        cache = dict(cache)
-        cache["key_codes"] = jax.random.bits(key, cache["key_codes"].shape, jnp.uint8)
-        cache["value_codes"] = jax.random.bits(
-            jax.random.PRNGKey(2), cache["value_codes"].shape, jnp.uint8
-        )
-        cache["n_codes"] = jnp.full_like(cache["n_codes"], CTX - 512)
+        cache = {
+            "key_codes": make_codes(1),
+            "value_codes": make_codes(2),
+            "key_residual": jnp.zeros(
+                (L, bs, cfg.num_kv_heads, pq_cfg.Lt, cfg.head_dim), jnp.bfloat16
+            ),
+            "value_residual": jnp.zeros(
+                (L, bs, cfg.num_kv_heads, pq_cfg.Lt, cfg.head_dim), jnp.bfloat16
+            ),
+            "n_codes": jnp.full((L,), CTX - 512, jnp.int32),
+            "r": jnp.zeros((L,), jnp.int32),
+        }
         tok = jnp.zeros((bs,), jnp.int32)
         return (tok, cache)
 
@@ -131,6 +146,14 @@ def measure_dense(cfg, params, bs, iters):
 
 
 def main():
+    # persistent compile cache: the 3B decode graphs are slow to compile on
+    # remote-compile setups; cache them across invocations.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     iters = 16
     cfg, params, w_bytes = build_model()
 
@@ -143,13 +166,22 @@ def main():
         f"dense={bs_dense} ({dense_bytes_per_seq(cfg)/1e9:.2f} GB/seq)")
 
     def with_oom_fallback(fn, bs):
+        import gc
+
         while bs >= 1:
             try:
                 return fn(cfg, params, bs, iters), bs
             except Exception as e:  # noqa: BLE001
-                if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
-                    log(f"OOM at bs={bs}, halving")
+                msg = str(e)
+                if (
+                    "RESOURCE_EXHAUSTED" in msg
+                    or "Out of memory" in msg
+                    or "remote_compile" in msg  # flaky compile services choke
+                    or "HTTP 500" in msg  # on the largest-batch graphs
+                ):
+                    log(f"OOM/compile failure at bs={bs}, halving")
                     bs //= 2
+                    gc.collect()  # release the failed attempt's buffers
                     continue
                 raise
         raise RuntimeError("could not fit bs=1")
