@@ -90,6 +90,12 @@ def measure_pq(cfg, params, bs, iters):
             "value_residual": jnp.zeros(
                 (L, bs, cfg.num_kv_heads, pq_cfg.Lt, cfg.head_dim), jnp.bfloat16
             ),
+            "key_residual_codes": jnp.zeros(
+                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt), jnp.uint8
+            ),
+            "value_residual_codes": jnp.zeros(
+                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt), jnp.uint8
+            ),
             "n_codes": jnp.full((L,), CTX - 512, jnp.int32),
             "r": jnp.zeros((L,), jnp.int32),
         }

@@ -79,12 +79,17 @@ def main():
     qb = jnp.asarray(q * scale, jnp.bfloat16)
     ncd = jnp.asarray(N, jnp.int32)
 
+    # codes passed as args: closed-over device arrays would be embedded as
+    # program constants, exploding compile time at GB scales.
     @jax.jit
-    def step(qq):
+    def step(qq, kc, vc):
         o, _ = pq_codes_attention(qq, kc, vc, kpack, vpack, ncd, block=args.block, packed=packed)
-        return (qq.astype(jnp.float32) + o[0, 0, 0, 0] * 1e-20).astype(qq.dtype)
+        # roll q so successive chained calls are NOT value-identical (some
+        # runtimes dedupe repeated identical computations), while keeping a
+        # data dependency on the kernel output.
+        return jnp.roll(qq, 1, axis=-1) + (o[0, 0, 0, 0] * 1e-20).astype(qq.dtype)
 
-    dt = chained_bench(step, qb, iters=args.iters)
+    dt = chained_bench(lambda qq: step(qq, kc, vc), qb, iters=args.iters)
     code_bytes = 2 * bs * nh_k * M * N
     print(
         f"fused PQ attention: bs={bs} heads={nh_k} n={N} M={M}: {dt*1e6:.1f} us"
@@ -96,13 +101,13 @@ def main():
     vd = jnp.asarray(rng.standard_normal((bs, nh_k, N, d)), jnp.bfloat16)
 
     @jax.jit
-    def dense_step(qq):
+    def dense_step(qq, kd, vd):
         s = jnp.einsum("bhgk,bhnk->bhgn", qq.astype(jnp.float32), kd.astype(jnp.float32))
         pp = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("bhgn,bhnk->bhgk", pp, vd.astype(jnp.float32))
-        return (qq.astype(jnp.float32) + o[0, 0, 0, 0] * 1e-20).astype(qq.dtype)
+        return jnp.roll(qq, 1, axis=-1) + (o[0, 0, 0, 0] * 1e-20).astype(qq.dtype)
 
-    dt2 = chained_bench(dense_step, qb, iters=args.iters)
+    dt2 = chained_bench(lambda qq: dense_step(qq, kd, vd), qb, iters=args.iters)
     dense_bytes = 2 * bs * nh_k * N * d * 2
     print(
         f"dense bf16 attention (XLA): {dt2*1e6:.1f} us"

@@ -1,0 +1,187 @@
+"""LongBench evaluation harness (reference scripts/benchmarks/longbench.py).
+
+Task prompts, max-lengths, metric dispatch, and the middle-truncation
+generate-and-score loop match the reference protocol
+(longbench.py:180-226 prompts/maxlens, 236-319 pred loop). Metrics are
+implemented self-contained (token-F1, rouge-L, classification, retrieval,
+count, code-sim) so no extra deps are required; datasets load through HF
+`datasets` when available or from local JSONL files.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+import re
+import string
+from collections import Counter
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+
+# ---------------- metrics (reference longbench.py:48-154) -----------------
+
+def _normalize(s: str) -> str:
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def qa_f1_score(pred: str, gt: str, **kw) -> float:
+    p_toks = _normalize(pred).split()
+    g_toks = _normalize(gt).split()
+    common = Counter(p_toks) & Counter(g_toks)
+    num_same = sum(common.values())
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(p_toks)
+    recall = num_same / len(g_toks)
+    return 2 * precision * recall / (precision + recall)
+
+
+def rouge_l_score(pred: str, gt: str, **kw) -> float:
+    """Rouge-L F1 via LCS (self-contained equivalent of rouge.Rouge)."""
+    p, g = _normalize(pred).split(), _normalize(gt).split()
+    if not p or not g:
+        return 0.0
+    # O(len(p)*len(g)) LCS
+    dp = [0] * (len(g) + 1)
+    for i in range(1, len(p) + 1):
+        prev = 0
+        for j in range(1, len(g) + 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if p[i - 1] == g[j - 1] else max(dp[j], dp[j - 1])
+            prev = cur
+    lcs = dp[len(g)]
+    prec, rec = lcs / len(p), lcs / len(g)
+    return 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+
+
+def classification_score(pred: str, gt: str, all_classes: List[str] = (), **kw) -> float:
+    em_match_list = [c for c in all_classes if c in pred]
+    for match in list(em_match_list):
+        if match in gt and match != gt:
+            em_match_list.remove(match)
+    return 1.0 / len(em_match_list) if gt in em_match_list else 0.0
+
+
+def retrieval_score(pred: str, gt: str, **kw) -> float:
+    gt_num = re.findall(r"\d+", gt)
+    pred_num = re.findall(r"\d+", pred)
+    if not gt_num:
+        return 0.0
+    return float(bool(pred_num) and pred_num[-1] == gt_num[-1])
+
+
+def count_score(pred: str, gt: str, **kw) -> float:
+    nums = re.findall(r"\d+", pred)
+    return float(bool(nums) and nums[-1] == gt.strip())
+
+
+def code_sim_score(pred: str, gt: str, **kw) -> float:
+    """Edit-similarity (reference uses fuzzywuzzy ratio; difflib is the
+    stdlib equivalent)."""
+    line = next((l.strip() for l in pred.lstrip("\n").split("\n") if l.strip()), "")
+    return difflib.SequenceMatcher(None, line, gt).ratio()
+
+
+dataset2metric: Dict[str, Callable[..., float]] = {
+    "narrativeqa": qa_f1_score,
+    "qasper": qa_f1_score,
+    "multifieldqa_en": qa_f1_score,
+    "hotpotqa": qa_f1_score,
+    "2wikimqa": qa_f1_score,
+    "musique": qa_f1_score,
+    "gov_report": rouge_l_score,
+    "qmsum": rouge_l_score,
+    "multi_news": rouge_l_score,
+    "trec": classification_score,
+    "triviaqa": qa_f1_score,
+    "samsum": rouge_l_score,
+    "passage_retrieval_en": retrieval_score,
+    "passage_count": count_score,
+    "lcc": code_sim_score,
+    "repobench-p": code_sim_score,
+}
+
+# reference dataset2prompt (longbench.py:180-202), English tasks
+dataset2prompt: Dict[str, str] = {
+    "narrativeqa": "You are given a story, which can be either a novel or a movie script, and a question. Answer the question as concisely as you can, using a single phrase if possible. Do not provide any explanation.\n\nStory: {context}\n\nNow, answer the question based on the story as concisely as you can, using a single phrase if possible. Do not provide any explanation.\n\nQuestion: {input}\n\nAnswer:",
+    "qasper": 'You are given a scientific article and a question. Answer the question as concisely as you can, using a single phrase or sentence if possible. If the question cannot be answered based on the information in the article, write "unanswerable". If the question is a yes/no question, answer "yes", "no", or "unanswerable". Do not provide any explanation.\n\nArticle: {context}\n\n Answer the question based on the above article as concisely as you can, using a single phrase or sentence if possible. If the question cannot be answered based on the information in the article, write "unanswerable". If the question is a yes/no question, answer "yes", "no", or "unanswerable". Do not provide any explanation.\n\nQuestion: {input}\n\nAnswer:',
+    "multifieldqa_en": "Read the following text and answer briefly.\n\n{context}\n\nNow, answer the following question based on the above text, only give me the answer and do not output any other words.\n\nQuestion: {input}\nAnswer:",
+    "hotpotqa": "Answer the question based on the given passages. Only give me the answer and do not output any other words.\n\nThe following are given passages.\n{context}\n\nAnswer the question based on the given passages. Only give me the answer and do not output any other words.\n\nQuestion: {input}\nAnswer:",
+    "2wikimqa": "Answer the question based on the given passages. Only give me the answer and do not output any other words.\n\nThe following are given passages.\n{context}\n\nAnswer the question based on the given passages. Only give me the answer and do not output any other words.\n\nQuestion: {input}\nAnswer:",
+    "musique": "Answer the question based on the given passages. Only give me the answer and do not output any other words.\n\nThe following are given passages.\n{context}\n\nAnswer the question based on the given passages. Only give me the answer and do not output any other words.\n\nQuestion: {input}\nAnswer:",
+    "gov_report": "You are given a report by a government agency. Write a one-page summary of the report.\n\nReport:\n{context}\n\nNow, write a one-page summary of the report.\n\nSummary:",
+    "qmsum": "You are given a meeting transcript and a query containing a question or instruction. Answer the query in one or more sentences.\n\nTranscript:\n{context}\n\nNow, answer the query based on the above meeting transcript in one or more sentences.\n\nQuery: {input}\nAnswer:",
+    "multi_news": "You are given several news passages. Write a one-page summary of all news. \n\nNews:\n{context}\n\nNow, write a one-page summary of all the news.\n\nSummary:",
+    "trec": "Please determine the type of the question below. Here are some examples of questions.\n\n{context}\n{input}",
+    "triviaqa": "Answer the question based on the given passage. Only give me the answer and do not output any other words. The following are some examples.\n\n{context}\n\n{input}",
+    "samsum": "Summarize the dialogue into a few short sentences. The following are some examples.\n\n{context}\n\n{input}",
+    "passage_count": "There are some paragraphs below sourced from Wikipedia. Some of them may be duplicates. Please carefully read these paragraphs and determine how many unique paragraphs there are after removing duplicates. In other words, how many non-repeating paragraphs are there in total?\n\n{context}\n\nPlease enter the final count of unique paragraphs after removing duplicates. The output format should only contain the number, such as 1, 2, 3, and so on.\n\nThe final answer is: ",
+    "passage_retrieval_en": 'Here are 30 paragraphs from Wikipedia, along with an abstract. Please determine which paragraph the abstract is from.\n\n{context}\n\nThe following is an abstract.\n\n{input}\n\nPlease enter the number of the paragraph that the abstract is from. The answer format must be like "Paragraph 1", "Paragraph 2", etc.\n\nThe answer is: ',
+    "lcc": "Please complete the code given below. \n{context}Next line of code:\n",
+    "repobench-p": "Please complete the code given below. \n{context}{input}Next line of code:\n",
+}
+
+# reference dataset2maxlen (longbench.py:204-226)
+dataset2maxlen: Dict[str, int] = {
+    "narrativeqa": 128, "qasper": 128, "multifieldqa_en": 64, "hotpotqa": 32,
+    "2wikimqa": 32, "musique": 32, "gov_report": 512, "qmsum": 512,
+    "multi_news": 512, "trec": 64, "triviaqa": 32, "samsum": 128,
+    "passage_count": 32, "passage_retrieval_en": 32, "lcc": 64, "repobench-p": 64,
+}
+
+
+def load_longbench_rows(dataset: str, data_path: Optional[str] = None) -> List[Dict[str, Any]]:
+    """Rows with context/input/answers/all_classes. From a local JSONL (the
+    LongBench release format) or HF datasets (THUDM/LongBench)."""
+    if data_path is not None:
+        p = Path(data_path)
+        return [json.loads(l) for l in p.read_text().splitlines() if l.strip()]
+    from datasets import load_dataset  # type: ignore
+
+    ds = load_dataset("THUDM/LongBench", dataset, split="test")
+    return list(ds)
+
+
+def pred_longbench(
+    generate_fn: Callable[[str, int], str],
+    tokenizer,
+    dataset: str,
+    rows: List[Dict[str, Any]],
+    max_length: int = 31500,
+    max_samples: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Generate-and-score loop (reference pred_long_bench,
+    longbench.py:236-319): build the task prompt, middle-truncate to
+    max_length tokens (longbench.py:266-268), generate dataset2maxlen new
+    tokens, score with the task metric. `generate_fn(prompt, max_new) ->
+    text` abstracts the engine (and must clear its cache per request — the
+    reference's cache_clear_func contract)."""
+    metric = dataset2metric[dataset]
+    template = dataset2prompt[dataset]
+    maxgen = dataset2maxlen[dataset]
+    scores = []
+    for row in rows[:max_samples]:
+        prompt = template.format(**row)
+        toks = tokenizer(prompt)["input_ids"]
+        if len(toks) > max_length:
+            half = max_length // 2
+            prompt = tokenizer.decode(toks[:half]) + tokenizer.decode(toks[-half:])
+        pred = generate_fn(prompt, maxgen)
+        best = 0.0
+        for gt in row.get("answers", []):
+            best = max(
+                best,
+                metric(pred, gt, all_classes=row.get("all_classes") or []),
+            )
+        scores.append(best)
+    return {
+        "dataset": dataset,
+        "score": float(np.mean(scores)) if scores else float("nan"),
+        "n": len(scores),
+    }

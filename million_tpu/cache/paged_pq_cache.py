@@ -56,17 +56,27 @@ class PagedPQCacheConfig:
 def init_paged_state(cfg: PagedPQCacheConfig) -> PagedState:
     L = cfg.num_layers
     return {
-        # one slab per layer; K and V pools separate
+        # one slab per layer; K and V pools separate. Slab index n_pages is
+        # a reserved SCRATCH page: masked-out scatters (inactive slots,
+        # unallocated table entries) are routed there instead of corrupting
+        # a real page.
         "key_pool": jnp.zeros(
-            (L, cfg.n_pages, cfg.nh_k, cfg.M, cfg.page_size), jnp.uint8
+            (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size), jnp.uint8
         ),
         "value_pool": jnp.zeros(
-            (L, cfg.n_pages, cfg.nh_k, cfg.M, cfg.page_size), jnp.uint8
+            (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size), jnp.uint8
         ),
         "used": jnp.zeros((cfg.n_pages,), jnp.int32),  # 0 free, 1 used
         "page_table": jnp.full((cfg.max_seqs, cfg.pages_per_seq), -1, jnp.int32),
         "seq_n_codes": jnp.zeros((cfg.max_seqs,), jnp.int32),
         "seq_n_pages": jnp.zeros((cfg.max_seqs,), jnp.int32),
+        # incremental codes of each slot's current residual window
+        "key_residual_codes": jnp.zeros(
+            (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8
+        ),
+        "value_residual_codes": jnp.zeros(
+            (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8
+        ),
         # exact residual windows per sequence
         "key_residual": jnp.zeros(
             (L, cfg.max_seqs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype

@@ -62,6 +62,9 @@ def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
         "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max), jnp.uint8),
         "key_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "value_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
+        # incremental codes of the current residual window (see decode_update)
+        "key_residual_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8),
+        "value_residual_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8),
         "n_codes": jnp.zeros((), jnp.int32),
         "r": jnp.zeros((), jnp.int32),
     }
@@ -118,24 +121,26 @@ def decode_update(
     """
     cfg_Lt = state["key_residual"].shape[2]
 
-    def flush(st: PQCacheLayerState) -> PQCacheLayerState:
-        kc = jnp.swapaxes(pq_encode(st["key_residual"], key_cents, layout), -1, -2)
-        vc = jnp.swapaxes(pq_encode(st["value_residual"], value_cents, layout), -1, -2)
-        start = st["n_codes"]
-        out = dict(st)
-        out["key_codes"] = jax.lax.dynamic_update_slice(
-            st["key_codes"], kc, (0, 0, 0, start)
-        )
-        out["value_codes"] = jax.lax.dynamic_update_slice(
-            st["value_codes"], vc, (0, 0, 0, start)
-        )
-        out["n_codes"] = start + cfg_Lt
-        out["r"] = jnp.zeros((), jnp.int32)
-        return out
-
-    state = jax.lax.cond(state["r"] >= cfg_Lt, flush, lambda s: dict(s), state)
+    # Flush without lax.cond and without re-encoding: every decode step
+    # encodes ONLY its one token into a small per-window code buffer
+    # (key/value_residual_codes), and that tiny (nh_k, M, Lt) buffer is
+    # unconditionally copied into the arena at n_codes. While the window is
+    # partial the copied span lies beyond the valid region (attention masks
+    # by n_codes) so it is harmless; when the window fills, "flush" is just
+    # the counter bump. Rationale: a lax.cond over the multi-GB arena
+    # defeats XLA's in-place buffer aliasing (the arena would be copied
+    # every token — the reference's torch.cat pathology reborn), and
+    # re-encoding the whole window per step materializes a
+    # (nh_k, Lt, M, C) distance tensor; the incremental scheme costs one
+    # 1-token encode plus a ~100 KB write per layer per step.
+    do_restart = state["r"] >= cfg_Lt
+    state = dict(state)
+    state["n_codes"] = jnp.where(do_restart, state["n_codes"] + cfg_Lt, state["n_codes"])
+    state["r"] = jnp.where(do_restart, 0, state["r"])
 
     r = state["r"]
+    kc1 = jnp.swapaxes(pq_encode(k, key_cents, layout), -1, -2)  # (bs,nh_k,M,1)
+    vc1 = jnp.swapaxes(pq_encode(v, value_cents, layout), -1, -2)
     new = dict(state)
     new["key_residual"] = jax.lax.dynamic_update_slice(
         state["key_residual"], k.astype(state["key_residual"].dtype), (0, 0, r, 0)
@@ -143,7 +148,21 @@ def decode_update(
     new["value_residual"] = jax.lax.dynamic_update_slice(
         state["value_residual"], v.astype(state["value_residual"].dtype), (0, 0, r, 0)
     )
+    new["key_residual_codes"] = jax.lax.dynamic_update_slice(
+        state["key_residual_codes"], kc1, (0, 0, 0, r)
+    )
+    new["value_residual_codes"] = jax.lax.dynamic_update_slice(
+        state["value_residual_codes"], vc1, (0, 0, 0, r)
+    )
     new["r"] = r + 1
+    # unconditional small copy of the window's codes into the arena
+    start = state["n_codes"]
+    new["key_codes"] = jax.lax.dynamic_update_slice(
+        state["key_codes"], new["key_residual_codes"], (0, 0, 0, start)
+    )
+    new["value_codes"] = jax.lax.dynamic_update_slice(
+        state["value_codes"], new["value_residual_codes"], (0, 0, 0, start)
+    )
     return new
 
 

@@ -250,36 +250,57 @@ def prefill(
     x = params["embed"][input_ids]
     pos = pos_offset + jnp.arange(n)
 
-    def layer(x, scanned):
-        lp, cache_l, cents_l = scanned
+    # The cache is threaded through the scan CARRY with per-layer indexed
+    # updates: scanning it as xs/ys would force XLA to copy the whole
+    # stacked arena (scan inputs cannot alias scan outputs) — measured at
+    # ~27 ms/step for a 3B 32K cache before this change.
+    def layer(carry, lp):
+        x, cache, i = carry
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, pos)
+        cache = dict(cache)
         if mode == "pq":
-            cache_l = prefill_update(
-                cache_l, k, v, cents_l["key"], cents_l["value"], SUBSPACE_LAYOUT
+            kcent = jax.lax.dynamic_index_in_dim(cents["key"], i, 0, keepdims=False)
+            vcent = jax.lax.dynamic_index_in_dim(cents["value"], i, 0, keepdims=False)
+            kc = jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2)
+            vc = jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2)
+            start = cache["n_codes"][i]
+            cache["key_codes"] = jax.lax.dynamic_update_slice(
+                cache["key_codes"], kc[None], (i, 0, 0, 0, start)
             )
+            cache["value_codes"] = jax.lax.dynamic_update_slice(
+                cache["value_codes"], vc[None], (i, 0, 0, 0, start)
+            )
+            cache["n_codes"] = cache["n_codes"].at[i].add(n)
             if distort_recent:
                 k = pq_decode(
-                    pq_encode(k, cents_l["key"], SUBSPACE_LAYOUT),
-                    cents_l["key"], SUBSPACE_LAYOUT,
+                    jnp.swapaxes(kc, -1, -2), kcent, SUBSPACE_LAYOUT
                 ).astype(k.dtype)
                 v = pq_decode(
-                    pq_encode(v, cents_l["value"], SUBSPACE_LAYOUT),
-                    cents_l["value"], SUBSPACE_LAYOUT,
+                    jnp.swapaxes(vc, -1, -2), vcent, SUBSPACE_LAYOUT
                 ).astype(v.dtype)
             attn = causal_attention(q, k, v)
         else:
-            cache_l = dense_prefill_update(cache_l, k, v)
+            start = cache["length"][i]
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype)[None], (i, 0, 0, start, 0)
+            )
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype)[None], (i, 0, 0, start, 0)
+            )
+            cache["length"] = cache["length"].at[i].add(n)
             attn = causal_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(bs, n, -1)
         x = x + (attn @ lp["wo"]).astype(x.dtype)
         h = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h, lp).astype(x.dtype)
-        return x, cache_l
+        return (x, cache, i + 1), None
 
     if cents is None:
         cents = {"key": jnp.zeros((cfg.num_layers, 0)), "value": jnp.zeros((cfg.num_layers, 0))}
-    x, cache = jax.lax.scan(layer, x, (params["layers"], cache, cents))
+    (x, cache, _), _ = jax.lax.scan(
+        layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
+    )
     return _logits(params, cfg, x), cache
 
 
@@ -304,43 +325,143 @@ def decode_step(
     x = params["embed"][token][:, None, :]  # (bs, 1, D)
     pos_arr = pos[None] if jnp.ndim(pos) == 0 else pos
 
-    def layer(x, scanned):
-        lp, cache_l, cents_l = scanned
+    # Carry-threaded cache (see prefill): indexed per-layer updates on the
+    # stacked arenas keep XLA's in-place aliasing; the fused kernel reads
+    # its layer directly from the stacked arena via a scalar-prefetched
+    # index, so no layer slice is ever materialized.
+    def layer(carry, lp):
+        x, cache, i = carry
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, pos_arr)
+        cache = dict(cache)
         if mode in ("pq", "pq_pallas"):
-            cache_l = decode_update(
-                cache_l, k, v, cents_l["key"], cents_l["value"], SUBSPACE_LAYOUT
+            kcent = jax.lax.dynamic_index_in_dim(cents["key"], i, 0, keepdims=False)
+            vcent = jax.lax.dynamic_index_in_dim(cents["value"], i, 0, keepdims=False)
+            Lt = cache["key_residual"].shape[3]
+            # window restart (counters only; the arena already holds the
+            # window's codes from the per-step mirror below)
+            do_restart = cache["r"][i] >= Lt
+            n0 = cache["n_codes"][i]
+            start = jnp.where(do_restart, n0 + Lt, n0)
+            r = jnp.where(do_restart, 0, cache["r"][i])
+            cache["n_codes"] = cache["n_codes"].at[i].set(start)
+            cache["r"] = cache["r"].at[i].set(r + 1)
+            # append token to the residual window + its incremental code
+            kd = k.astype(cache["key_residual"].dtype)
+            vd = v.astype(cache["value_residual"].dtype)
+            cache["key_residual"] = jax.lax.dynamic_update_slice(
+                cache["key_residual"], kd[None], (i, 0, 0, r, 0)
+            )
+            cache["value_residual"] = jax.lax.dynamic_update_slice(
+                cache["value_residual"], vd[None], (i, 0, 0, r, 0)
+            )
+            kc1 = jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2)
+            vc1 = jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2)
+            cache["key_residual_codes"] = jax.lax.dynamic_update_slice(
+                cache["key_residual_codes"], kc1[None], (i, 0, 0, 0, r)
+            )
+            cache["value_residual_codes"] = jax.lax.dynamic_update_slice(
+                cache["value_residual_codes"], vc1[None], (i, 0, 0, 0, r)
+            )
+            # mirror the window's codes into the arena at [start, start+Lt)
+            krc = jax.lax.dynamic_index_in_dim(
+                cache["key_residual_codes"], i, 0, keepdims=True
+            )
+            vrc = jax.lax.dynamic_index_in_dim(
+                cache["value_residual_codes"], i, 0, keepdims=True
+            )
+            cache["key_codes"] = jax.lax.dynamic_update_slice(
+                cache["key_codes"], krc, (i, 0, 0, 0, start)
+            )
+            cache["value_codes"] = jax.lax.dynamic_update_slice(
+                cache["value_codes"], vrc, (i, 0, 0, 0, start)
             )
             if mode == "pq_pallas":
-                attn = _pq_pallas_attention(q[:, :, 0], cache_l, cents_l, cfg, mesh)
+                attn = _pq_pallas_attention_stacked(
+                    q[:, :, 0], cache, cents, i, cfg, mesh
+                )
             else:
                 attn = pq_decode_attention_ref(
                     q[:, :, 0],
-                    cache_l["key_codes"],
-                    cache_l["value_codes"],
-                    cents_l["key"],
-                    cents_l["value"],
-                    cache_l["key_residual"],
-                    cache_l["value_residual"],
-                    cache_l["n_codes"],
-                    cache_l["r"],
+                    jax.lax.dynamic_index_in_dim(cache["key_codes"], i, 0, False),
+                    jax.lax.dynamic_index_in_dim(cache["value_codes"], i, 0, False),
+                    kcent,
+                    vcent,
+                    jax.lax.dynamic_index_in_dim(cache["key_residual"], i, 0, False),
+                    jax.lax.dynamic_index_in_dim(cache["value_residual"], i, 0, False),
+                    cache["n_codes"][i],
+                    cache["r"][i],
                     layout=SUBSPACE_LAYOUT,
                 )
         else:
-            cache_l = dense_prefill_update(cache_l, k, v)
-            kmask = jnp.arange(cache_l["k"].shape[2]) < cache_l["length"]
-            attn = _masked_dense_decode(q[:, :, 0], cache_l["k"], cache_l["v"], kmask)
+            p0 = cache["length"][i]
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype)[None], (i, 0, 0, p0, 0)
+            )
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype)[None], (i, 0, 0, p0, 0)
+            )
+            cache["length"] = cache["length"].at[i].add(1)
+            kl = jax.lax.dynamic_index_in_dim(cache["k"], i, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache["v"], i, 0, keepdims=False)
+            kmask = jnp.arange(kl.shape[2]) < cache["length"][i]
+            attn = _masked_dense_decode(q[:, :, 0], kl, vl, kmask)
         attn = attn.reshape(bs, 1, -1)  # (bs, nh, d) -> (bs, 1, nh*d)
         x = x + (attn @ lp["wo"]).astype(x.dtype)
         h = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h, lp).astype(x.dtype)
-        return x, cache_l
+        return (x, cache, i + 1), None
 
     if cents is None:
         cents = {"key": jnp.zeros((cfg.num_layers, 0)), "value": jnp.zeros((cfg.num_layers, 0))}
-    x, cache = jax.lax.scan(layer, x, (params["layers"], cache, cents))
+    (x, cache, _), _ = jax.lax.scan(
+        layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
+    )
     return _logits(params, cfg, x)[:, 0], cache
+
+
+def _pq_pallas_attention_stacked(q, cache, cents, layer_idx, cfg, mesh=None):
+    """Fused-kernel decode attention over the STACKED cache: the kernel
+    selects its layer through a scalar-prefetched index (no layer-slice
+    materialization); the small residual window is sliced normally and
+    LSE-merged (reference residual+reduce kernels)."""
+    from million_tpu.ops.pq_attention_pallas import pq_codes_attention_stacked
+
+    bs, nh, d = q.shape
+    nh_k = cache["key_codes"].shape[2]
+    G = nh // nh_k
+    scale = 1.0 / (d**0.5)
+    C = cents["key"].shape[2]
+
+    qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
+    q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
+    q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
+    n_codes = cache["n_codes"][layer_idx]
+
+    if mesh is not None:
+        from million_tpu.parallel.sharded_decode import (
+            sharded_pq_codes_attention_stacked,
+        )
+
+        out_c, lse_c = sharded_pq_codes_attention_stacked(
+            mesh, q_pad, cache["key_codes"], cache["value_codes"],
+            cents["kpack"], cents["vpack"], layer_idx, n_codes, packed=C > 128,
+        )
+    else:
+        out_c, lse_c = pq_codes_attention_stacked(
+            q_pad, cache["key_codes"], cache["value_codes"],
+            cents["kpack"], cents["vpack"],
+            layer_idx, n_codes, packed=C > 128,
+        )
+    out_r, lse_r = masked_partial_attention(
+        q_pad.astype(jnp.float32),
+        jax.lax.dynamic_index_in_dim(cache["key_residual"], layer_idx, 0, False),
+        jax.lax.dynamic_index_in_dim(cache["value_residual"], layer_idx, 0, False),
+        cache["r"][layer_idx],
+        scale=1.0,
+    )
+    merged, _ = merge_partials(jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r]))
+    return merged[:, :, :G].reshape(bs, nh, d).astype(q.dtype)
 
 
 def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):

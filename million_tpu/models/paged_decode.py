@@ -32,6 +32,7 @@ from million_tpu.ops.pq_attention_ref import causal_attention
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
     pq_paged_attention,
+    pq_paged_attention_stacked,
 )
 from million_tpu.ops.pq_attention_ref import masked_partial_attention, merge_partials
 from million_tpu.pq.ops import pq_encode
@@ -73,12 +74,21 @@ def paged_decode_step(
 
     x = params["embed"][tokens][:, None, :]  # (S, 1, D)
 
-    # --- residual-flush decision (per slot, shared across layers) --------
+    # --- residual window restart (per slot; scalar wheres only — a
+    # lax.cond over the pools would defeat in-place aliasing) -------------
     must_flush = (r >= pcfg.Lt) & active  # (S,)
-    flush_any = jnp.any(must_flush)
+    r_eff = jnp.where(must_flush, 0, r)
+    n_codes_eff = state["seq_n_codes"] + jnp.where(must_flush, pcfg.Lt, 0)
 
-    def layer(x, scanned):
-        lp, kpool, vpool, kres, vres, tab = scanned
+    def layer(carry, lp):
+        x, st, li = carry
+        kres = jax.lax.dynamic_index_in_dim(st["key_residual"], li, 0, False)
+        vres = jax.lax.dynamic_index_in_dim(st["value_residual"], li, 0, False)
+        krc = jax.lax.dynamic_index_in_dim(st["key_residual_codes"], li, 0, False)
+        vrc = jax.lax.dynamic_index_in_dim(st["value_residual_codes"], li, 0, False)
+        kcent = jax.lax.dynamic_index_in_dim(tables["key"], li, 0, False)
+        vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
+
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q = (h @ lp["wq"]).reshape(S, 1, nh, dh).transpose(0, 2, 1, 3)
         k = (h @ lp["wk"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
@@ -86,39 +96,8 @@ def paged_decode_step(
         q = _rope_per_seq(q, positions, inv_freq)
         k = _rope_per_seq(k, positions, inv_freq)
 
-        # flush full residual windows into pages (encode Lt tokens); only
-        # slots with must_flush write — one masked scatter for all slots.
-        def do_flush(pools):
-            kpool, vpool = pools
-            kc = jnp.swapaxes(
-                pq_encode(kres, tab["key"], SUBSPACE_LAYOUT), -1, -2
-            )  # (S, nh_k, M, Lt)
-            vc = jnp.swapaxes(pq_encode(vres, tab["value"], SUBSPACE_LAYOUT), -1, -2)
-            t_idx = state["seq_n_codes"][:, None] + jnp.arange(pcfg.Lt)[None]  # (S, Lt)
-            pages = jnp.take_along_axis(
-                state["page_table"], t_idx // pcfg.page_size, axis=1
-            )  # (S, Lt)
-            offs = t_idx % pcfg.page_size
-            pages = jnp.maximum(pages, 0)
-            ok = must_flush[:, None] & jnp.broadcast_to(
-                jnp.ones((1, pcfg.Lt), bool), (S, pcfg.Lt)
-            )
-            # route masked-out writes to a scratch page slot (page 0 pos 0
-            # would corrupt; instead write the CURRENT value back)
-            def scat(pool, codes):
-                # pool (P, H, M, ps); codes (S, H, M, Lt)
-                vals = codes.transpose(0, 3, 1, 2)  # (S, Lt, H, M)
-                cur = pool[pages, :, :, offs]  # (S, Lt, H, M)
-                vals = jnp.where(ok[..., None, None], vals, cur)
-                return pool.at[pages, :, :, offs].set(vals)
-
-            return scat(kpool, kc), scat(vpool, vc)
-
-        kpool, vpool = jax.lax.cond(flush_any, do_flush, lambda p: p, (kpool, vpool))
-        r_eff = jnp.where(must_flush, 0, r)  # window restarts after flush
-        n_codes_eff = state["seq_n_codes"] + jnp.where(must_flush, pcfg.Lt, 0)
-
-        # append the new token to the residual window at r_eff (per slot)
+        # append the new token to the residual window at r_eff (per slot),
+        # and encode just this one token into the window-code buffers
         k1 = k[:, :, 0].astype(kres.dtype)  # (S, nh_k, d)
         v1 = v[:, :, 0].astype(vres.dtype)
         wr = jnp.where(active, r_eff, 0)
@@ -128,13 +107,58 @@ def paged_decode_step(
         vres_new = vres.at[jnp.arange(S), :, wr].set(
             jnp.where(active[:, None, None], v1, vres[jnp.arange(S), :, wr])
         )
+        kc1 = pq_encode(k1, kcent, SUBSPACE_LAYOUT)  # (S, nh_k, M)
+        vc1 = pq_encode(v1, vcent, SUBSPACE_LAYOUT)
+        krc_new = krc.at[jnp.arange(S), :, :, wr].set(
+            jnp.where(active[:, None, None], kc1, krc[jnp.arange(S), :, :, wr])
+        )
+        vrc_new = vrc.at[jnp.arange(S), :, :, wr].set(
+            jnp.where(active[:, None, None], vc1, vrc[jnp.arange(S), :, :, wr])
+        )
+
+        # mirror every slot's window codes into its pages at
+        # [n_codes_eff, n_codes_eff + Lt) — beyond the valid region until
+        # the counters advance, so partial windows are harmless. Inactive /
+        # unallocated slots scatter to the reserved scratch page.
+        t_idx = n_codes_eff[:, None] + jnp.arange(pcfg.Lt)[None]  # (S, Lt)
+        pages = jnp.take_along_axis(
+            state["page_table"],
+            jnp.clip(t_idx // pcfg.page_size, 0, pcfg.pages_per_seq - 1),
+            axis=1,
+        )  # (S, Lt)
+        offs = t_idx % pcfg.page_size
+        scratch = st["key_pool"].shape[1] - 1  # last slab entry = scratch page
+        pages = jnp.where((pages < 0) | ~active[:, None], scratch, pages)
+
+        st = dict(st)
+        # stacked-pool scatter at layer li: advanced indices (li, pages,
+        # offs) broadcast to (S, Lt) and move to the front -> (S, Lt, H, M)
+        st["key_pool"] = st["key_pool"].at[li, pages, :, :, offs].set(
+            krc_new.transpose(0, 3, 1, 2)
+        )
+        st["value_pool"] = st["value_pool"].at[li, pages, :, :, offs].set(
+            vrc_new.transpose(0, 3, 1, 2)
+        )
+        st["key_residual"] = jax.lax.dynamic_update_slice(
+            st["key_residual"], kres_new[None], (li, 0, 0, 0, 0)
+        )
+        st["value_residual"] = jax.lax.dynamic_update_slice(
+            st["value_residual"], vres_new[None], (li, 0, 0, 0, 0)
+        )
+        st["key_residual_codes"] = jax.lax.dynamic_update_slice(
+            st["key_residual_codes"], krc_new[None], (li, 0, 0, 0, 0)
+        )
+        st["value_residual_codes"] = jax.lax.dynamic_update_slice(
+            st["value_residual_codes"], vrc_new[None], (li, 0, 0, 0, 0)
+        )
 
         # --- attention: paged codes partial + residual partial, LSE merge
         qg = (q[:, :, 0].astype(jnp.float32) * scale).reshape(S, nh_k, G, dh)
         q_pad = jnp.zeros((S, nh_k, GROUP_PAD, dh), jnp.bfloat16)
         q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
-        out_c, lse_c = pq_paged_attention(
-            q_pad, kpool, vpool, tab["kpack"], tab["vpack"],
+        out_c, lse_c = pq_paged_attention_stacked(
+            q_pad, st["key_pool"], st["value_pool"],
+            tables["kpack"], tables["vpack"], li,
             state["page_table"], n_codes_eff, packed=C > 128,
         )
         # valid residual entries per slot: [0, r_eff] (token just appended)
@@ -152,31 +176,17 @@ def paged_decode_step(
         x_out = x + (attn.astype(x.dtype) @ lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x_out, lp["mlp_norm"], cfg.rms_eps)
         x_out = x_out + _mlp(h2, lp).astype(x.dtype)
-        return x_out, (kpool, vpool, kres_new, vres_new)
+        return (x_out, st, li + 1), None
 
-    scan_tables = {k: tables[k] for k in ("key", "value", "kpack", "vpack")}
-    x, (kpools, vpools, kress, vress) = jax.lax.scan(
-        layer,
-        x,
-        (
-            params["layers"],
-            state["key_pool"],
-            state["value_pool"],
-            state["key_residual"],
-            state["value_residual"],
-            scan_tables,
-        ),
+    (x, state2, _), _ = jax.lax.scan(
+        layer, (x, state, jnp.asarray(0, jnp.int32)), params["layers"]
     )
 
     logits = _logits(params, cfg, x)[:, 0]  # (S, V)
 
-    new = dict(state)
-    new["key_pool"] = kpools
-    new["value_pool"] = vpools
-    new["key_residual"] = kress
-    new["value_residual"] = vress
-    new["seq_n_codes"] = state["seq_n_codes"] + jnp.where(must_flush, pcfg.Lt, 0)
-    new["seq_r"] = jnp.where(active, jnp.where(must_flush, 1, r + 1), r)
+    new = dict(state2)
+    new["seq_n_codes"] = n_codes_eff
+    new["seq_r"] = jnp.where(active, r_eff + 1, r)
     return logits, new
 
 
@@ -199,36 +209,38 @@ def paged_prefill_seq(
     pos = jnp.arange(n)
     x = params["embed"][input_ids[0]][None]  # (1, n, D)
 
-    def layer(x, scanned):
-        lp, kpool, vpool, tab = scanned
+    t_idx = jnp.arange(n)
+    pages_row = jnp.maximum(state["page_table"][seq_id, t_idx // pcfg.page_size], 0)
+    offs = t_idx % pcfg.page_size
+
+    def layer(carry, lp):
+        x, st, li = carry
+        kcent = jax.lax.dynamic_index_in_dim(tables["key"], li, 0, False)
+        vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, pos)
-        # encode + scatter this layer's codes into the slot's pages
-        kc = jnp.swapaxes(pq_encode(k[0], tab["key"], SUBSPACE_LAYOUT), -1, -2)
-        vc = jnp.swapaxes(pq_encode(v[0], tab["value"], SUBSPACE_LAYOUT), -1, -2)
-        t_idx = jnp.arange(n)
-        pages = jnp.maximum(state["page_table"][seq_id, t_idx // pcfg.page_size], 0)
-        offs = t_idx % pcfg.page_size
-        kpool = kpool.at[pages, :, :, offs].set(kc.transpose(2, 0, 1))
-        vpool = vpool.at[pages, :, :, offs].set(vc.transpose(2, 0, 1))
+        kc = jnp.swapaxes(pq_encode(k[0], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(pq_encode(v[0], vcent, SUBSPACE_LAYOUT), -1, -2)
+        st = dict(st)
+        st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(
+            kc.transpose(2, 0, 1)
+        )
+        st["value_pool"] = st["value_pool"].at[li, pages_row, :, :, offs].set(
+            vc.transpose(2, 0, 1)
+        )
         attn = causal_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(1, n, -1)
         x = x + (attn @ lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h2, lp).astype(x.dtype)
-        return x, (kpool, vpool)
+        return (x, st, li + 1), None
 
-    scan_tables = {k: tables[k] for k in ("key", "value", "kpack", "vpack")}
-    x, (kpools, vpools) = jax.lax.scan(
-        layer,
-        x,
-        (params["layers"], state["key_pool"], state["value_pool"], scan_tables),
+    (x, state, _), _ = jax.lax.scan(
+        layer, (x, state, jnp.asarray(0, jnp.int32)), params["layers"]
     )
     logits = _logits(params, cfg, x)[:, -1]  # (1, V)
 
     new = dict(state)
-    new["key_pool"] = kpools
-    new["value_pool"] = vpools
     new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set(n)
     new["seq_r"] = state["seq_r"].at[seq_id].set(0)
     new["seq_active"] = state["seq_active"].at[seq_id].set(1)

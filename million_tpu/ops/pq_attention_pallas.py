@@ -84,13 +84,13 @@ def pack_centroid_tables(cents: jax.Array) -> jax.Array:
     )  # (d_m, M, 128)
 
 
-def _decode_tile(pack_ref, codes, d_m, packed):
-    """Gather(+unpack) one 128-token tile. Returns (d, 128) bf16 tile whose
-    row j*M+m is component j of subspace m — the strided dim layout."""
+def _decode_tile(pack_ref, lo, is_hi, d_m, packed):
+    """Gather(+unpack) one 128-token tile from block-level hoisted index
+    tensors (lo = code & 127 or the full code, is_hi = code >= 128 or None).
+    Returns (d, 128) bf16 tile whose row j*M+m is component j of subspace m
+    — the strided dim layout."""
     rows = []
     if packed:
-        lo = jnp.bitwise_and(codes, 127)
-        is_hi = codes >= 128
         for j in range(d_m):
             g = jnp.take_along_axis(pack_ref[j], lo, axis=1)  # (M,128) f32 packed
             u = pltpu.bitcast(g, jnp.uint32)
@@ -98,9 +98,19 @@ def _decode_tile(pack_ref, codes, d_m, packed):
             rows.append(pltpu.bitcast(half, jnp.bfloat16))
     else:
         for j in range(d_m):
-            g = jnp.take_along_axis(pack_ref[j], codes, axis=1)  # (M,128) f32
+            g = jnp.take_along_axis(pack_ref[j], lo, axis=1)  # (M,128) f32
             rows.append(g.astype(jnp.bfloat16))
     return jnp.concatenate(rows, axis=0)  # (d_m*M, 128)
+
+
+def _hoist_codes(codes_u8, packed):
+    """Block-level u8 -> i32 conversion + lo/hi split (one pass over the
+    whole block instead of per 128-token chunk — measured ~30% kernel win
+    on v5e from fewer unpack/mask op issues)."""
+    ci = codes_u8.astype(jnp.int32)
+    if packed:
+        return jnp.bitwise_and(ci, 127), ci >= 128
+    return ci, None
 
 
 def _pq_attn_kernel(
@@ -138,10 +148,15 @@ def _pq_attn_kernel(
     @pl.when(i * block < n_codes)
     def _compute():
         q = q_ref[0, 0]  # (GROUP_PAD, d) bf16
+        k_lo, k_hi = _hoist_codes(kc_ref[0, 0], packed)  # (M, block)
+        v_lo, v_hi = _hoist_codes(vc_ref[0, 0], packed)
         for t in range(block // LANES):
+            sl = slice(t * LANES, (t + 1) * LANES)
             base = i * block + t * LANES
-            ck = kc_ref[0, 0, :, t * LANES : (t + 1) * LANES].astype(jnp.int32)
-            khat = _decode_tile(kpack_ref, ck, d_m, packed)  # (d, 128) bf16
+            khat = _decode_tile(
+                kpack_ref, k_lo[:, sl], None if k_hi is None else k_hi[:, sl],
+                d_m, packed,
+            )  # (d, 128) bf16
             s = jax.lax.dot_general(
                 q,
                 khat,
@@ -158,8 +173,10 @@ def _pq_attn_kernel(
             p = jnp.where(pos < n_codes, p, 0.0)
             l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-            cv = vc_ref[0, 0, :, t * LANES : (t + 1) * LANES].astype(jnp.int32)
-            vhat = _decode_tile(vpack_ref, cv, d_m, packed)  # (d, 128) bf16
+            vhat = _decode_tile(
+                vpack_ref, v_lo[:, sl], None if v_hi is None else v_hi[:, sl],
+                d_m, packed,
+            )  # (d, 128) bf16
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16),
                 vhat,
@@ -192,7 +209,7 @@ def pq_codes_attention(
     vpack: jax.Array,  # (d_m, M, 128) f32
     n_codes: jax.Array,  # () int32
     *,
-    block: int = 1024,
+    block: int = 4096,
     n_bucket: int | None = None,
     interpret: bool | None = None,
     packed: bool = True,
@@ -303,10 +320,15 @@ def _pq_paged_attn_kernel(
     @pl.when(i * page_size < n_codes)
     def _compute():
         q = q_ref[0, 0]
+        k_lo, k_hi = _hoist_codes(kc_ref[0, 0], packed)
+        v_lo, v_hi = _hoist_codes(vc_ref[0, 0], packed)
         for t in range(page_size // LANES):
+            sl = slice(t * LANES, (t + 1) * LANES)
             base = i * page_size + t * LANES
-            ck = kc_ref[0, 0, :, t * LANES : (t + 1) * LANES].astype(jnp.int32)
-            khat = _decode_tile(kpack_ref, ck, d_m, packed)
+            khat = _decode_tile(
+                kpack_ref, k_lo[:, sl], None if k_hi is None else k_hi[:, sl],
+                d_m, packed,
+            )
             s = jax.lax.dot_general(
                 q, khat, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -319,8 +341,10 @@ def _pq_paged_attn_kernel(
             p = jnp.exp(s - m_new)
             p = jnp.where(pos < n_codes, p, 0.0)
             l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            cv = vc_ref[0, 0, :, t * LANES : (t + 1) * LANES].astype(jnp.int32)
-            vhat = _decode_tile(vpack_ref, cv, d_m, packed)
+            vhat = _decode_tile(
+                vpack_ref, v_lo[:, sl], None if v_hi is None else v_hi[:, sl],
+                d_m, packed,
+            )
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), vhat,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -408,3 +432,319 @@ def pq_paged_attention(
         interpret=interpret,
     )(pt, n_codes.astype(jnp.int32), q, key_pool, value_pool, kpack, vpack)
     return out, lse[..., 0]
+
+
+def _pq_attn_kernel_stacked(
+    # scalar prefetch
+    li_ref,  # (1,) int32 — layer index into the stacked arenas/tables
+    nc_ref,  # (1,) int32 — valid quantized tokens
+    # inputs (blocks selected by the index maps)
+    q_ref,  # (1, 1, GROUP_PAD, d)
+    kc_ref,  # (1, 1, 1, M, BLOCK) uint8 from (L, bs, nh_k, M, N)
+    vc_ref,
+    kpack_ref,  # (1, d_m, M, 128) f32 from (L, d_m, M, 128)
+    vpack_ref,
+    # outputs
+    out_ref,  # (1, 1, GROUP_PAD, d) f32
+    lse_ref,  # (1, 1, GROUP_PAD, 128) f32
+    # scratch
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    block: int,
+    d_m: int,
+    packed: bool,
+):
+    i = pl.program_id(2)
+    nb = pl.num_programs(2)
+    n_codes = nc_ref[0]
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(i * block < n_codes)
+    def _compute():
+        q = q_ref[0, 0]
+        k_lo, k_hi = _hoist_codes(kc_ref[0, 0, 0], packed)
+        v_lo, v_hi = _hoist_codes(vc_ref[0, 0, 0], packed)
+        for t in range(block // LANES):
+            sl = slice(t * LANES, (t + 1) * LANES)
+            base = i * block + t * LANES
+            khat = _decode_tile(
+                kpack_ref[0], k_lo[:, sl], None if k_hi is None else k_hi[:, sl],
+                d_m, packed,
+            )
+            s = jax.lax.dot_general(
+                q, khat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < n_codes, s, NEG_INF)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(pos < n_codes, p, 0.0)
+            l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            vhat = _decode_tile(
+                vpack_ref[0], v_lo[:, sl], None if v_hi is None else v_hi[:, sl],
+                d_m, packed,
+            )
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vhat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] = acc_ref[:] * alpha + pv
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == nb - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        m = m_ref[:, :1]
+        safe_l = jnp.maximum(l, 1e-30)
+        out_ref[0, 0] = acc_ref[:] / safe_l
+        lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "n_bucket", "interpret", "packed")
+)
+def pq_codes_attention_stacked(
+    q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
+    key_codes: jax.Array,  # (L, bs, nh_k, M, N) uint8 — FULL stacked arena
+    value_codes: jax.Array,
+    kpack: jax.Array,  # (L, d_m, M, 128) f32 — stacked tables
+    vpack: jax.Array,
+    layer: jax.Array,  # () int32
+    n_codes: jax.Array,  # () int32
+    *,
+    block: int = 4096,
+    n_bucket: int | None = None,
+    interpret: bool | None = None,
+    packed: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """pq_codes_attention over one layer of a STACKED cache, with the layer
+    chosen by a scalar-prefetched index. This exists because slicing the
+    layer out of the stacked arena in XLA would materialize a copy of the
+    whole layer per decode step; here the kernel's BlockSpec index maps read
+    blocks of layer `layer` straight from HBM. Used by the carry-threaded
+    model scan (models/llama.py)."""
+    bs, nh_k, G, d = q.shape
+    L, _, _, M, N_max = key_codes.shape
+    d_m = kpack.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if n_bucket is None:
+        n_bucket = N_max
+    n_bucket = min(n_bucket, N_max)
+    block = min(block, n_bucket)
+    if block % LANES != 0:
+        raise ValueError(f"block {block} must be a multiple of {LANES}")
+    if n_bucket % block != 0:
+        raise ValueError(f"bucket {n_bucket} not a multiple of block {block}")
+    nb = n_bucket // block
+
+    kernel = functools.partial(
+        _pq_attn_kernel_stacked, block=block, d_m=d_m, packed=packed
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bs, nh_k, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, nc: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, M, block), lambda b, h, i, li, nc: (li[0], b, h, 0, i)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, M, block), lambda b, h, i, li, nc: (li[0], b, h, 0, i)
+            ),
+            pl.BlockSpec(
+                (1,) + kpack.shape[1:], lambda b, h, i, li, nc: (li[0], 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1,) + vpack.shape[1:], lambda b, h, i, li, nc: (li[0], 0, 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nh_k, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        layer.reshape(1).astype(jnp.int32),
+        n_codes.reshape(1).astype(jnp.int32),
+        q, key_codes, value_codes, kpack, vpack,
+    )
+    return out, lse[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
+def pq_paged_attention_stacked(
+    q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
+    key_pool: jax.Array,  # (L, n_pages+1, nh_k, M, page_size) uint8 — FULL stack
+    value_pool: jax.Array,
+    kpack: jax.Array,  # (L, d_m, M, 128) f32
+    vpack: jax.Array,
+    layer: jax.Array,  # () int32
+    page_table: jax.Array,  # (bs, P_max) int32, -1 = unallocated
+    n_codes: jax.Array,  # (bs,) int32 per-sequence
+    *,
+    interpret: bool | None = None,
+    packed: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """pq_paged_attention over one layer of the stacked page pools, the
+    layer selected via scalar prefetch (same rationale as
+    pq_codes_attention_stacked: no layer-slice copies in the decode loop)."""
+    bs, nh_k, G, d = q.shape
+    L, n_pages_p1, _, M, page_size = key_pool.shape
+    P_max = page_table.shape[1]
+    d_m = kpack.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    kernel = functools.partial(
+        _pq_paged_attn_kernel_stacked, page_size=page_size, d_m=d_m, packed=packed
+    )
+    pt = jnp.maximum(page_table, 0).astype(jnp.int32)
+
+    def codes_map(b, h, i, li, pt, nc):
+        return (li[0], pt[b, i], h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bs, nh_k, P_max),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, M, page_size), codes_map),
+            pl.BlockSpec((1, 1, 1, M, page_size), codes_map),
+            pl.BlockSpec(
+                (1,) + kpack.shape[1:], lambda b, h, i, li, pt, nc: (li[0], 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1,) + vpack.shape[1:], lambda b, h, i, li, pt, nc: (li[0], 0, 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nh_k, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        layer.reshape(1).astype(jnp.int32),
+        pt,
+        n_codes.astype(jnp.int32),
+        q, key_pool, value_pool, kpack, vpack,
+    )
+    return out, lse[..., 0]
+
+
+def _pq_paged_attn_kernel_stacked(
+    li_ref,  # (1,) layer index (consumed by the index maps)
+    pt_ref,  # (bs, P_max) page table
+    nc_ref,  # (bs,) per-sequence valid codes
+    q_ref,  # (1, 1, GROUP_PAD, d)
+    kc_ref,  # (1, 1, 1, M, page_size) uint8
+    vc_ref,
+    kpack_ref,  # (1, d_m, M, 128) f32
+    vpack_ref,
+    out_ref,
+    lse_ref,
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    page_size: int,
+    d_m: int,
+    packed: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    nb = pl.num_programs(2)
+    n_codes = nc_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(i * page_size < n_codes)
+    def _compute():
+        q = q_ref[0, 0]
+        k_lo, k_hi = _hoist_codes(kc_ref[0, 0, 0], packed)
+        v_lo, v_hi = _hoist_codes(vc_ref[0, 0, 0], packed)
+        for t in range(page_size // LANES):
+            sl = slice(t * LANES, (t + 1) * LANES)
+            base = i * page_size + t * LANES
+            khat = _decode_tile(
+                kpack_ref[0], k_lo[:, sl], None if k_hi is None else k_hi[:, sl],
+                d_m, packed,
+            )
+            s = jax.lax.dot_general(
+                q, khat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < n_codes, s, NEG_INF)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(pos < n_codes, p, 0.0)
+            l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            vhat = _decode_tile(
+                vpack_ref[0], v_lo[:, sl], None if v_hi is None else v_hi[:, sl],
+                d_m, packed,
+            )
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vhat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] = acc_ref[:] * alpha + pv
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == nb - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        m = m_ref[:, :1]
+        safe_l = jnp.maximum(l, 1e-30)
+        out_ref[0, 0] = acc_ref[:] / safe_l
+        lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])

@@ -70,8 +70,10 @@ def pq_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
         "value_codes": s(None, "dp", "tp", None, "sp"),
         "key_residual": s(None, "dp", "tp", None, None),
         "value_residual": s(None, "dp", "tp", None, None),
-        "n_codes": s(),
-        "r": s(),
+        "key_residual_codes": s(None, "dp", "tp", None, None),
+        "value_residual_codes": s(None, "dp", "tp", None, None),
+        "n_codes": s(None),
+        "r": s(None),
     }
 
 

@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from million_tpu.ops.pq_attention_pallas import pq_codes_attention
+from million_tpu.ops.pq_attention_pallas import (
+    pq_codes_attention,
+    pq_codes_attention_stacked,
+)
 
 
 def sharded_pq_codes_attention(
@@ -80,3 +83,60 @@ def sharded_pq_codes_attention(
         check_vma=False,
     )
     return shmap(q, key_codes, value_codes, kpack, vpack, n_codes.reshape(1))
+
+
+def sharded_pq_codes_attention_stacked(
+    mesh: Mesh,
+    q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
+    key_codes: jax.Array,  # (L, bs, nh_k, M, N) uint8, N sharded over sp
+    value_codes: jax.Array,
+    kpack: jax.Array,  # (L, d_m, M, 128) f32, replicated
+    vpack: jax.Array,
+    layer: jax.Array,  # () int32
+    n_codes: jax.Array,  # () int32 — GLOBAL valid token count
+    *,
+    block: int = 4096,
+    packed: bool = True,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stacked-arena version of sharded_pq_codes_attention: one layer of the
+    (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards."""
+    sp = mesh.shape["sp"]
+    N = key_codes.shape[4]
+    if N % sp != 0:
+        raise ValueError(f"arena length {N} not divisible by sp={sp}")
+    n_local = N // sp
+
+    def local_fn(q, kc, vc, kp, vp, li, nc):
+        i = jax.lax.axis_index("sp")
+        local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
+        out, lse = pq_codes_attention_stacked(
+            q, kc, vc, kp, vp, li[0], local_valid,
+            block=min(block, n_local), packed=packed, interpret=interpret,
+        )
+        mx = jax.lax.pmax(lse, "sp")
+        w = jnp.exp(lse - mx)
+        num = jax.lax.psum(out * w[..., None], "sp")
+        den = jax.lax.psum(w, "sp")
+        merged = num / jnp.maximum(den, 1e-30)[..., None]
+        return merged, mx + jnp.log(jnp.maximum(den, 1e-30))
+
+    shmap = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("dp", "tp", None, None),
+            P(None, "dp", "tp", None, "sp"),
+            P(None, "dp", "tp", None, "sp"),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=(P("dp", "tp", None, None), P("dp", "tp", None)),
+        check_vma=False,
+    )
+    return shmap(
+        q, key_codes, value_codes, kpack, vpack,
+        layer.reshape(1), n_codes.reshape(1),
+    )

@@ -55,8 +55,9 @@ def generate(
         lt = cache["key_residual"].shape[-2]
         # Prefill writes all prompt tokens as codes; decode flushes whole
         # Lt-sized residual windows, so the arena high-water mark is
-        # n_prompt + Lt * floor((max_new - 1) / Lt).
-        peak_codes = n_prompt + lt * ((max(max_new_tokens, 1) - 1) // lt)
+        # n_prompt + Lt * floor((max_new - 1) / Lt) — plus Lt headroom for
+        # the decode path's unconditional window mirror (pq_cache.decode_update).
+        peak_codes = n_prompt + lt * ((max(max_new_tokens, 1) - 1) // lt) + lt
         if peak_codes > n_max:
             raise ValueError(
                 f"prompt({n_prompt}) + max_new_tokens({max_new_tokens}) would "

@@ -94,8 +94,9 @@ class Scheduler:
                 return
             req = self.waiting[0]
             n = len(req.prompt)
-            # pages for prompt + all future flushes of this request
-            worst = n + req.max_new_tokens
+            # pages for prompt + all future flushes + Lt headroom for the
+            # decode path's unconditional window mirror
+            worst = n + req.max_new_tokens + self.pcfg.Lt
             need = self._pages_for(worst)
             free_pages = self.pcfg.n_pages - int(np.asarray(self.state["used"]).sum())
             if need > min(free_pages, self.pcfg.pages_per_seq):
