@@ -69,15 +69,17 @@ def measure_pq(cfg, params, bs, iters):
         bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128, N_max=CTX
     )
 
-    code_shape = (L, bs, cfg.num_kv_heads, M, CTX)
+    code_shape = (L, bs, cfg.num_kv_heads, M, CTX // 4)  # packed int32 words
 
     @jax.jit
     def make_codes(seed):
-        # random codes as a 4K-token tile repeated: kernel cost is
-        # data-independent, and GB-scale eager uint8 RNG upsets some
-        # compile backends. Built directly (no zero-arena predecessor) to
-        # avoid a 2x transient at these sizes.
-        tile = jax.random.bits(jax.random.PRNGKey(seed), (*code_shape[:-1], 4096), jnp.uint8)
+        # random code words as a 1K-word tile repeated: kernel cost is
+        # data-independent, and GB-scale eager RNG upsets some compile
+        # backends. Built directly (no zero-arena predecessor) to avoid a
+        # 2x transient at these sizes.
+        tile = jax.random.bits(
+            jax.random.PRNGKey(seed), (*code_shape[:-1], 1024), jnp.uint32
+        ).astype(jnp.int32)
         return jnp.tile(tile, (1,) * (len(code_shape) - 1) + (CTX // 4096,))
 
     def make_state():
@@ -91,10 +93,10 @@ def measure_pq(cfg, params, bs, iters):
                 (L, bs, cfg.num_kv_heads, pq_cfg.Lt, cfg.head_dim), jnp.bfloat16
             ),
             "key_residual_codes": jnp.zeros(
-                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt), jnp.uint8
+                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt // 4), jnp.int32
             ),
             "value_residual_codes": jnp.zeros(
-                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt), jnp.uint8
+                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt // 4), jnp.int32
             ),
             "n_codes": jnp.full((L,), CTX - 512, jnp.int32),
             "r": jnp.zeros((L,), jnp.int32),

@@ -17,7 +17,8 @@ import numpy as np
 
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
-    pack_centroid_tables,
+    pack_codes,
+    pack_decode_table,
     pq_codes_attention,
 )
 from million_tpu.pq.ops import pq_decode
@@ -31,7 +32,7 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--M", type=int, default=64)
     ap.add_argument("--nbits", type=int, default=8, help="bits per code (C=2^nbits)")
-    ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--parity-n", type=int, default=2048)
     args = ap.parse_args()
@@ -43,7 +44,7 @@ def main():
 
     kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
     vcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
-    kpack, vpack = pack_centroid_tables(kcent), pack_centroid_tables(vcent)
+    kpack, vpack = pack_decode_table(kcent), pack_decode_table(vcent)
 
     # ---- parity at a small length --------------------------------------
     np_ = args.parity_n
@@ -53,8 +54,8 @@ def main():
     n_codes = np_ - 100
     out, lse = pq_codes_attention(
         jnp.asarray(q * scale, jnp.bfloat16),
-        jnp.asarray(kc), jnp.asarray(vc), kpack, vpack,
-        jnp.asarray(n_codes, jnp.int32), block=args.block, packed=packed,
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)), kpack, vpack,
+        jnp.asarray(n_codes, jnp.int32), block=min(args.block, np_), packed=packed,
     )
     out.block_until_ready()
 
@@ -74,8 +75,8 @@ def main():
     from million_tpu.utils.timing import chained_bench
 
     N = args.n
-    kc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
-    vc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
+    kc = pack_codes(jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8))
+    vc = pack_codes(jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8))
     qb = jnp.asarray(q * scale, jnp.bfloat16)
     ncd = jnp.asarray(N, jnp.int32)
 

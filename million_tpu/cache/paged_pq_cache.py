@@ -16,9 +16,11 @@ static shapes and the serving scheduler:
     batch, head) page lists (dynamic_paged_pq_utils.py:446-456) purely
     because torch tensors can't be stacked per layer; ours can.
 
-Pool layout per layer: (n_pages, nh_k, M, page_size) uint8, token-minor —
-the same transposed layout the fused kernel gathers from, so a page is
-directly a kernel block.
+Pool layout per layer: (n_pages, nh_k, M, page_size // 4) int32, token-minor
+and WORD-PACKED (4 uint8 codes per int32 — see ops/pq_attention_pallas.py for
+why Mosaic makes bytes-at-rest/words-in-flight the right layout), the same
+transposed layout the fused kernel gathers from, so a page is directly a
+kernel block.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from million_tpu.pq.ops import pq_encode
+from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 
 PagedState = Dict[str, jax.Array]
 
@@ -61,21 +64,21 @@ def init_paged_state(cfg: PagedPQCacheConfig) -> PagedState:
         # unallocated table entries) are routed there instead of corrupting
         # a real page.
         "key_pool": jnp.zeros(
-            (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size), jnp.uint8
+            (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size // WORD), jnp.int32
         ),
         "value_pool": jnp.zeros(
-            (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size), jnp.uint8
+            (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size // WORD), jnp.int32
         ),
         "used": jnp.zeros((cfg.n_pages,), jnp.int32),  # 0 free, 1 used
         "page_table": jnp.full((cfg.max_seqs, cfg.pages_per_seq), -1, jnp.int32),
         "seq_n_codes": jnp.zeros((cfg.max_seqs,), jnp.int32),
         "seq_n_pages": jnp.zeros((cfg.max_seqs,), jnp.int32),
-        # incremental codes of each slot's current residual window
+        # incremental word-packed codes of each slot's residual window
         "key_residual_codes": jnp.zeros(
-            (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8
+            (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
         ),
         "value_residual_codes": jnp.zeros(
-            (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8
+            (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
         ),
         # exact residual windows per sequence
         "key_residual": jnp.zeros(
@@ -137,26 +140,29 @@ def write_codes_to_pages(
     cfg: PagedPQCacheConfig,
 ) -> PagedState:
     """Append n tokens of codes into seq_id's pages (the paged
-    flush_to_pages, dynamic_paged_pq_utils.py:549-666). Arbitrary `start`
-    alignment: each token scatters to (page_table[(start+t)//ps],
-    (start+t)%ps). The scatter is per-flush / per-prefill-chunk, not in the
-    decode hot loop, so XLA scatter throughput is fine here."""
+    flush_to_pages, dynamic_paged_pq_utils.py:549-666). `start` and n must
+    be word-aligned (multiples of 4): each packed word scatters to
+    (page_table[word // ps_w], word % ps_w). The scatter is per-flush /
+    per-prefill-chunk, not in the decode hot loop, so XLA scatter throughput
+    is fine here."""
     n = kc.shape[-1]
-    ps = cfg.page_size
+    if n % WORD:
+        raise ValueError(f"paged code append must be word-aligned (n={n})")
+    ps_w = cfg.page_size // WORD
     start = state["seq_n_codes"][seq_id]
 
-    t = start + jnp.arange(n)
-    pages = state["page_table"][seq_id, t // ps]  # (n,)
-    offs = t % ps  # (n,)
+    t_w = start // WORD + jnp.arange(n // WORD)
+    pages = state["page_table"][seq_id, t_w // ps_w]  # (nw,)
+    offs = t_w % ps_w  # (nw,)
     # clamp unallocated (-1) pages to 0; callers must allocate first —
     # n_codes bookkeeping stays correct either way.
     pages = jnp.maximum(pages, 0)
 
     def scatter(pool, codes):
-        # pool (L, P, H, M, ps); codes (L, H, M, n). The two advanced
+        # pool (L, P, H, M, ps_w); words (L, H, M, nw). The two advanced
         # indices (pages, offs) are separated by slices, so their broadcast
-        # dim moves to the FRONT: target shape (n, L, H, M).
-        vals = codes.transpose(3, 0, 1, 2)
+        # dim moves to the FRONT: target shape (nw, L, H, M).
+        vals = pack_codes(codes).transpose(3, 0, 1, 2)
         return pool.at[:, pages, :, :, offs].set(vals)
 
     new = dict(state)
@@ -180,9 +186,33 @@ def paged_prefill(
 
     Pages must already be allocated (allocate_pages with
     cdiv(n, page_size)); the reference's bulk-allocation prefill is
-    dynamic_paged_pq_utils.py:668-854."""
+    dynamic_paged_pq_utils.py:668-854. The word-aligned prefix goes to
+    pages; a ragged tail of n % 4 tokens goes into the slot's exact
+    residual window."""
+    n = k.shape[2]
+    n4 = (n // WORD) * WORD
+    tail = n - n4
     kc = jnp.swapaxes(jax.vmap(pq_encode, in_axes=(0, 0, None))(k, key_cents, layout), -1, -2)
     vc = jnp.swapaxes(jax.vmap(pq_encode, in_axes=(0, 0, None))(v, value_cents, layout), -1, -2)
-    new = write_codes_to_pages(state, seq_id, kc, vc, cfg)
+    new = write_codes_to_pages(state, seq_id, kc[..., :n4], vc[..., :n4], cfg)
+    if tail:
+        kt = k[:, :, n4:].astype(new["key_residual"].dtype)  # (L, nh_k, tail, d)
+        vt = v[:, :, n4:].astype(new["value_residual"].dtype)
+        new["key_residual"] = new["key_residual"].at[:, seq_id, :, :tail].set(kt)
+        new["value_residual"] = new["value_residual"].at[:, seq_id, :, :tail].set(vt)
+        # pack the tail codes into the window-code words (bytes 0..tail-1)
+        def pack_tail(codes_tail):  # (L, nh_k, M, tail)
+            pad = jnp.zeros(codes_tail.shape[:-1] + (WORD - tail,), codes_tail.dtype)
+            return pack_codes(jnp.concatenate([codes_tail, pad], axis=-1))  # (..., 1)
+        Ltw = new["key_residual_codes"].shape[-1]
+        krc0 = pack_tail(kc[..., n4:])
+        vrc0 = pack_tail(vc[..., n4:])
+        new["key_residual_codes"] = new["key_residual_codes"].at[
+            :, seq_id, :, :, :1
+        ].set(krc0)
+        new["value_residual_codes"] = new["value_residual_codes"].at[
+            :, seq_id, :, :, :1
+        ].set(vrc0)
+        new["seq_r"] = new["seq_r"].at[seq_id].set(tail)
     new["seq_active"] = new["seq_active"].at[seq_id].set(1)
     return new

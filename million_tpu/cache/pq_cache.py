@@ -7,23 +7,31 @@ results.jsonl:13), and hands state around through a Singleton. Here the cache
 is an explicit pytree of statically-shaped arrays threaded through jitted
 steps, so XLA donates and updates buffers in place:
 
-  key_codes / value_codes : (bs, nh_k, M, N_max) uint8 — preallocated code
-      arena written by dynamic_update_slice (no realloc, the "paged" goal of
-      the reference's PageManager achieved by a flat static arena). The
-      layout is TRANSPOSED (subspace-major, token-minor): the Pallas decode
-      kernel gathers per-subspace rows with 128-token lanes
-      (ops/pq_attention_pallas.py), the TPU-native analogue of the
-      reference's transposed-V page experiments (paged_pq_utils.py).
+  key_codes / value_codes : (bs, nh_k, M, N_max//4) int32 — preallocated
+      code arena written by dynamic_update_slice (no realloc: the "paged"
+      goal of the reference's PageManager achieved by a flat static arena).
+      The layout is TRANSPOSED (subspace-major, token-minor) and WORD-PACKED
+      (4 uint8 codes per int32, byte t of word w = token 4w+t): the Pallas
+      decode kernel extracts bytes with shift/and because Mosaic's uint8
+      vector cast is an order of magnitude slower than i32 bit ops
+      (ops/pq_attention_pallas.py). The transposed layout itself is the
+      TPU-native analogue of the reference's transposed-V page experiments
+      (paged_pq_utils.py).
   key_residual / value_residual : (bs, nh_k, Lt, d) — recent tokens exact,
       in the compute dtype. Matches the reference's fp16 residual window
       (pq_utils.py:110, 127-135).
+  key_residual_codes / value_residual_codes : (bs, nh_k, M, Lt//4) int32 —
+      incrementally-built codes of the current residual window, mirrored
+      into the arena every step (see decode_update).
   n_codes, r : int32 scalars — quantized-token and residual counts
       (reference: seen_tokens / residualed counters, pq_utils.py:111-113).
 
-Invariant (reference decoding, pq_utils.py:281-311): total visible tokens =
-n_codes + r; when r reaches Lt the whole residual window is encoded and
-appended to the code arena in one shot, then the window restarts. Layer
-states are stacked on a leading axis and scanned by the model.
+Invariants: total visible tokens = n_codes + r; n_codes is ALWAYS a multiple
+of 4 (word alignment — prefill writes multiples of 4 and routes ragged tails
+into the residual window; flushes advance by Lt). When r reaches Lt the whole
+residual window's codes are already in the arena (the per-step mirror), so
+the flush is just a counter bump. Layer states are stacked on a leading axis
+and scanned by the model.
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from million_tpu.pq.ops import pq_encode
+from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 
 PQCacheLayerState = Dict[str, jax.Array]
 
@@ -50,6 +59,10 @@ class PQCacheConfig:
     N_max: int = 32768  # code arena capacity (quantized tokens)
     dtype: Any = jnp.bfloat16
 
+    def __post_init__(self):
+        if self.N_max % WORD or self.Lt % WORD:
+            raise ValueError("N_max and Lt must be multiples of 4 (word packing)")
+
     @property
     def max_tokens(self) -> int:
         return self.N_max + self.Lt
@@ -58,13 +71,17 @@ class PQCacheConfig:
 def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
     """One layer's empty cache (reference init_cache, pq_utils.py:115-138)."""
     return {
-        "key_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max), jnp.uint8),
-        "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max), jnp.uint8),
+        "key_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // WORD), jnp.int32),
+        "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // WORD), jnp.int32),
         "key_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "value_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
-        # incremental codes of the current residual window (see decode_update)
-        "key_residual_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8),
-        "value_residual_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.Lt), jnp.uint8),
+        # incremental word-packed codes of the current residual window
+        "key_residual_codes": jnp.zeros(
+            (cfg.bs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
+        ),
+        "value_residual_codes": jnp.zeros(
+            (cfg.bs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
+        ),
         "n_codes": jnp.zeros((), jnp.int32),
         "r": jnp.zeros((), jnp.int32),
     }
@@ -76,6 +93,23 @@ def init_state(cfg: PQCacheConfig, num_layers: int) -> PQCacheLayerState:
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (num_layers, *x.shape)).copy(), one)
 
 
+def set_word_byte(words: jax.Array, token_idx: jax.Array, code: jax.Array) -> jax.Array:
+    """Write one token's codes into the word-packed buffer.
+
+    words (..., M, nw) int32; token_idx () int32; code (..., M) uint8/int.
+    Returns words with byte (token_idx % 4) of word (token_idx // 4) set.
+    """
+    w_idx = token_idx // WORD
+    shift = (token_idx % WORD) * 8
+    old = jax.lax.dynamic_index_in_dim(words, w_idx, axis=-1, keepdims=True)
+    oldu = old.astype(jnp.uint32)
+    mask = jnp.uint32(0xFF) << shift.astype(jnp.uint32)
+    new = (oldu & ~mask) | (code.astype(jnp.uint32)[..., None] << shift.astype(jnp.uint32))
+    return jax.lax.dynamic_update_index_in_dim(
+        words, new.astype(jnp.int32)[..., 0], w_idx, axis=-1
+    )
+
+
 def prefill_update(
     state: PQCacheLayerState,
     k: jax.Array,  # (bs, nh_k, n, d)
@@ -85,21 +119,45 @@ def prefill_update(
     layout: str = "strided",
 ) -> PQCacheLayerState:
     """Quantize-on-append of a full prefill chunk (reference prefill,
-    pq_utils.py:222-247): every prefill token is encoded; the residual window
-    stays empty. Chunk length is static under jit; the write offset n_codes
-    is dynamic (supports chunked prefill)."""
+    pq_utils.py:222-247). The aligned prefix (4-token multiples) is encoded
+    into the word arena; a ragged tail of n % 4 tokens goes into the exact
+    residual window (slightly better than the reference, which quantizes
+    everything). Chunk length is static under jit; the write offset n_codes
+    is dynamic (supports chunked prefill while n_codes stays 4-aligned)."""
     n = k.shape[2]
-    kc = jnp.swapaxes(pq_encode(k, key_cents, layout), -1, -2)  # (bs,nh_k,M,n)
-    vc = jnp.swapaxes(pq_encode(v, value_cents, layout), -1, -2)
-    start = state["n_codes"]
+    n4 = (n // WORD) * WORD
+    tail = n - n4
     new = dict(state)
-    new["key_codes"] = jax.lax.dynamic_update_slice(
-        state["key_codes"], kc, (0, 0, 0, start)
-    )
-    new["value_codes"] = jax.lax.dynamic_update_slice(
-        state["value_codes"], vc, (0, 0, 0, start)
-    )
-    new["n_codes"] = start + n
+    if n4:
+        kc = jnp.swapaxes(pq_encode(k[:, :, :n4], key_cents, layout), -1, -2)
+        vc = jnp.swapaxes(pq_encode(v[:, :, :n4], value_cents, layout), -1, -2)
+        start_w = state["n_codes"] // WORD
+        new["key_codes"] = jax.lax.dynamic_update_slice(
+            state["key_codes"], pack_codes(kc), (0, 0, 0, start_w)
+        )
+        new["value_codes"] = jax.lax.dynamic_update_slice(
+            state["value_codes"], pack_codes(vc), (0, 0, 0, start_w)
+        )
+        new["n_codes"] = state["n_codes"] + n4
+    if tail:
+        kt = k[:, :, n4:].astype(state["key_residual"].dtype)
+        vt = v[:, :, n4:].astype(state["value_residual"].dtype)
+        new["key_residual"] = jax.lax.dynamic_update_slice(
+            new["key_residual"], kt, (0, 0, state["r"], 0)
+        )
+        new["value_residual"] = jax.lax.dynamic_update_slice(
+            new["value_residual"], vt, (0, 0, state["r"], 0)
+        )
+        kct = pq_encode(k[:, :, n4:], key_cents, layout)  # (bs, nh_k, tail, M)
+        vct = pq_encode(v[:, :, n4:], value_cents, layout)
+        for t in range(tail):
+            new["key_residual_codes"] = set_word_byte(
+                new["key_residual_codes"], state["r"] + t, kct[:, :, t]
+            )
+            new["value_residual_codes"] = set_word_byte(
+                new["value_residual_codes"], state["r"] + t, vct[:, :, t]
+            )
+        new["r"] = state["r"] + tail
     return new
 
 
@@ -113,34 +171,28 @@ def decode_update(
 ) -> PQCacheLayerState:
     """Append one decode token (reference decoding, pq_utils.py:281-311).
 
-    If the residual window is full, flush it: encode all Lt residual tokens
-    and append their codes to the arena (the reference's
-    sa_encode_4d_keops + torch.cat at pq_utils.py:288-302, without the cat
-    realloc), then restart the window. Finally write the new token into the
-    residual at position r.
+    Flush without lax.cond and without re-encoding: every decode step encodes
+    ONLY its one token into the small word-packed window-code buffer, and
+    that (nh_k, M, Lt/4) buffer is unconditionally copied into the arena at
+    n_codes. While the window is partial the copied span lies beyond the
+    valid region (attention masks by n_codes) so it is harmless; when the
+    window fills, "flush" is just the counter bump. Rationale: a lax.cond
+    over the multi-GB arena defeats XLA's in-place buffer aliasing (the
+    arena would be copied every token — the reference's torch.cat pathology
+    reborn), and re-encoding the whole window per step materializes a
+    (nh_k, Lt, M, C) distance tensor; the incremental scheme costs one
+    1-token encode plus a ~25 KB write per layer per step.
     """
     cfg_Lt = state["key_residual"].shape[2]
 
-    # Flush without lax.cond and without re-encoding: every decode step
-    # encodes ONLY its one token into a small per-window code buffer
-    # (key/value_residual_codes), and that tiny (nh_k, M, Lt) buffer is
-    # unconditionally copied into the arena at n_codes. While the window is
-    # partial the copied span lies beyond the valid region (attention masks
-    # by n_codes) so it is harmless; when the window fills, "flush" is just
-    # the counter bump. Rationale: a lax.cond over the multi-GB arena
-    # defeats XLA's in-place buffer aliasing (the arena would be copied
-    # every token — the reference's torch.cat pathology reborn), and
-    # re-encoding the whole window per step materializes a
-    # (nh_k, Lt, M, C) distance tensor; the incremental scheme costs one
-    # 1-token encode plus a ~100 KB write per layer per step.
     do_restart = state["r"] >= cfg_Lt
     state = dict(state)
     state["n_codes"] = jnp.where(do_restart, state["n_codes"] + cfg_Lt, state["n_codes"])
     state["r"] = jnp.where(do_restart, 0, state["r"])
 
     r = state["r"]
-    kc1 = jnp.swapaxes(pq_encode(k, key_cents, layout), -1, -2)  # (bs,nh_k,M,1)
-    vc1 = jnp.swapaxes(pq_encode(v, value_cents, layout), -1, -2)
+    kc1 = pq_encode(k, key_cents, layout)[:, :, 0]  # (bs, nh_k, M)
+    vc1 = pq_encode(v, value_cents, layout)[:, :, 0]
     new = dict(state)
     new["key_residual"] = jax.lax.dynamic_update_slice(
         state["key_residual"], k.astype(state["key_residual"].dtype), (0, 0, r, 0)
@@ -148,20 +200,16 @@ def decode_update(
     new["value_residual"] = jax.lax.dynamic_update_slice(
         state["value_residual"], v.astype(state["value_residual"].dtype), (0, 0, r, 0)
     )
-    new["key_residual_codes"] = jax.lax.dynamic_update_slice(
-        state["key_residual_codes"], kc1, (0, 0, 0, r)
-    )
-    new["value_residual_codes"] = jax.lax.dynamic_update_slice(
-        state["value_residual_codes"], vc1, (0, 0, 0, r)
-    )
+    new["key_residual_codes"] = set_word_byte(state["key_residual_codes"], r, kc1)
+    new["value_residual_codes"] = set_word_byte(state["value_residual_codes"], r, vc1)
     new["r"] = r + 1
     # unconditional small copy of the window's codes into the arena
-    start = state["n_codes"]
+    start_w = state["n_codes"] // 4
     new["key_codes"] = jax.lax.dynamic_update_slice(
-        state["key_codes"], new["key_residual_codes"], (0, 0, 0, start)
+        state["key_codes"], new["key_residual_codes"], (0, 0, 0, start_w)
     )
     new["value_codes"] = jax.lax.dynamic_update_slice(
-        state["value_codes"], new["value_residual_codes"], (0, 0, 0, start)
+        state["value_codes"], new["value_residual_codes"], (0, 0, 0, start_w)
     )
     return new
 

@@ -31,6 +31,7 @@ from million_tpu.cache.pq_cache import (
     PQCacheLayerState,
     prefill_update,
     decode_update,
+    set_word_byte,
 )
 from million_tpu.cache.dense_cache import dense_prefill_update
 from million_tpu.ops.pq_attention_ref import (
@@ -42,7 +43,9 @@ from million_tpu.ops.pq_attention_ref import (
 )
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
-    pack_centroid_tables,
+    WORD,
+    pack_codes,
+    pack_decode_table,
     pq_codes_attention,
 )
 from million_tpu.pq.ops import pq_encode, pq_decode
@@ -51,15 +54,15 @@ SUBSPACE_LAYOUT = "strided"  # see pq.ops.subspace_view — the TPU-native split
 
 
 def build_tables(cents):
-    """Precompute per-layer Pallas gather tables from stacked centroids.
+    """Precompute per-layer Pallas decode tables from stacked centroids.
 
     cents {"key": (L, M, C, d_m), "value": ...} ->
-    {"key": ..., "value": ..., "kpack": (L, d_m, M, 128), "vpack": ...}
+    {"key": ..., "value": ..., "kpack": (L, d=M*d_m, 128), "vpack": ...}
     """
     return {
         **cents,
-        "kpack": jax.vmap(pack_centroid_tables)(cents["key"]),
-        "vpack": jax.vmap(pack_centroid_tables)(cents["value"]),
+        "kpack": jax.vmap(pack_decode_table)(cents["key"]),
+        "vpack": jax.vmap(pack_decode_table)(cents["value"]),
     }
 
 Params = Dict[str, Any]
@@ -262,16 +265,48 @@ def prefill(
         if mode == "pq":
             kcent = jax.lax.dynamic_index_in_dim(cents["key"], i, 0, keepdims=False)
             vcent = jax.lax.dynamic_index_in_dim(cents["value"], i, 0, keepdims=False)
+            # aligned prefix -> word arena; ragged tail -> exact residual
+            n4 = (n // WORD) * WORD
+            tail = n - n4
             kc = jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2)
             vc = jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2)
-            start = cache["n_codes"][i]
-            cache["key_codes"] = jax.lax.dynamic_update_slice(
-                cache["key_codes"], kc[None], (i, 0, 0, 0, start)
-            )
-            cache["value_codes"] = jax.lax.dynamic_update_slice(
-                cache["value_codes"], vc[None], (i, 0, 0, 0, start)
-            )
-            cache["n_codes"] = cache["n_codes"].at[i].add(n)
+            if n4:
+                start_w = cache["n_codes"][i] // WORD
+                cache["key_codes"] = jax.lax.dynamic_update_slice(
+                    cache["key_codes"], pack_codes(kc[..., :n4])[None],
+                    (i, 0, 0, 0, start_w),
+                )
+                cache["value_codes"] = jax.lax.dynamic_update_slice(
+                    cache["value_codes"], pack_codes(vc[..., :n4])[None],
+                    (i, 0, 0, 0, start_w),
+                )
+                cache["n_codes"] = cache["n_codes"].at[i].add(n4)
+            if tail:
+                r0 = cache["r"][i]
+                kt = k[:, :, n4:].astype(cache["key_residual"].dtype)
+                vt = v[:, :, n4:].astype(cache["value_residual"].dtype)
+                cache["key_residual"] = jax.lax.dynamic_update_slice(
+                    cache["key_residual"], kt[None], (i, 0, 0, r0, 0)
+                )
+                cache["value_residual"] = jax.lax.dynamic_update_slice(
+                    cache["value_residual"], vt[None], (i, 0, 0, r0, 0)
+                )
+                krc = jax.lax.dynamic_index_in_dim(
+                    cache["key_residual_codes"], i, 0, keepdims=False
+                )
+                vrc = jax.lax.dynamic_index_in_dim(
+                    cache["value_residual_codes"], i, 0, keepdims=False
+                )
+                for t in range(tail):
+                    krc = set_word_byte(krc, r0 + t, kc[..., n4 + t])
+                    vrc = set_word_byte(vrc, r0 + t, vc[..., n4 + t])
+                cache["key_residual_codes"] = jax.lax.dynamic_update_slice(
+                    cache["key_residual_codes"], krc[None], (i, 0, 0, 0, 0)
+                )
+                cache["value_residual_codes"] = jax.lax.dynamic_update_slice(
+                    cache["value_residual_codes"], vrc[None], (i, 0, 0, 0, 0)
+                )
+                cache["r"] = cache["r"].at[i].add(tail)
             if distort_recent:
                 k = pq_decode(
                     jnp.swapaxes(kc, -1, -2), kcent, SUBSPACE_LAYOUT
@@ -355,36 +390,51 @@ def decode_step(
             cache["value_residual"] = jax.lax.dynamic_update_slice(
                 cache["value_residual"], vd[None], (i, 0, 0, r, 0)
             )
-            kc1 = jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2)
-            vc1 = jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2)
+            kc1 = pq_encode(k, kcent, SUBSPACE_LAYOUT)[:, :, 0]  # (bs, nh_k, M)
+            vc1 = pq_encode(v, vcent, SUBSPACE_LAYOUT)[:, :, 0]
+            krc = set_word_byte(
+                jax.lax.dynamic_index_in_dim(
+                    cache["key_residual_codes"], i, 0, keepdims=False
+                ),
+                r,
+                kc1,
+            )
+            vrc = set_word_byte(
+                jax.lax.dynamic_index_in_dim(
+                    cache["value_residual_codes"], i, 0, keepdims=False
+                ),
+                r,
+                vc1,
+            )
             cache["key_residual_codes"] = jax.lax.dynamic_update_slice(
-                cache["key_residual_codes"], kc1[None], (i, 0, 0, 0, r)
+                cache["key_residual_codes"], krc[None], (i, 0, 0, 0, 0)
             )
             cache["value_residual_codes"] = jax.lax.dynamic_update_slice(
-                cache["value_residual_codes"], vc1[None], (i, 0, 0, 0, r)
+                cache["value_residual_codes"], vrc[None], (i, 0, 0, 0, 0)
             )
-            # mirror the window's codes into the arena at [start, start+Lt)
-            krc = jax.lax.dynamic_index_in_dim(
-                cache["key_residual_codes"], i, 0, keepdims=True
-            )
-            vrc = jax.lax.dynamic_index_in_dim(
-                cache["value_residual_codes"], i, 0, keepdims=True
-            )
+            # mirror the window's word-packed codes into the arena at
+            # words [start//4, start//4 + Lt//4)
             cache["key_codes"] = jax.lax.dynamic_update_slice(
-                cache["key_codes"], krc, (i, 0, 0, 0, start)
+                cache["key_codes"], krc[None], (i, 0, 0, 0, start // WORD)
             )
             cache["value_codes"] = jax.lax.dynamic_update_slice(
-                cache["value_codes"], vrc, (i, 0, 0, 0, start)
+                cache["value_codes"], vrc[None], (i, 0, 0, 0, start // WORD)
             )
             if mode == "pq_pallas":
                 attn = _pq_pallas_attention_stacked(
                     q[:, :, 0], cache, cents, i, cfg, mesh
                 )
             else:
+                from million_tpu.ops.pq_attention_pallas import unpack_codes
+
                 attn = pq_decode_attention_ref(
                     q[:, :, 0],
-                    jax.lax.dynamic_index_in_dim(cache["key_codes"], i, 0, False),
-                    jax.lax.dynamic_index_in_dim(cache["value_codes"], i, 0, False),
+                    unpack_codes(
+                        jax.lax.dynamic_index_in_dim(cache["key_codes"], i, 0, False)
+                    ),
+                    unpack_codes(
+                        jax.lax.dynamic_index_in_dim(cache["value_codes"], i, 0, False)
+                    ),
                     kcent,
                     vcent,
                     jax.lax.dynamic_index_in_dim(cache["key_residual"], i, 0, False),
@@ -443,9 +493,13 @@ def _pq_pallas_attention_stacked(q, cache, cents, layer_idx, cfg, mesh=None):
             sharded_pq_codes_attention_stacked,
         )
 
+        # interpret-mode detection must follow the MESH's devices (a CPU
+        # mesh can coexist with an accelerator default backend)
+        interp = True if mesh.devices.flat[0].platform == "cpu" else None
         out_c, lse_c = sharded_pq_codes_attention_stacked(
             mesh, q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"], layer_idx, n_codes, packed=C > 128,
+            interpret=interp,
         )
     else:
         out_c, lse_c = pq_codes_attention_stacked(
@@ -485,6 +539,7 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
     if mesh is not None:
         from million_tpu.parallel.sharded_decode import sharded_pq_codes_attention
 
+        interp = True if mesh.devices.flat[0].platform == "cpu" else None
         out_c, lse_c = sharded_pq_codes_attention(
             mesh,
             q_pad,
@@ -494,6 +549,7 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
             cents_l["vpack"],
             cache_l["n_codes"],
             packed=C > 128,
+            interpret=interp,
         )
     else:
         out_c, lse_c = pq_codes_attention(

@@ -109,30 +109,45 @@ def paged_decode_step(
         )
         kc1 = pq_encode(k1, kcent, SUBSPACE_LAYOUT)  # (S, nh_k, M)
         vc1 = pq_encode(v1, vcent, SUBSPACE_LAYOUT)
-        krc_new = krc.at[jnp.arange(S), :, :, wr].set(
-            jnp.where(active[:, None, None], kc1, krc[jnp.arange(S), :, :, wr])
-        )
-        vrc_new = vrc.at[jnp.arange(S), :, :, wr].set(
-            jnp.where(active[:, None, None], vc1, vrc[jnp.arange(S), :, :, wr])
-        )
 
-        # mirror every slot's window codes into its pages at
+        # set byte (wr % 4) of word (wr // 4) in each slot's window words
+        def set_slot_byte(words, code):  # words (S, H, M, Ltw); code (S, H, M)
+            w_idx = wr // 4  # (S,)
+            shift = ((wr % 4) * 8).astype(jnp.uint32)  # (S,)
+            old = jnp.take_along_axis(
+                words, w_idx[:, None, None, None], axis=-1
+            ).astype(jnp.uint32)  # (S, H, M, 1)
+            mask = (jnp.uint32(0xFF) << shift)[:, None, None, None]
+            newv = (old & ~mask) | (
+                code.astype(jnp.uint32)[..., None] << shift[:, None, None, None]
+            )
+            newv = jnp.where(active[:, None, None, None], newv, old)
+            return words.at[jnp.arange(S), :, :, w_idx].set(
+                newv.astype(jnp.int32)[..., 0]
+            )
+
+        krc_new = set_slot_byte(krc, kc1)
+        vrc_new = set_slot_byte(vrc, vc1)
+
+        # mirror every slot's window-code WORDS into its pages at
         # [n_codes_eff, n_codes_eff + Lt) — beyond the valid region until
         # the counters advance, so partial windows are harmless. Inactive /
         # unallocated slots scatter to the reserved scratch page.
-        t_idx = n_codes_eff[:, None] + jnp.arange(pcfg.Lt)[None]  # (S, Lt)
+        ps_w = pcfg.page_size // 4
+        Ltw = pcfg.Lt // 4
+        t_w = n_codes_eff[:, None] // 4 + jnp.arange(Ltw)[None]  # (S, Ltw)
         pages = jnp.take_along_axis(
             state["page_table"],
-            jnp.clip(t_idx // pcfg.page_size, 0, pcfg.pages_per_seq - 1),
+            jnp.clip(t_w // ps_w, 0, pcfg.pages_per_seq - 1),
             axis=1,
-        )  # (S, Lt)
-        offs = t_idx % pcfg.page_size
+        )  # (S, Ltw)
+        offs = t_w % ps_w
         scratch = st["key_pool"].shape[1] - 1  # last slab entry = scratch page
         pages = jnp.where((pages < 0) | ~active[:, None], scratch, pages)
 
         st = dict(st)
         # stacked-pool scatter at layer li: advanced indices (li, pages,
-        # offs) broadcast to (S, Lt) and move to the front -> (S, Lt, H, M)
+        # offs) broadcast to (S, Ltw) and move to the front -> (S, Ltw, H, M)
         st["key_pool"] = st["key_pool"].at[li, pages, :, :, offs].set(
             krc_new.transpose(0, 3, 1, 2)
         )
@@ -204,14 +219,19 @@ def paged_prefill_seq(
     scattered into the slot's (pre-allocated) pages. Returns (last-token
     logits (1, V), new state). The reference's prefill quantizes everything
     and leaves the residual empty (pq_utils.py:222-247); same here."""
+    from million_tpu.ops.pq_attention_pallas import pack_codes
+
     n = input_ids.shape[1]
+    n4 = (n // 4) * 4
+    tail = n - n4
     S = state["seq_r"].shape[0]
     pos = jnp.arange(n)
     x = params["embed"][input_ids[0]][None]  # (1, n, D)
 
-    t_idx = jnp.arange(n)
-    pages_row = jnp.maximum(state["page_table"][seq_id, t_idx // pcfg.page_size], 0)
-    offs = t_idx % pcfg.page_size
+    ps_w = pcfg.page_size // 4
+    t_w = jnp.arange(n4 // 4)
+    pages_row = jnp.maximum(state["page_table"][seq_id, t_w // ps_w], 0)
+    offs = t_w % ps_w
 
     def layer(carry, lp):
         x, st, li = carry
@@ -222,12 +242,28 @@ def paged_prefill_seq(
         kc = jnp.swapaxes(pq_encode(k[0], kcent, SUBSPACE_LAYOUT), -1, -2)
         vc = jnp.swapaxes(pq_encode(v[0], vcent, SUBSPACE_LAYOUT), -1, -2)
         st = dict(st)
-        st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(
-            kc.transpose(2, 0, 1)
-        )
-        st["value_pool"] = st["value_pool"].at[li, pages_row, :, :, offs].set(
-            vc.transpose(2, 0, 1)
-        )
+        if n4:
+            st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(
+                pack_codes(kc[..., :n4]).transpose(2, 0, 1)
+            )
+            st["value_pool"] = st["value_pool"].at[li, pages_row, :, :, offs].set(
+                pack_codes(vc[..., :n4]).transpose(2, 0, 1)
+            )
+        if tail:
+            # ragged tail -> exact residual window + its word-packed codes
+            kt = k[0, :, n4:].astype(st["key_residual"].dtype)  # (nh_k, tail, d)
+            vt = v[0, :, n4:].astype(st["value_residual"].dtype)
+            st["key_residual"] = st["key_residual"].at[li, seq_id, :, :tail].set(kt)
+            st["value_residual"] = st["value_residual"].at[li, seq_id, :, :tail].set(vt)
+            pad = jnp.zeros(kc.shape[:-1] + (4 - tail,), kc.dtype)
+            krc0 = pack_codes(jnp.concatenate([kc[..., n4:], pad], -1))  # (H, M, 1)
+            vrc0 = pack_codes(jnp.concatenate([vc[..., n4:], pad], -1))
+            st["key_residual_codes"] = st["key_residual_codes"].at[
+                li, seq_id, :, :, :1
+            ].set(krc0)
+            st["value_residual_codes"] = st["value_residual_codes"].at[
+                li, seq_id, :, :, :1
+            ].set(vrc0)
         attn = causal_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(1, n, -1)
         x = x + (attn @ lp["wo"]).astype(x.dtype)
@@ -241,7 +277,7 @@ def paged_prefill_seq(
     logits = _logits(params, cfg, x)[:, -1]  # (1, V)
 
     new = dict(state)
-    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set(n)
-    new["seq_r"] = state["seq_r"].at[seq_id].set(0)
+    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set(n4)
+    new["seq_r"] = state["seq_r"].at[seq_id].set(tail)
     new["seq_active"] = state["seq_active"].at[seq_id].set(1)
     return logits, new

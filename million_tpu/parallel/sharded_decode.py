@@ -33,13 +33,13 @@ from million_tpu.ops.pq_attention_pallas import (
 def sharded_pq_codes_attention(
     mesh: Mesh,
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled; replicated over sp
-    key_codes: jax.Array,  # (bs, nh_k, M, N) uint8, N sharded over sp
+    key_codes: jax.Array,  # (bs, nh_k, M, N//4) int32 words, sharded over sp
     value_codes: jax.Array,
-    kpack: jax.Array,  # (d_m, M, 128) f32, replicated
+    kpack: jax.Array,  # (d, 128) f32, replicated
     vpack: jax.Array,
     n_codes: jax.Array,  # () int32, replicated — GLOBAL valid token count
     *,
-    block: int = 1024,
+    block: int = 4096,
     packed: bool = True,
     interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -47,9 +47,9 @@ def sharded_pq_codes_attention(
     the code arena sequence-sharded across the mesh's "sp" axis (and batch /
     KV heads sharded over "dp" / "tp")."""
     sp = mesh.shape["sp"]
-    N = key_codes.shape[3]
-    if N % sp != 0:
-        raise ValueError(f"arena length {N} not divisible by sp={sp}")
+    N = key_codes.shape[3] * 4  # tokens
+    if key_codes.shape[3] % sp != 0:
+        raise ValueError(f"arena words {key_codes.shape[3]} not divisible by sp={sp}")
     n_local = N // sp
 
     def local_fn(q, kc, vc, kp, vp, nc):
@@ -88,9 +88,9 @@ def sharded_pq_codes_attention(
 def sharded_pq_codes_attention_stacked(
     mesh: Mesh,
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
-    key_codes: jax.Array,  # (L, bs, nh_k, M, N) uint8, N sharded over sp
+    key_codes: jax.Array,  # (L, bs, nh_k, M, N//4) int32 words, sharded over sp
     value_codes: jax.Array,
-    kpack: jax.Array,  # (L, d_m, M, 128) f32, replicated
+    kpack: jax.Array,  # (L, d, 128) f32, replicated
     vpack: jax.Array,
     layer: jax.Array,  # () int32
     n_codes: jax.Array,  # () int32 — GLOBAL valid token count
@@ -102,9 +102,9 @@ def sharded_pq_codes_attention_stacked(
     """Stacked-arena version of sharded_pq_codes_attention: one layer of the
     (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards."""
     sp = mesh.shape["sp"]
-    N = key_codes.shape[4]
-    if N % sp != 0:
-        raise ValueError(f"arena length {N} not divisible by sp={sp}")
+    N = key_codes.shape[4] * 4  # tokens
+    if key_codes.shape[4] % sp != 0:
+        raise ValueError(f"arena words {key_codes.shape[4]} not divisible by sp={sp}")
     n_local = N // sp
 
     def local_fn(q, kc, vc, kp, vp, li, nc):

@@ -51,7 +51,7 @@ def generate(
     # CLAMPS out-of-range writes, which would silently overwrite the newest
     # codes instead of failing (observed in verification probe P5).
     if mode != "dense":
-        n_max = cache["key_codes"].shape[-1]
+        n_max = cache["key_codes"].shape[-1] * 4  # arena stores packed words
         lt = cache["key_residual"].shape[-2]
         # Prefill writes all prompt tokens as codes; decode flushes whole
         # Lt-sized residual windows, so the arena high-water mark is

@@ -16,9 +16,11 @@ from million_tpu.cache.paged_pq_cache import (
 )
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
-    pack_centroid_tables,
+    pack_codes,
+    pack_decode_table,
     pq_codes_attention,
     pq_paged_attention,
+    unpack_codes,
 )
 
 
@@ -55,17 +57,17 @@ def test_write_codes_roundtrip(rng):
     vc = jnp.asarray(rng.integers(0, 64, (CFG.num_layers, CFG.nh_k, CFG.M, n)), jnp.uint8)
     st = write_codes_to_pages(st, sid, kc, vc, CFG)
     assert int(st["seq_n_codes"][0]) == n
-    # read back through the page table
+    # read back through the page table (pools hold packed words)
     pt = np.asarray(st["page_table"][0])
     got = np.concatenate(
-        [np.asarray(st["key_pool"])[:, pt[p]] for p in range(2)], axis=-1
+        [np.asarray(unpack_codes(st["key_pool"]))[:, pt[p]] for p in range(2)], axis=-1
     )
     np.testing.assert_array_equal(got, np.asarray(kc))
     # second append lands in page 3
     n2 = 128
     kc2 = jnp.asarray(rng.integers(0, 64, (CFG.num_layers, CFG.nh_k, CFG.M, n2)), jnp.uint8)
     st = write_codes_to_pages(st, sid, kc2, kc2, CFG)
-    got3 = np.asarray(st["key_pool"])[:, pt[2]]
+    got3 = np.asarray(unpack_codes(st["key_pool"]))[:, pt[2]]
     np.testing.assert_array_equal(got3, np.asarray(kc2))
 
 
@@ -79,8 +81,8 @@ def test_write_codes_unaligned_append(rng):
     st = write_codes_to_pages(st, sid, a, a, CFG)
     st = write_codes_to_pages(st, sid, b, b, CFG)
     pt = np.asarray(st["page_table"][0])
-    page0 = np.asarray(st["key_pool"])[:, pt[0]]
-    page1 = np.asarray(st["key_pool"])[:, pt[1]]
+    page0 = np.asarray(unpack_codes(st["key_pool"]))[:, pt[0]]
+    page1 = np.asarray(unpack_codes(st["key_pool"]))[:, pt[1]]
     np.testing.assert_array_equal(page0[..., :96], np.asarray(a))
     np.testing.assert_array_equal(page0[..., 96:128], np.asarray(b)[..., :32])
     np.testing.assert_array_equal(page1[..., :64], np.asarray(b)[..., 32:])
@@ -92,8 +94,8 @@ def test_paged_attention_matches_flat(rng):
     ps, P_max, n_pages = 128, 4, 16
     kcent = rng.standard_normal((M, C, 2)).astype(np.float32)
     vcent = rng.standard_normal((M, C, 2)).astype(np.float32)
-    kpack = pack_centroid_tables(jnp.asarray(kcent))
-    vpack = pack_centroid_tables(jnp.asarray(vcent))
+    kpack = pack_decode_table(jnp.asarray(kcent))
+    vpack = pack_decode_table(jnp.asarray(vcent))
 
     # build a scattered page table and matching pools
     pt = np.full((bs, P_max), -1, np.int32)
@@ -105,7 +107,7 @@ def test_paged_attention_matches_flat(rng):
 
     q = jnp.asarray(rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16)
     out_p, lse_p = pq_paged_attention(
-        q, jnp.asarray(kpool), jnp.asarray(vpool), kpack, vpack,
+        q, pack_codes(jnp.asarray(kpool)), pack_codes(jnp.asarray(vpool)), kpack, vpack,
         jnp.asarray(pt), jnp.asarray(n_codes), packed=False,
     )
 
@@ -118,7 +120,8 @@ def test_paged_attention_matches_flat(rng):
         kc = np.pad(kc, ((0, 0), (0, 0), (0, 0), (0, pad)))
         vc = np.pad(vc, ((0, 0), (0, 0), (0, 0), (0, pad)))
         out_f, lse_f = pq_codes_attention(
-            q[b : b + 1], jnp.asarray(kc), jnp.asarray(vc), kpack, vpack,
+            q[b : b + 1], pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+            kpack, vpack,
             jnp.asarray(n_codes[b]), block=128, packed=False,
         )
         np.testing.assert_allclose(
@@ -144,4 +147,6 @@ def test_paged_prefill_encodes(rng):
     from million_tpu.pq.ops import pq_encode
     want = np.swapaxes(np.asarray(pq_encode(k[0], kcent[0], "strided")), -1, -2)
     page = int(st["page_table"][1, 0])
-    np.testing.assert_array_equal(np.asarray(st["key_pool"])[0, page], want)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_codes(st["key_pool"]))[0, page], want
+    )

@@ -13,17 +13,19 @@ import jax.numpy as jnp
 import pytest
 
 from million_tpu.ops.pq_attention_pallas import (
-    pack_centroid_tables,
-    pq_codes_attention,
     GROUP_PAD,
+    pack_codes,
+    pack_decode_table,
+    pq_codes_attention,
+    unpack_codes,
 )
 from million_tpu.pq.ops import pq_decode
 from million_tpu.ops.pq_attention_ref import merge_partials
 
 
 def oracle_codes_attention(q, key_codes_t, value_codes_t, kcent, vcent, n_codes, scale):
-    """q (bs,nh_k,G,d) f32; codes transposed (bs,nh_k,M,N). bf16 decode to
-    match kernel precision. Returns (out, lse) partial over valid codes."""
+    """q (bs,nh_k,G,d) f32; codes transposed (bs,nh_k,M,N) uint8. bf16 decode
+    to match kernel precision. Returns (out, lse) partial over valid codes."""
     bs, nh_k, G, d = q.shape
     kc = np.swapaxes(key_codes_t, -1, -2)[:, :, :n_codes]  # (bs,nh_k,n,M)
     vc = np.swapaxes(value_codes_t, -1, -2)[:, :, :n_codes]
@@ -51,17 +53,24 @@ def make_inputs(rng, bs=1, nh_k=2, d=32, M=16, C=256, N=512, n_codes=300):
     return q, kc, vc, kcent, vcent, n_codes
 
 
-@pytest.mark.parametrize("n_codes", [300, 512, 130])
+def test_pack_unpack_roundtrip(rng):
+    codes = rng.integers(0, 256, (2, 3, 8, 64)).astype(np.uint8)
+    words = pack_codes(jnp.asarray(codes))
+    assert words.shape == (2, 3, 8, 16) and words.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(unpack_codes(words)), codes)
+
+
+@pytest.mark.parametrize("n_codes", [300, 512, 130, 3])
 def test_kernel_matches_oracle(rng, n_codes):
     q, kc, vc, kcent, vcent, _ = make_inputs(rng, n_codes=n_codes)
     d = q.shape[-1]
     scale = 1.0 / d**0.5
-    kpack = pack_centroid_tables(jnp.asarray(kcent))
-    vpack = pack_centroid_tables(jnp.asarray(vcent))
+    kpack = pack_decode_table(jnp.asarray(kcent))
+    vpack = pack_decode_table(jnp.asarray(vcent))
     out, lse = pq_codes_attention(
         jnp.asarray(q * scale, jnp.bfloat16),
-        jnp.asarray(kc),
-        jnp.asarray(vc),
+        pack_codes(jnp.asarray(kc)),
+        pack_codes(jnp.asarray(vc)),
         kpack,
         vpack,
         jnp.asarray(n_codes, jnp.int32),
@@ -74,16 +83,16 @@ def test_kernel_matches_oracle(rng, n_codes):
 
 
 def test_kernel_small_codebook(rng):
-    """C=64 (nbits=6) — tables zero-padded, codes never hit the hi half."""
+    """C=64 (nbits=6) — plain f32 table, codes never hit the hi half."""
     q, kc, vc, kcent, vcent, n = make_inputs(rng, C=64, N=256, n_codes=200)
     kc, vc = kc % 64, vc % 64
     d = q.shape[-1]
     scale = 1.0 / d**0.5
     out, lse = pq_codes_attention(
         jnp.asarray(q * scale, jnp.bfloat16),
-        jnp.asarray(kc), jnp.asarray(vc),
-        pack_centroid_tables(jnp.asarray(kcent)),
-        pack_centroid_tables(jnp.asarray(vcent)),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        pack_decode_table(jnp.asarray(kcent)),
+        pack_decode_table(jnp.asarray(vcent)),
         jnp.asarray(n, jnp.int32),
         block=128,
         interpret=True,
@@ -101,9 +110,9 @@ def test_kernel_merge_with_residual_matches_full(rng):
     scale = 1.0 / d**0.5
     out_q, lse_q = pq_codes_attention(
         jnp.asarray(q * scale, jnp.bfloat16),
-        jnp.asarray(kc), jnp.asarray(vc),
-        pack_centroid_tables(jnp.asarray(kcent)),
-        pack_centroid_tables(jnp.asarray(vcent)),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        pack_decode_table(jnp.asarray(kcent)),
+        pack_decode_table(jnp.asarray(vcent)),
         jnp.asarray(n_codes, jnp.int32),
         block=128,
         interpret=True,
@@ -141,21 +150,24 @@ def test_kernel_merge_with_residual_matches_full(rng):
     np.testing.assert_allclose(np.asarray(merged), want, rtol=0.05, atol=0.05)
 
 
-def test_pack_centroid_tables_roundtrip(rng):
+def test_pack_decode_table_layout(rng):
+    """Row j*M+m of the table must decode component j of subspace m, with
+    bf16 lo/hi halves packed per f32 lane for C=256."""
     M, C, d_m = 8, 256, 2
     cents = rng.standard_normal((M, C, d_m)).astype(np.float32)
-    packed = np.asarray(pack_centroid_tables(jnp.asarray(cents)))  # (d_m, M, 128)
-    u = packed.view(np.uint32)
-    lo = (u & 0xFFFF).astype(np.uint16).view(np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.uint16)
-    # check via jax bitcast instead (numpy lacks bf16)
-    lo16 = jnp.asarray(u & 0xFFFF, jnp.uint32).astype(jnp.uint16)
-    hi16 = jnp.asarray(u >> 16, jnp.uint32).astype(jnp.uint16)
+    packed = pack_decode_table(jnp.asarray(cents))  # (d_m*M, 128)
+    assert packed.shape == (d_m * M, 128)
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    lo16 = (u & 0xFFFF).astype(jnp.uint16)
+    hi16 = (u >> 16).astype(jnp.uint16)
     lo_bf = jax.lax.bitcast_convert_type(lo16, jnp.bfloat16).astype(jnp.float32)
     hi_bf = jax.lax.bitcast_convert_type(hi16, jnp.bfloat16).astype(jnp.float32)
-    want = jnp.asarray(cents, jnp.bfloat16).astype(jnp.float32)
-    np.testing.assert_allclose(
-        np.asarray(lo_bf), np.asarray(want[:, :128]).transpose(2, 0, 1), atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(hi_bf), np.asarray(want[:, 128:]).transpose(2, 0, 1), atol=1e-6
-    )
+    want = np.asarray(jnp.asarray(cents, jnp.bfloat16).astype(jnp.float32))
+    for m in range(M):
+        for j in range(d_m):
+            np.testing.assert_allclose(
+                np.asarray(lo_bf)[j * M + m], want[m, :128, j], atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(hi_bf)[j * M + m], want[m, 128:, j], atol=1e-6
+            )

@@ -12,7 +12,8 @@ from million_tpu.parallel.mesh import make_mesh, pq_cache_shardings
 from million_tpu.parallel.sharded_decode import sharded_pq_codes_attention
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
-    pack_centroid_tables,
+    pack_codes,
+    pack_decode_table,
     pq_codes_attention,
 )
 
@@ -30,11 +31,11 @@ def test_sharded_attention_matches_single_device(rng, dp, tp, sp):
     q = jnp.asarray(
         rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16
     )
-    kc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
-    vc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
+    kc = pack_codes(jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8))
+    vc = pack_codes(jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8))
     kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
     vcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
-    kpack, vpack = pack_centroid_tables(kcent), pack_centroid_tables(vcent)
+    kpack, vpack = pack_decode_table(kcent), pack_decode_table(vcent)
     nc = jnp.asarray(n_codes, jnp.int32)
 
     want_out, want_lse = pq_codes_attention(
@@ -59,11 +60,11 @@ def test_sharded_attention_with_placed_inputs(rng):
     q = jnp.asarray(
         rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16
     )
-    kc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
-    vc = jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8)
+    kc = pack_codes(jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8))
+    vc = pack_codes(jnp.asarray(rng.integers(0, C, (bs, nh_k, M, N)), jnp.uint8))
     kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
     vcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
-    kpack, vpack = pack_centroid_tables(kcent), pack_centroid_tables(vcent)
+    kpack, vpack = pack_decode_table(kcent), pack_decode_table(vcent)
     nc = jnp.asarray(300, jnp.int32)
 
     kc_sh = jax.device_put(kc, NamedSharding(mesh, P(None, "tp", None, "sp")))
