@@ -135,3 +135,48 @@ def train_pq(
     keys = jax.random.split(jax.random.PRNGKey(seed), M)
     cents, _ = jax.vmap(lambda xm, km: kmeans(xm, km, C, iters))(xs, keys)
     return cents  # (M, C, d_m)
+
+
+def train_opq(
+    samples: jax.Array,
+    M: int,
+    nbits: int = 8,
+    iters: int = 25,
+    opq_iters: int = 10,
+    seed: int = 0,
+    layout: str = "contiguous",
+) -> Tuple[jax.Array, jax.Array]:
+    """Optimized Product Quantization: learn a rotation R that minimizes the
+    PQ reconstruction error of X @ R, then codebooks on the rotated data.
+
+    Functional equivalent of the reference's train_opq (pq_utils.py:554-584:
+    faiss.OPQMatrix + IndexPQ — which the reference CLI rejects at
+    main_pq.py:67-68; here the trainer is fully wired). Algorithm is OPQ-NP
+    (Ge et al., CVPR'13), the same non-parametric alternation faiss uses:
+
+        repeat: train PQ on X @ R  ->  X_hat = decode(encode(X @ R))
+                R <- argmin_R ||X R - X_hat||_F   (orthogonal Procrustes:
+                R = U V^T from SVD(X^T X_hat))
+
+    Returns (R (d, d) f32, cents (M, 2^nbits, d/M) f32). Encode with
+    pq_encode(x @ R, cents, layout); reconstruct with
+    pq_decode(codes, cents, layout) @ R.T. R orthogonal means inner
+    products are preserved: q.K == (q R).(K R), so attention kernels run
+    unchanged on rotated codes with a rotated query.
+    """
+    from million_tpu.pq.ops import pq_encode, pq_decode
+
+    X = samples.astype(jnp.float32)
+    n, d = X.shape
+    R = jnp.eye(d, dtype=jnp.float32)
+    # cheap inner PQ during alternation; full-strength final train below
+    inner_iters = max(4, iters // 4)
+    for it in range(opq_iters):
+        cents = train_pq(X @ R, M, nbits, iters=inner_iters, seed=seed + it, layout=layout)
+        codes = pq_encode(X @ R, cents, layout)
+        X_hat = pq_decode(codes, cents, layout)
+        # orthogonal Procrustes: min_R ||X R - X_hat||, R^T R = I
+        u, _, vt = jnp.linalg.svd(X.T @ X_hat, full_matrices=False)
+        R = u @ vt
+    cents = train_pq(X @ R, M, nbits, iters=iters, seed=seed, layout=layout)
+    return R, cents

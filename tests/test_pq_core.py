@@ -122,3 +122,48 @@ def test_train_pq_empty_cluster_robust(rng):
     x = np.repeat(rng.standard_normal((10, d)).astype(np.float32), 60, axis=0)
     cents = train_pq(jnp.asarray(x), M=M, nbits=nbits, iters=5)
     assert np.isfinite(np.asarray(cents)).all()
+
+
+def test_train_opq_improves_reconstruction(rng):
+    """OPQ must (a) produce an orthogonal rotation and (b) beat plain PQ's
+    reconstruction error on correlated data (where rotation matters) —
+    the reference's faiss.OPQMatrix semantics (pq_utils.py:554-584)."""
+    import jax.numpy as jnp
+    from million_tpu.pq.kmeans import train_pq, train_opq
+    from million_tpu.pq.ops import pq_encode, pq_decode
+
+    # strongly correlated dims: random covariance with decaying spectrum
+    n, d = 2048, 16
+    A = rng.standard_normal((d, d)).astype(np.float32)
+    scales = np.logspace(0, -1.2, d).astype(np.float32)
+    X = (rng.standard_normal((n, d)).astype(np.float32) * scales) @ A
+    Xj = jnp.asarray(X)
+
+    M, nbits = 8, 4
+    cents_pq = train_pq(Xj, M, nbits, iters=15)
+    err_pq = float(jnp.mean((pq_decode(pq_encode(Xj, cents_pq), cents_pq) - Xj) ** 2))
+
+    R, cents_opq = train_opq(Xj, M, nbits, iters=15, opq_iters=6)
+    # R orthogonal
+    np.testing.assert_allclose(np.asarray(R @ R.T), np.eye(d), atol=1e-4)
+    Xr = Xj @ R
+    rec = pq_decode(pq_encode(Xr, cents_opq), cents_opq) @ R.T
+    err_opq = float(jnp.mean((rec - Xj) ** 2))
+    assert err_opq < err_pq * 0.95, f"OPQ {err_opq} not better than PQ {err_pq}"
+
+
+def test_opq_preserves_inner_products(rng):
+    """Rotation invariance: q.k == (qR).(kR) — the property that lets the
+    attention kernel run unchanged on OPQ-rotated codes."""
+    import jax.numpy as jnp
+    from million_tpu.pq.kmeans import train_opq
+
+    X = jnp.asarray(rng.standard_normal((512, 16)).astype(np.float32))
+    R, _ = train_opq(X, M=8, nbits=3, iters=5, opq_iters=2)
+    q = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(q * k, -1)),
+        np.asarray(jnp.sum((q @ R) * (k @ R), -1)),
+        rtol=1e-4, atol=1e-4,
+    )
