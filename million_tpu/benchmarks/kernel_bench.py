@@ -39,7 +39,7 @@ def main():
 
     rng = np.random.default_rng(0)
     bs, nh_k, d, M, C = args.bs, args.heads, args.d, args.M, 2**args.nbits
-    packed = C > 128
+
     scale = 1.0 / d**0.5
 
     kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
@@ -55,7 +55,7 @@ def main():
     out, lse = pq_codes_attention(
         jnp.asarray(q * scale, jnp.bfloat16),
         pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)), kpack, vpack,
-        jnp.asarray(n_codes, jnp.int32), block=min(args.block, np_), packed=packed,
+        jnp.asarray(n_codes, jnp.int32), block=min(args.block, np_),
     )
     out.block_until_ready()
 
@@ -84,7 +84,7 @@ def main():
     # program constants, exploding compile time at GB scales.
     @jax.jit
     def step(qq, kc, vc):
-        o, _ = pq_codes_attention(qq, kc, vc, kpack, vpack, ncd, block=args.block, packed=packed)
+        o, _ = pq_codes_attention(qq, kc, vc, kpack, vpack, ncd, block=args.block)
         # roll q so successive chained calls are NOT value-identical (some
         # runtimes dedupe repeated identical computations), while keeping a
         # data dependency on the kernel output.

@@ -498,14 +498,14 @@ def _pq_pallas_attention_stacked(q, cache, cents, layer_idx, cfg, mesh=None):
         interp = True if mesh.devices.flat[0].platform == "cpu" else None
         out_c, lse_c = sharded_pq_codes_attention_stacked(
             mesh, q_pad, cache["key_codes"], cache["value_codes"],
-            cents["kpack"], cents["vpack"], layer_idx, n_codes, packed=C > 128,
+            cents["kpack"], cents["vpack"], layer_idx, n_codes,
             interpret=interp,
         )
     else:
         out_c, lse_c = pq_codes_attention_stacked(
             q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"],
-            layer_idx, n_codes, packed=C > 128,
+            layer_idx, n_codes,
         )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32),
@@ -548,7 +548,6 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
             cents_l["kpack"],
             cents_l["vpack"],
             cache_l["n_codes"],
-            packed=C > 128,
             interpret=interp,
         )
     else:
@@ -559,7 +558,6 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
             cents_l["kpack"],
             cents_l["vpack"],
             cache_l["n_codes"],
-            packed=C > 128,
         )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32) / 1.0,  # already scaled

@@ -174,7 +174,7 @@ def paged_decode_step(
         out_c, lse_c = pq_paged_attention_stacked(
             q_pad, st["key_pool"], st["value_pool"],
             tables["kpack"], tables["vpack"], li,
-            state["page_table"], n_codes_eff, packed=C > 128,
+            state["page_table"], n_codes_eff,
         )
         # valid residual entries per slot: [0, r_eff] (token just appended)
         rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, r_eff, -1)[:, None]

@@ -2,48 +2,63 @@
 reference's flash_decoding_split_kernel pipeline (Kernel.cuh:11-166 +
 Interface.cu:26-120).
 
-Design (every choice below was measured on v5e; see git history for the
-experiment ladder — the first-cut kernel ran at 57 GB/s effective, this one
-at ~3x that):
+Design (every choice measured on v5e — see git history for the experiment
+ladder; the first-cut kernel ran at 57 GB/s effective, the bf16-pair
+2-gather rewrite ~100 GB/s, this int8 single-gather design ~2x that):
 
 * Codes are stored TRANSPOSED and WORD-PACKED: (bs, nh_k, M, N/4) int32,
   byte t of word w = token 4w+t of subspace m's code row. Mosaic's
   uint8->int32 vector cast is the single slowest op on the chip (measured:
   a block-wide u8 cast alone capped the whole kernel at 23 GB/s); loading
-  i32 words and extracting bytes with shift/and runs at full VPU rate on a
-  quarter of the lanes. Attention is permutation-invariant within a block,
-  so processing tokens in byte-interleaved order (all b=0 tokens of a word
-  tile, then b=1, ...) is free — only the position mask must account for it.
+  i32 words and extracting bytes with shifts runs at full VPU rate.
+  Attention is permutation-invariant within a block, so processing tokens
+  in byte-interleaved order is free — only the position mask accounts for
+  it (_slot_positions).
 
-* Decode is ONE lane-gather per (word-tile, byte): the codebook lives as a
-  (d, 128) f32 table whose row j*M+m is component j of subspace m (the
-  "strided" subspace split — for d_m=2, M=d/2 the pair (m, m+M) is exactly
-  a RoPE rotation pair). For C=256 each f32 lane packs bf16(code c) |
-  bf16(code c+128) << 16; the gather uses (code & 127) and the unpack
-  selects the 16-bit half by code >= 128. pltpu.repeat(byte, d_m) tiles the
-  index rows to match the d-row table ([all m] * d_m — verified tile, not
-  interleave, semantics).
+* The decode-attention wall on v5e is the per-vreg cost of the VPU lane
+  gather (~9 cyc/vreg measured, >70% of kernel time for the bf16 2-gather
+  scheme). This kernel halves gather volume by quantizing CENTROIDS to
+  int8 with per-(subspace, component) absmax scales: one 32-bit table lane
+  packs all four int8 components of TWO adjacent codes
+  [c0(2l), c1(2l), c0(2l+1), c1(2l+1)], so a C=256 codebook fits a single
+  128-lane gather — index = code>>1 (the gather hardware wraps indices
+  mod 128, measured, so no mask op), then code-parity selects the 16-bit
+  half. That's 1 gather + ~5 cheap ALU ops per (M, 128) word-tile-byte
+  (vs 2 gathers + select before). int8-with-scale matches bf16 accuracy
+  here (bf16 itself has an 8-bit mantissa).
 
-* Block-level double-buffered software pipeline: each grid step DECODES its
-  4096-token block into one VMEM scratch pair while the MXU consumes the
-  PREVIOUS block's scratch (one (G,d)@(d,block) score matmul + block-level
-  online softmax + one (G,block)@(block,d) PV matmul). The two phases have
-  no data dependency, so Mosaic overlaps VPU and MXU; an epilogue grid step
-  drains the last block. Per-128-token matmuls (the v1 design) spent ~95%
-  of MXU time loading K-hat/V-hat tiles for an 8-row q — the big-block
-  matmuls amortize that.
+* The MXU consumes int8 directly (v5e int8 matmul, measured exact):
+  - scores: the centroid scales fold into q (q' = q[row]*scale), q' is
+    int8-quantized per query row, s = (q8 @ K8) * qmax/127^2. The decoded
+    scratch expands (M, block) i32 -> (4M, block) i8 with a free register
+    bitcast (row 4r+k = byte k, measured); filler rows (the OTHER code of
+    the gathered pair) are killed by zero rows in q8.
+  - PV: p is split into two int8 planes p ~= (ph + pl/128)/127 (15-bit
+    effective precision, max err 3e-5 — plain int8 p would break
+    concentrated-attention heads), so PV = two int8 MXU matmuls; filler
+    output rows are zeroed by the per-row output scale.
+
+* Block-level double-buffered software pipeline: each grid step DECODES
+  its block into VMEM scratch while the MXU consumes the PREVIOUS block's
+  scratch (block-level online softmax, flash-2 style); an epilogue grid
+  step drains the last block. Stores are coalesced to (M, 4*128) per
+  word-tile (measured win over per-byte stores).
 
 * Online softmax stats in f32; the kernel emits the normalized partial and
   its LSE. The exact-residual window and the final merge (reference
-  Kernel.cuh:1038-1209, 1211-1270) run in plain XLA — at Lt=128 tokens they
-  are microseconds — and the same (partial, lse) pair is the cross-chip
-  combine for sequence-sharded decode (parallel/sharded_decode.py).
+  Kernel.cuh:1038-1209, 1211-1270) run in plain XLA — at Lt=128 tokens
+  they are microseconds — and the same (partial, lse) pair is the
+  cross-chip combine for sequence-sharded decode (parallel/sharded_decode).
+
+The kernel requires d_m == 2 (M = d/2, the reference's production shape and
+quality sweet spot — BASELINE.md shows M=d/4 degenerate at nbits=8); other
+layouts run through the jnp reference path (ops/pq_attention_ref.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,58 +99,134 @@ def unpack_codes(words: jax.Array) -> jax.Array:
     return bytes_.reshape(*words.shape[:-1], words.shape[-1] * WORD).astype(jnp.uint8)
 
 
-def pack_decode_table(cents: jax.Array) -> jax.Array:
-    """Build the kernel's gather table from a codebook (M, C, d_m) f32.
+class DecodeTable(NamedTuple):
+    """int8-quantized gather table for one codebook (see pack_decode_table).
 
-    Returns (d = M*d_m, 128) f32 with row j*M+m = component j of subspace m
-    (strided subspace layout):
-      C <= 128: plain f32 centroid values (code indexes its lane directly).
-      C in (128, 256]: lane c packs bf16(code c) | bf16(code c+128) << 16;
-        the kernel gathers with (code & 127) and selects the half by
-        (code >= 128).
+    tab:       (M, 128) int32 — lane l of row m packs the four int8 values
+               [comp0(code 2l), comp1(code 2l), comp0(code 2l+1),
+                comp1(code 2l+1)], each scaled by 127/scale[m, comp].
+    q_scale:   (4M,) f32 — row r = 4m+j holds scale[m, j] (for folding into
+               q on the K side); filler rows 4m+2, 4m+3 are 0.
+    out_scale: (4M,) f32 — row r = 4m+j holds scale[m, j] / 127^2 (PV output
+               rescale); filler rows 0.
     """
+
+    tab: jax.Array
+    q_scale: jax.Array
+    out_scale: jax.Array
+
+
+def pack_decode_table(cents: jax.Array) -> DecodeTable:
+    """Build the kernel's int8 quad-packed gather table from a codebook
+    (M, C, d_m) f32. Requires d_m == 2 and C <= 256."""
     M, C, d_m = cents.shape
     if C > 256:
         raise ValueError("kernel supports nbits <= 8 (C <= 256)")
-    if C <= 128:
-        cb = jnp.zeros((M, 128, d_m), jnp.float32).at[:, :C].set(
-            cents.astype(jnp.float32)
+    if d_m != 2:
+        raise ValueError(
+            f"the fused kernel requires d_m == 2 (M = d/2); got d_m={d_m}. "
+            "Use the jnp reference attention for other layouts."
         )
-        return cb.transpose(2, 0, 1).reshape(d_m * M, 128)
-    cb = jnp.zeros((M, 256, d_m), jnp.bfloat16).at[:, :C].set(
-        cents.astype(jnp.bfloat16)
-    )
-    lo = jax.lax.bitcast_convert_type(cb[:, :128], jnp.uint16).astype(jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(cb[:, 128:], jnp.uint16).astype(jnp.uint32)
-    packed = (lo | (hi << 16)).transpose(2, 0, 1).reshape(d_m * M, 128)
-    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+    c = cents.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(c), axis=1), 1e-9)  # (M, 2)
+    q = jnp.clip(jnp.round(c * (127.0 / sc[:, None, :])), -127, 127)
+    q = q.astype(jnp.int32)  # (M, C, 2)
+    qp = jnp.zeros((M, 256, 2), jnp.int32).at[:, :C].set(q)
+    b = [qp[:, 0::2, 0], qp[:, 0::2, 1], qp[:, 1::2, 0], qp[:, 1::2, 1]]
+    w = (
+        (b[0] & 255)
+        | ((b[1] & 255) << 8)
+        | ((b[2] & 255) << 16)
+        | ((b[3] & 255) << 24)
+    )  # (M, 128)
+    # q_scale row 4m+j = sc[m, j]; filler rows 4m+2, 4m+3 = 0
+    q_scale = jnp.stack(
+        [sc[:, 0], sc[:, 1], jnp.zeros(M), jnp.zeros(M)], axis=1
+    ).reshape(4 * M)
+    out_scale = q_scale / (127.0 * 127.0)
+    return DecodeTable(tab=w.astype(jnp.int32), q_scale=q_scale, out_scale=out_scale)
 
 
-# backwards-compatible alias used by build_tables
-pack_centroid_tables = pack_decode_table
+def dequantize_table(table: DecodeTable, C: int = 256) -> jax.Array:
+    """Effective codebook the kernel computes with: (M, C, 2) f32.
+
+    The jnp/numpy oracle should decode with THIS codebook when checking
+    kernel parity (the int8 centroid quantization is part of the engine's
+    numerics, like the reference's fp16 centroids)."""
+    M = table.tab.shape[0]
+    u = table.tab.astype(jnp.uint32)
+    comps = []
+    for k in range(4):
+        byte = ((u >> (8 * k)) & 255).astype(jnp.uint8)
+        i8 = jax.lax.bitcast_convert_type(byte, jnp.int8)
+        comps.append(i8.astype(jnp.float32))
+    # lane l: [c0(2l), c1(2l), c0(2l+1), c1(2l+1)]
+    even = jnp.stack([comps[0], comps[1]], axis=-1)  # (M, 128, 2) codes 2l
+    odd = jnp.stack([comps[2], comps[3]], axis=-1)  # codes 2l+1
+    full = jnp.stack([even, odd], axis=2).reshape(M, 256, 2)
+    sc = jnp.stack([table.q_scale[0::4], table.q_scale[1::4]], axis=-1)  # (M, 2)
+    return (full * sc[:, None, :] / 127.0)[:, :C]
+
+
+def decode_row_maps(M: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static row maps between kernel rows (4M) and head dims (d = 2M; the
+    strided subspace split: component j of subspace m = dim m + jM).
+
+    Returns (gather_idx (4M,): kernel row -> head dim (filler rows -> 0),
+             select_idx (2M,): head dim -> kernel row)."""
+    d = 2 * M
+    gather_idx = np.zeros((4 * M,), np.int32)
+    select_idx = np.zeros((d,), np.int32)
+    for m in range(M):
+        for j in range(2):
+            gather_idx[4 * m + j] = m + j * M
+            select_idx[m + j * M] = 4 * m + j
+    return gather_idx, select_idx
+
+
+def prepare_q(q: jax.Array, table: DecodeTable):
+    """Fold centroid scales into q and int8-quantize per query row.
+
+    q (..., d) f32/bf16 (PRE-SCALED by 1/sqrt(d)) ->
+    (q8 (..., 4M) int8, s_scale (..., 1) f32): scores = (q8 @ K8) * s_scale.
+    """
+    M = table.tab.shape[0]
+    gidx, _ = decode_row_maps(M)
+    qe = q.astype(jnp.float32)[..., gidx] * table.q_scale
+    qmax = jnp.maximum(jnp.max(jnp.abs(qe), axis=-1, keepdims=True), 1e-9)
+    q8 = jnp.round(qe * (127.0 / qmax)).astype(jnp.int8)
+    return q8, qmax / (127.0 * 127.0)
 
 
 # --------------------------------------------------------------------------
 # kernel body building blocks
 # --------------------------------------------------------------------------
 
-def _decode_words(tab, w, b, d_m, packed, interpret):
-    """Decode one word-tile: words w (M, tw) i32, byte position b ->
-    (d, tw) bf16 tile, row j*M+m = component j of subspace m, lane l =
-    token 4*(word_base+l)+b."""
-    byte = (w >> (8 * b)) & 255
+def _decode_words(tab, w, b, interpret):
+    """Decode one word-tile byte: words w (M, tw) i32, byte position b ->
+    (M, tw) i32 whose low 16 bits are [comp0, comp1] int8 of token
+    4*(word_base+lane)+b (high 16 bits are filler).
+
+    One gather: index = code>>1 (hardware wraps indices mod 128, measured;
+    interpret mode masks explicitly because jnp clamps), then the code's
+    parity bit (via the sign trick) selects the 16-bit half.
+    """
+    idx = w >> (8 * b + 1)
     if interpret:
-        idx = jnp.tile(byte, (d_m, 1))
-    else:
-        idx = pltpu.repeat(byte, d_m, axis=0)  # (d, tw), tile semantics
-    if packed:
-        hi = idx >= 128
-        g = jnp.take_along_axis(tab, idx & 127, axis=1)
-        u = pltpu.bitcast(g, jnp.uint32)
-        half = jnp.where(hi, u >> 16, u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-        return pltpu.bitcast(half, jnp.bfloat16)
+        idx = idx & 127
+    par = (w << (31 - 8 * b)) < 0  # code's parity bit (bit 8b) as sign
     g = jnp.take_along_axis(tab, idx, axis=1)
-    return g.astype(jnp.bfloat16)
+    return jnp.where(par, g >> 16, g)
+
+
+def _expand_i8(x, interpret):
+    """i32 (R, n) -> int8 (4R, n), row 4r+k = byte k (little-endian). On
+    hardware a free register bitcast (measured v5e semantics); the
+    interpret branch emulates it exactly."""
+    if not interpret:
+        return pltpu.bitcast(x, jnp.int8)
+    u = jax.lax.bitcast_convert_type(x, jnp.int8)  # (R, n, 4)
+    return jnp.swapaxes(u, 1, 2).reshape(4 * x.shape[0], x.shape[1])
 
 
 def _slot_positions(block: int, tw: int):
@@ -153,42 +244,66 @@ def _slot_positions(block: int, tw: int):
     return 4 * (t * tw + lane) + b  # (1, block)
 
 
-def _make_consume(block, tw, qq, kh_s, vh_s, acc, m_s, l_s, n_codes):
-    """One block's score + online-softmax + PV update from scratch buffers."""
+def _make_consume(block, tw, q8, ss, vo, kh_s, vh_s, acc, m_s, l_s, n_codes, interpret):
+    """One block's int8 score matmul + online softmax + two-plane int8 PV.
+
+    q8 (G, 4M) int8 (prepare_q), ss (G, 1) f32 score scale, vo (G, 4M) f32
+    per-row PV output scale (zero at filler rows)."""
+    G = q8.shape[0]
+
     def consume(p_idx, bi):
+        k8 = _expand_i8(kh_s[p_idx], interpret)  # (4M, block) i8
         s = jax.lax.dot_general(
-            qq, kh_s[p_idx], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, block)
+            q8, k8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * ss  # (G, block)
+        # only the block containing n_codes needs masking; full blocks skip
+        # the position compare entirely (one lax.select on a scalar).
         pos = bi * block + _slot_positions(block, tw)
-        s = jnp.where(pos < n_codes, s, NEG_INF)
+        full = (bi + 1) * block <= n_codes
+        s = jnp.where(jnp.logical_or(full, pos < n_codes), s, NEG_INF)
         m_prev = m_s[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_s[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vh_s[p_idx], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, d)
+        x = p * 127.0
+        ph_f = jnp.round(x)
+        pl_f = jnp.round((x - ph_f) * 128.0)
+        # one MXU dot for both p planes: rows [0,G) = hi, [G,2G) = lo
+        p2 = jnp.concatenate(
+            [ph_f.astype(jnp.int8), pl_f.astype(jnp.int8)], axis=0
+        )  # (2G, block)
+        v8 = _expand_i8(vh_s[p_idx], interpret)  # (4M, block) i8
+        dd = jax.lax.dot_general(
+            p2, v8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # (2G, 4M)
+        pv = (
+            dd[:G].astype(jnp.float32)
+            + dd[G:].astype(jnp.float32) * (1.0 / 128.0)
+        ) * vo
         acc[:] = acc[:] * alpha + pv
         m_s[:, :1] = m_new
         l_s[:, :1] = l_new
     return consume
 
 
-def _make_produce(block, tw, d_m, packed, interpret, kp, vp, kh_s, vh_s):
-    """Decode one block of K/V words into the scratch pair p_idx."""
+def _make_produce(block, tw, interpret, kt, vt, kh_s, vh_s):
+    """Decode one block of K/V words into scratch pair p_idx: one gather per
+    word-tile byte, stores coalesced to (M, 4*tw) per word-tile."""
     n_tiles = block // (4 * tw)
 
     def produce(p_idx, kw, vw):
         for t in range(n_tiles):
             wsl = slice(t * tw, (t + 1) * tw)
             kws, vws = kw[:, wsl], vw[:, wsl]
-            for b in range(4):
-                osl = slice((t * 4 + b) * tw, (t * 4 + b + 1) * tw)
-                kh_s[p_idx, :, osl] = _decode_words(kp, kws, b, d_m, packed, interpret)
-                vh_s[p_idx, :, osl] = _decode_words(vp, vws, b, d_m, packed, interpret)
+            osl = slice(t * 4 * tw, (t + 1) * 4 * tw)
+            kh_s[p_idx, :, osl] = jnp.concatenate(
+                [_decode_words(kt, kws, b, interpret) for b in range(4)], axis=1
+            )
+            vh_s[p_idx, :, osl] = jnp.concatenate(
+                [_decode_words(vt, vws, b, interpret) for b in range(4)], axis=1
+            )
     return produce
 
 
@@ -211,29 +326,42 @@ def _block_geometry(block: int, NW: int, interpret: bool):
     return tw
 
 
+def _prep_call(q, kpack, vpack):
+    """Shared wrapper prep: q (bs, nh_k, G, d) pre-scaled -> int8 q, score
+    scale tile (lane-broadcast for VMEM), PV output scale tile, row select
+    map for the output."""
+    M = kpack.tab.shape[0]
+    _, select_idx = decode_row_maps(M)
+    q8, ss = prepare_q(q, kpack)  # (bs, nh_k, G, 4M) i8, (bs, nh_k, G, 1)
+    ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
+    G = q.shape[2]
+    vo = jnp.broadcast_to(vpack.out_scale, (G, 4 * M)).astype(jnp.float32)
+    return q8, ss_b, vo, select_idx
+
+
 # --------------------------------------------------------------------------
 # flat-arena kernel
 # --------------------------------------------------------------------------
 
 def _pq_attn_kernel(
     nc_ref,  # (1, 1) int32 SMEM — valid quantized tokens
-    q_ref,  # (1, 1, GROUP_PAD, d) bf16, pre-scaled
+    q_ref,  # (1, 1, GROUP_PAD, 4M) int8 (prepare_q output)
+    ss_ref,  # (1, 1, GROUP_PAD, 128) f32 score scale, lane-broadcast
     kc_ref,  # (1, 1, M, block//4) int32 words
     vc_ref,
-    kp_ref,  # (d, 128) f32 decode table
-    vp_ref,
-    out_ref,  # (1, 1, GROUP_PAD, d) f32
+    kt_ref,  # (M, 128) int32 quad-packed decode table
+    vt_ref,
+    vo_ref,  # (GROUP_PAD, 4M) f32 PV output row scales
+    out_ref,  # (1, 1, GROUP_PAD, 4M) f32 (kernel-row order)
     lse_ref,  # (1, 1, GROUP_PAD, 128) f32, lane-broadcast
     acc_ref,
     m_ref,
     l_ref,
-    kh_ref,  # (2, d, block) bf16 double-buffered decode scratch
+    kh_ref,  # (2, M, block) i32 double-buffered decode scratch
     vh_ref,
     *,
     block: int,
     tw: int,
-    d_m: int,
-    packed: bool,
     interpret: bool,
 ):
     i = pl.program_id(2)
@@ -246,9 +374,11 @@ def _pq_attn_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    qq = q_ref[0, 0]
-    consume = _make_consume(block, tw, qq, kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes)
-    produce = _make_produce(block, tw, d_m, packed, interpret, kp_ref[:], vp_ref[:], kh_ref, vh_ref)
+    consume = _make_consume(
+        block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
+        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+    )
+    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * block < n_codes)
 
@@ -277,20 +407,19 @@ def _pq_attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block", "n_bucket", "interpret", "packed"),
+    static_argnames=("block", "n_bucket", "interpret"),
 )
 def pq_codes_attention(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, PRE-SCALED by 1/sqrt(d)
     key_codes: jax.Array,  # (bs, nh_k, M, N_max//4) int32 packed words
     value_codes: jax.Array,
-    kpack: jax.Array,  # (d, 128) f32 decode table (pack_decode_table)
-    vpack: jax.Array,
+    kpack: DecodeTable,
+    vpack: DecodeTable,
     n_codes: jax.Array,  # () int32
     *,
     block: int = 4096,
     n_bucket: int | None = None,
     interpret: bool | None = None,
-    packed: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Partial attention over the quantized code arena.
 
@@ -307,7 +436,6 @@ def pq_codes_attention(
     bs, nh_k, G, d = q.shape
     M, NW = key_codes.shape[2], key_codes.shape[3]
     N_max = NW * WORD
-    d_m = d // M
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if n_bucket is None:
@@ -319,18 +447,20 @@ def pq_codes_attention(
     tw = _block_geometry(block, NW, interpret)
     nb = n_bucket // block
 
+    q8, ss_b, vo, select_idx = _prep_call(q, kpack, vpack)
     nc = n_codes.astype(jnp.int32).reshape(1, 1)
     kernel = functools.partial(
-        _pq_attn_kernel, block=block, tw=tw, d_m=d_m, packed=packed,
-        interpret=interpret,
+        _pq_attn_kernel, block=block, tw=tw, interpret=interpret,
     )
     bw = block // WORD
+    R = 4 * M
     out, lse = pl.pallas_call(
         kernel,
         grid=(bs, nh_k, nb + 1),
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, M, bw),
                 lambda b, h, i, nb=nb: (b, h, 0, jnp.minimum(i, nb - 1)),
@@ -341,27 +471,28 @@ def pq_codes_attention(
                 lambda b, h, i, nb=nb: (b, h, 0, jnp.minimum(i, nb - 1)),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, d, block), jnp.bfloat16),
-            pltpu.VMEM((2, d, block), jnp.bfloat16),
+            pltpu.VMEM((2, M, block), jnp.int32),
+            pltpu.VMEM((2, M, block), jnp.int32),
         ],
         interpret=interpret,
-    )(nc, q, key_codes, value_codes, kpack, vpack)
-    return out, lse[..., 0]
+    )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
+    return out[..., select_idx], lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -371,11 +502,13 @@ def pq_codes_attention(
 def _pq_attn_kernel_stacked(
     li_ref,  # (1,) int32 — layer index (consumed by the index maps)
     nc_ref,  # (1,) int32 — valid quantized tokens
-    q_ref,  # (1, 1, GROUP_PAD, d)
+    q_ref,  # (1, 1, GROUP_PAD, 4M) int8
+    ss_ref,  # (1, 1, GROUP_PAD, 128) f32
     kc_ref,  # (1, 1, 1, M, block//4) int32 from (L, bs, nh_k, M, NW)
     vc_ref,
-    kp_ref,  # (1, d, 128) f32 from (L, d, 128)
-    vp_ref,
+    kt_ref,  # (1, M, 128) int32 from (L, M, 128)
+    vt_ref,
+    vo_ref,  # (1, GROUP_PAD, 4M) f32 from (L, GROUP_PAD, 4M)
     out_ref,
     lse_ref,
     acc_ref,
@@ -386,8 +519,6 @@ def _pq_attn_kernel_stacked(
     *,
     block: int,
     tw: int,
-    d_m: int,
-    packed: bool,
     interpret: bool,
 ):
     i = pl.program_id(2)
@@ -400,9 +531,11 @@ def _pq_attn_kernel_stacked(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    qq = q_ref[0, 0]
-    consume = _make_consume(block, tw, qq, kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes)
-    produce = _make_produce(block, tw, d_m, packed, interpret, kp_ref[0], vp_ref[0], kh_ref, vh_ref)
+    consume = _make_consume(
+        block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[0],
+        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+    )
+    produce = _make_produce(block, tw, interpret, kt_ref[0], vt_ref[0], kh_ref, vh_ref)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * block < n_codes)
 
@@ -430,21 +563,20 @@ def _pq_attn_kernel_stacked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "n_bucket", "interpret", "packed")
+    jax.jit, static_argnames=("block", "n_bucket", "interpret")
 )
 def pq_codes_attention_stacked(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_codes: jax.Array,  # (L, bs, nh_k, M, NW) int32 — FULL stacked arena
     value_codes: jax.Array,
-    kpack: jax.Array,  # (L, d, 128) f32 — stacked decode tables
-    vpack: jax.Array,
+    kpack: DecodeTable,  # stacked: tab (L, M, 128), scales (L, 4M)
+    vpack: DecodeTable,
     layer: jax.Array,  # () int32
     n_codes: jax.Array,  # () int32
     *,
     block: int = 4096,
     n_bucket: int | None = None,
     interpret: bool | None = None,
-    packed: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """pq_codes_attention over one layer of a STACKED cache, the layer chosen
     by a scalar-prefetched index. This exists because slicing the layer out
@@ -455,7 +587,6 @@ def pq_codes_attention_stacked(
     bs, nh_k, G, d = q.shape
     L, _, _, M, NW = key_codes.shape
     N_max = NW * WORD
-    d_m = d // M
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if n_bucket is None:
@@ -467,16 +598,26 @@ def pq_codes_attention_stacked(
     tw = _block_geometry(block, NW, interpret)
     nb = n_bucket // block
     bw = block // WORD
+    R = 4 * M
+
+    # layer-specific q-scale folding (tiny dynamic slice of the (L, 4M) table)
+    kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
+    q8, ss = prepare_q(q, DecodeTable(kpack.tab[0], kq_l, kq_l))
+    ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
+    vo_all = jnp.broadcast_to(
+        vpack.out_scale[:, None, :], (L, G, R)
+    ).astype(jnp.float32)
+    _, select_idx = decode_row_maps(M)
 
     kernel = functools.partial(
-        _pq_attn_kernel_stacked, block=block, tw=tw, d_m=d_m, packed=packed,
-        interpret=interpret,
+        _pq_attn_kernel_stacked, block=block, tw=tw, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bs, nh_k, nb + 1),
         in_specs=[
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
             pl.BlockSpec(
                 (1, 1, 1, M, bw),
                 lambda b, h, i, li, nc, nb=nb: (li[0], b, h, 0, jnp.minimum(i, nb - 1)),
@@ -485,39 +626,36 @@ def pq_codes_attention_stacked(
                 (1, 1, 1, M, bw),
                 lambda b, h, i, li, nc, nb=nb: (li[0], b, h, 0, jnp.minimum(i, nb - 1)),
             ),
-            pl.BlockSpec(
-                (1,) + kpack.shape[1:], lambda b, h, i, li, nc: (li[0], 0, 0)
-            ),
-            pl.BlockSpec(
-                (1,) + vpack.shape[1:], lambda b, h, i, li, nc: (li[0], 0, 0)
-            ),
+            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, nc: (li[0], 0, 0)),
+            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, nc: (li[0], 0, 0)),
+            pl.BlockSpec((1, G, R), lambda b, h, i, li, nc: (li[0], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, d, block), jnp.bfloat16),
-            pltpu.VMEM((2, d, block), jnp.bfloat16),
+            pltpu.VMEM((2, M, block), jnp.int32),
+            pltpu.VMEM((2, M, block), jnp.int32),
         ],
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(
         layer.reshape(1).astype(jnp.int32),
         n_codes.reshape(1).astype(jnp.int32),
-        q, key_codes, value_codes, kpack, vpack,
+        q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo_all,
     )
-    return out, lse[..., 0]
+    return out[..., select_idx], lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -527,11 +665,13 @@ def pq_codes_attention_stacked(
 def _pq_paged_attn_kernel(
     pt_ref,  # (bs, P_max) int32 page table
     nc_ref,  # (bs,) int32 per-sequence valid code counts
-    q_ref,  # (1, 1, GROUP_PAD, d)
+    q_ref,  # (1, 1, GROUP_PAD, 4M) int8
+    ss_ref,  # (1, 1, GROUP_PAD, 128) f32
     kc_ref,  # (1, 1, M, ps_w) int32 — the page selected by the index map
     vc_ref,
-    kp_ref,  # (d, 128) f32
-    vp_ref,
+    kt_ref,  # (M, 128) int32
+    vt_ref,
+    vo_ref,  # (GROUP_PAD, 4M) f32
     out_ref,
     lse_ref,
     acc_ref,
@@ -542,8 +682,6 @@ def _pq_paged_attn_kernel(
     *,
     page_size: int,
     tw: int,
-    d_m: int,
-    packed: bool,
     interpret: bool,
 ):
     b = pl.program_id(0)
@@ -557,9 +695,11 @@ def _pq_paged_attn_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    qq = q_ref[0, 0]
-    consume = _make_consume(page_size, tw, qq, kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes)
-    produce = _make_produce(page_size, tw, d_m, packed, interpret, kp_ref[:], vp_ref[:], kh_ref, vh_ref)
+    consume = _make_consume(
+        page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
+        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+    )
+    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * page_size < n_codes)
 
@@ -586,18 +726,17 @@ def _pq_paged_attn_kernel(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def pq_paged_attention(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (n_pages, nh_k, M, page_size//4) int32 — ONE layer
     value_pool: jax.Array,
-    kpack: jax.Array,  # (d, 128) f32
-    vpack: jax.Array,
+    kpack: DecodeTable,
+    vpack: DecodeTable,
     page_table: jax.Array,  # (bs, P_max) int32, -1 = unallocated
     n_codes: jax.Array,  # (bs,) int32 per-sequence
     *,
     interpret: bool | None = None,
-    packed: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused decode attention over a PAGED code pool: the grid walks each
     sequence's page table (scalar-prefetched, so the page id feeds the
@@ -609,14 +748,14 @@ def pq_paged_attention(
     n_pages, _, M, ps_w = key_pool.shape
     page_size = ps_w * WORD
     P_max = page_table.shape[1]
-    d_m = d // M
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)
+    R = 4 * M
 
+    q8, ss_b, vo, select_idx = _prep_call(q, kpack, vpack)
     kernel = functools.partial(
-        _pq_paged_attn_kernel, page_size=page_size, tw=tw, d_m=d_m,
-        packed=packed, interpret=interpret,
+        _pq_paged_attn_kernel, page_size=page_size, tw=tw, interpret=interpret,
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)  # clamp -1; masked by n_codes
 
@@ -624,7 +763,8 @@ def pq_paged_attention(
         num_scalar_prefetch=2,
         grid=(bs, nh_k, P_max + 1),
         in_specs=[
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec(
                 (1, 1, M, ps_w),
                 lambda b, h, i, pt, nc, P=P_max: (pt[b, jnp.minimum(i, P - 1)], h, 0, 0),
@@ -633,31 +773,33 @@ def pq_paged_attention(
                 (1, 1, M, ps_w),
                 lambda b, h, i, pt, nc, P=P_max: (pt[b, jnp.minimum(i, P - 1)], h, 0, 0),
             ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, pt, nc: (b, h, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, d, page_size), jnp.bfloat16),
-            pltpu.VMEM((2, d, page_size), jnp.bfloat16),
+            pltpu.VMEM((2, M, page_size), jnp.int32),
+            pltpu.VMEM((2, M, page_size), jnp.int32),
         ],
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(pt, n_codes.astype(jnp.int32), q, key_pool, value_pool, kpack, vpack)
-    return out, lse[..., 0]
+    )(pt, n_codes.astype(jnp.int32), q8, ss_b, key_pool, value_pool,
+      kpack.tab, vpack.tab, vo)
+    return out[..., select_idx], lse[..., 0]
 
 
 def _pq_paged_attn_kernel_stacked(
@@ -665,10 +807,12 @@ def _pq_paged_attn_kernel_stacked(
     pt_ref,  # (bs, P_max) page table
     nc_ref,  # (bs,) per-sequence valid codes
     q_ref,
+    ss_ref,
     kc_ref,  # (1, 1, 1, M, ps_w) int32
     vc_ref,
-    kp_ref,  # (1, d, 128) f32
-    vp_ref,
+    kt_ref,  # (1, M, 128) int32
+    vt_ref,
+    vo_ref,  # (1, GROUP_PAD, 4M) f32
     out_ref,
     lse_ref,
     acc_ref,
@@ -679,8 +823,6 @@ def _pq_paged_attn_kernel_stacked(
     *,
     page_size: int,
     tw: int,
-    d_m: int,
-    packed: bool,
     interpret: bool,
 ):
     b = pl.program_id(0)
@@ -694,9 +836,11 @@ def _pq_paged_attn_kernel_stacked(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    qq = q_ref[0, 0]
-    consume = _make_consume(page_size, tw, qq, kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes)
-    produce = _make_produce(page_size, tw, d_m, packed, interpret, kp_ref[0], vp_ref[0], kh_ref, vh_ref)
+    consume = _make_consume(
+        page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[0],
+        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+    )
+    produce = _make_produce(page_size, tw, interpret, kt_ref[0], vt_ref[0], kh_ref, vh_ref)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * page_size < n_codes)
 
@@ -723,19 +867,18 @@ def _pq_paged_attn_kernel_stacked(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def pq_paged_attention_stacked(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (L, n_pages+1, nh_k, M, ps_w) int32 — FULL stack
     value_pool: jax.Array,
-    kpack: jax.Array,  # (L, d, 128) f32
-    vpack: jax.Array,
+    kpack: DecodeTable,  # stacked (L, ...)
+    vpack: DecodeTable,
     layer: jax.Array,  # () int32
     page_table: jax.Array,  # (bs, P_max) int32, -1 = unallocated
     n_codes: jax.Array,  # (bs,) int32 per-sequence
     *,
     interpret: bool | None = None,
-    packed: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """pq_paged_attention over one layer of the stacked page pools, the layer
     selected via scalar prefetch (same rationale as
@@ -744,14 +887,22 @@ def pq_paged_attention_stacked(
     L, n_pages_p1, _, M, ps_w = key_pool.shape
     page_size = ps_w * WORD
     P_max = page_table.shape[1]
-    d_m = d // M
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)
+    R = 4 * M
+
+    kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
+    q8, ss = prepare_q(q, DecodeTable(kpack.tab[0], kq_l, kq_l))
+    ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
+    vo_all = jnp.broadcast_to(
+        vpack.out_scale[:, None, :], (L, G, R)
+    ).astype(jnp.float32)
+    _, select_idx = decode_row_maps(M)
 
     kernel = functools.partial(
-        _pq_paged_attn_kernel_stacked, page_size=page_size, tw=tw, d_m=d_m,
-        packed=packed, interpret=interpret,
+        _pq_paged_attn_kernel_stacked, page_size=page_size, tw=tw,
+        interpret=interpret,
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)
 
@@ -762,35 +913,33 @@ def pq_paged_attention_stacked(
         num_scalar_prefetch=3,
         grid=(bs, nh_k, P_max + 1),
         in_specs=[
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
             pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
-            pl.BlockSpec(
-                (1,) + kpack.shape[1:], lambda b, h, i, li, pt, nc: (li[0], 0, 0)
-            ),
-            pl.BlockSpec(
-                (1,) + vpack.shape[1:], lambda b, h, i, li, pt, nc: (li[0], 0, 0)
-            ),
+            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, pt, nc: (li[0], 0, 0)),
+            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, pt, nc: (li[0], 0, 0)),
+            pl.BlockSpec((1, G, R), lambda b, h, i, li, pt, nc: (li[0], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, d), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec(
                 (1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, d, page_size), jnp.bfloat16),
-            pltpu.VMEM((2, d, page_size), jnp.bfloat16),
+            pltpu.VMEM((2, M, page_size), jnp.int32),
+            pltpu.VMEM((2, M, page_size), jnp.int32),
         ],
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         interpret=interpret,
@@ -798,6 +947,6 @@ def pq_paged_attention_stacked(
         layer.reshape(1).astype(jnp.int32),
         pt,
         n_codes.astype(jnp.int32),
-        q, key_pool, value_pool, kpack, vpack,
+        q8, ss_b, key_pool, value_pool, kpack.tab, vpack.tab, vo_all,
     )
-    return out, lse[..., 0]
+    return out[..., select_idx], lse[..., 0]

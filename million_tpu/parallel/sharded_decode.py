@@ -40,7 +40,6 @@ def sharded_pq_codes_attention(
     n_codes: jax.Array,  # () int32, replicated — GLOBAL valid token count
     *,
     block: int = 4096,
-    packed: bool = True,
     interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out, lse) exactly like pq_codes_attention, but computed with
@@ -58,7 +57,7 @@ def sharded_pq_codes_attention(
         local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
         out, lse = pq_codes_attention(
             q, kc, vc, kp, vp, local_valid,
-            block=min(block, n_local), packed=packed, interpret=interpret,
+            block=min(block, n_local), interpret=interpret,
         )
         # associative LSE merge across shards (reduce kernel math)
         mx = jax.lax.pmax(lse, "sp")  # (bs, nh_k, G)
@@ -96,7 +95,6 @@ def sharded_pq_codes_attention_stacked(
     n_codes: jax.Array,  # () int32 — GLOBAL valid token count
     *,
     block: int = 4096,
-    packed: bool = True,
     interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Stacked-arena version of sharded_pq_codes_attention: one layer of the
@@ -112,7 +110,7 @@ def sharded_pq_codes_attention_stacked(
         local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
         out, lse = pq_codes_attention_stacked(
             q, kc, vc, kp, vp, li[0], local_valid,
-            block=min(block, n_local), packed=packed, interpret=interpret,
+            block=min(block, n_local), interpret=interpret,
         )
         mx = jax.lax.pmax(lse, "sp")
         w = jnp.exp(lse - mx)

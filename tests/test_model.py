@@ -121,7 +121,9 @@ def test_presets_construct(preset):
 
 def test_pallas_mode_matches_ref_mode(rng):
     """mode="pq_pallas" (fused kernel + residual merge) must match mode="pq"
-    (jnp oracle) closely — same cache state machine, same math."""
+    (jnp oracle) closely — same cache state machine, same math. Tolerance
+    covers the kernel's int8 centroid quantization (DecodeTable), which the
+    f32-centroid oracle does not model."""
     from million_tpu.models.llama import build_tables
 
     params, cents, pq_cfg, dense_cfg = make_model(rng)
@@ -137,4 +139,4 @@ def test_pallas_mode_matches_ref_mode(rng):
         pos = jnp.asarray(16 + t, jnp.int32)
         la, cache_a = decode_step(params, CFG, tok_a, pos, cache_a, cents, mode="pq")
         lb, cache_b = decode_step(params, CFG, tok_a, pos, cache_b, tables, mode="pq_pallas")
-        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=5e-2, atol=5e-2)

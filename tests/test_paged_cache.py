@@ -108,7 +108,7 @@ def test_paged_attention_matches_flat(rng):
     q = jnp.asarray(rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16)
     out_p, lse_p = pq_paged_attention(
         q, pack_codes(jnp.asarray(kpool)), pack_codes(jnp.asarray(vpool)), kpack, vpack,
-        jnp.asarray(pt), jnp.asarray(n_codes), packed=False,
+        jnp.asarray(pt), jnp.asarray(n_codes),
     )
 
     # flat reference: materialize each sequence's codes contiguously
@@ -122,7 +122,7 @@ def test_paged_attention_matches_flat(rng):
         out_f, lse_f = pq_codes_attention(
             q[b : b + 1], pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
             kpack, vpack,
-            jnp.asarray(n_codes[b]), block=128, packed=False,
+            jnp.asarray(n_codes[b]), block=128,
         )
         np.testing.assert_allclose(
             np.asarray(out_p[b]), np.asarray(out_f[0]), rtol=2e-3, atol=2e-3

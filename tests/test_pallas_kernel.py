@@ -95,8 +95,7 @@ def test_kernel_small_codebook(rng):
         pack_decode_table(jnp.asarray(vcent)),
         jnp.asarray(n, jnp.int32),
         block=128,
-        interpret=True,
-        packed=False,  # C=64 -> plain-table fast path
+        interpret=True,  # C=64 -> plain-table fast path
     )
     want_out, want_lse = oracle_codes_attention(q, kc, vc, kcent, vcent, n, scale)
     np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
@@ -151,23 +150,40 @@ def test_kernel_merge_with_residual_matches_full(rng):
 
 
 def test_pack_decode_table_layout(rng):
-    """Row j*M+m of the table must decode component j of subspace m, with
-    bf16 lo/hi halves packed per f32 lane for C=256."""
+    """Table (M, 128) i32: lane l of row m packs int8
+    [c0(2l), c1(2l), c0(2l+1), c1(2l+1)] scaled by 127/scale[m, comp];
+    dequantize_table must invert it (up to the int8 rounding step)."""
+    from million_tpu.ops.pq_attention_pallas import dequantize_table
+
     M, C, d_m = 8, 256, 2
     cents = rng.standard_normal((M, C, d_m)).astype(np.float32)
-    packed = pack_decode_table(jnp.asarray(cents))  # (d_m*M, 128)
-    assert packed.shape == (d_m * M, 128)
-    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
-    lo16 = (u & 0xFFFF).astype(jnp.uint16)
-    hi16 = (u >> 16).astype(jnp.uint16)
-    lo_bf = jax.lax.bitcast_convert_type(lo16, jnp.bfloat16).astype(jnp.float32)
-    hi_bf = jax.lax.bitcast_convert_type(hi16, jnp.bfloat16).astype(jnp.float32)
-    want = np.asarray(jnp.asarray(cents, jnp.bfloat16).astype(jnp.float32))
+    table = pack_decode_table(jnp.asarray(cents))
+    assert table.tab.shape == (M, 128) and table.tab.dtype == jnp.int32
+    assert table.q_scale.shape == (4 * M,)
+    # scales: row 4m+j = per-(subspace, component) absmax; fillers zero
+    sc = np.abs(cents).max(axis=1)
+    qs = np.asarray(table.q_scale)
     for m in range(M):
-        for j in range(d_m):
-            np.testing.assert_allclose(
-                np.asarray(lo_bf)[j * M + m], want[m, :128, j], atol=1e-6
-            )
-            np.testing.assert_allclose(
-                np.asarray(hi_bf)[j * M + m], want[m, 128:, j], atol=1e-6
-            )
+        assert np.allclose(qs[4 * m], sc[m, 0], rtol=1e-6)
+        assert np.allclose(qs[4 * m + 1], sc[m, 1], rtol=1e-6)
+        assert qs[4 * m + 2] == 0 and qs[4 * m + 3] == 0
+    # round trip: dequantized codebook within half an int8 step of cents
+    deq = np.asarray(dequantize_table(table, C))
+    step = sc[:, None, :] / 127.0
+    assert np.all(np.abs(deq - cents) <= 0.5 * step + 1e-7)
+
+
+def test_decode_row_maps():
+    from million_tpu.ops.pq_attention_pallas import decode_row_maps
+
+    for M in (16, 64):
+        gidx, sidx = decode_row_maps(M)
+        d = 2 * M
+        # every head dim is selected from the kernel row that gathered it
+        for m in range(M):
+            for j in range(2):
+                assert gidx[4 * m + j] == m + j * M
+                assert sidx[m + j * M] == 4 * m + j
+        assert sorted(sidx.tolist()) == sorted(
+            {4 * m + j for m in range(M) for j in range(2)}
+        )

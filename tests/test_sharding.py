@@ -70,8 +70,8 @@ def test_sharded_attention_with_placed_inputs(rng):
     kc_sh = jax.device_put(kc, NamedSharding(mesh, P(None, "tp", None, "sp")))
     vc_sh = jax.device_put(vc, NamedSharding(mesh, P(None, "tp", None, "sp")))
 
-    want, _ = pq_codes_attention(q, kc, vc, kpack, vpack, nc, block=128, packed=False)
+    want, _ = pq_codes_attention(q, kc, vc, kpack, vpack, nc, block=128)
     got, _ = sharded_pq_codes_attention(
-        mesh, q, kc_sh, vc_sh, kpack, vpack, nc, block=128, packed=False
+        mesh, q, kc_sh, vc_sh, kpack, vpack, nc, block=128
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
