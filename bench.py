@@ -86,17 +86,17 @@ def measure_pq(cfg, params, bs, iters):
         cache = {
             "key_codes": make_codes(1),
             "value_codes": make_codes(2),
+            "key_word_buf": jnp.zeros(
+                (L, bs, cfg.num_kv_heads, M, 1), jnp.int32
+            ),
+            "value_word_buf": jnp.zeros(
+                (L, bs, cfg.num_kv_heads, M, 1), jnp.int32
+            ),
             "key_residual": jnp.zeros(
                 (L, bs, cfg.num_kv_heads, pq_cfg.Lt, cfg.head_dim), jnp.bfloat16
             ),
             "value_residual": jnp.zeros(
                 (L, bs, cfg.num_kv_heads, pq_cfg.Lt, cfg.head_dim), jnp.bfloat16
-            ),
-            "key_residual_codes": jnp.zeros(
-                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt // 4), jnp.int32
-            ),
-            "value_residual_codes": jnp.zeros(
-                (L, bs, cfg.num_kv_heads, M, pq_cfg.Lt // 4), jnp.int32
             ),
             "n_codes": jnp.full((L,), CTX - 512, jnp.int32),
             "r": jnp.zeros((L,), jnp.int32),

@@ -20,9 +20,12 @@ steps, so XLA donates and updates buffers in place:
   key_residual / value_residual : (bs, nh_k, Lt, d) — recent tokens exact,
       in the compute dtype. Matches the reference's fp16 residual window
       (pq_utils.py:110, 127-135).
-  key_residual_codes / value_residual_codes : (bs, nh_k, M, Lt//4) int32 —
-      incrementally-built codes of the current residual window, mirrored
-      into the arena every step (see decode_update).
+  (the current residual window's codes are written DIRECTLY into the
+      arena at [n_codes, n_codes+Lt) as each token arrives — a ~14 KB
+      read-modify-write per step. They stay invisible to attention, which
+      masks by n_codes, until the window fills and the flush is a counter
+      bump. Profiling showed separate per-window code buffers cost ~8 ms/
+      step in slice/write-back and layout-change copies at 3B/32K scale.)
   n_codes, r : int32 scalars — quantized-token and residual counts
       (reference: seen_tokens / residualed counters, pq_utils.py:111-113).
 
@@ -75,13 +78,12 @@ def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
         "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // WORD), jnp.int32),
         "key_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "value_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
-        # incremental word-packed codes of the current residual window
-        "key_residual_codes": jnp.zeros(
-            (cfg.bs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
-        ),
-        "value_residual_codes": jnp.zeros(
-            (cfg.bs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
-        ),
+        # in-progress arena word (the token-granular RMW happens here; the
+        # arena itself only ever sees whole-word WRITES — reading the arena
+        # in its own update expression breaks XLA's in-place aliasing and
+        # duplicates the multi-GB buffer, measured as an OOM + 6x slowdown)
+        "key_word_buf": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, 1), jnp.int32),
+        "value_word_buf": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, 1), jnp.int32),
         "n_codes": jnp.zeros((), jnp.int32),
         "r": jnp.zeros((), jnp.int32),
     }
@@ -98,6 +100,8 @@ def set_word_byte(words: jax.Array, token_idx: jax.Array, code: jax.Array) -> ja
 
     words (..., M, nw) int32; token_idx () int32; code (..., M) uint8/int.
     Returns words with byte (token_idx % 4) of word (token_idx // 4) set.
+    NOTE: reads `words` — only use on SMALL buffers (an arena-sized operand
+    would lose in-place aliasing; see update_word_buf/write below).
     """
     w_idx = token_idx // WORD
     shift = (token_idx % WORD) * 8
@@ -108,6 +112,18 @@ def set_word_byte(words: jax.Array, token_idx: jax.Array, code: jax.Array) -> ja
     return jax.lax.dynamic_update_index_in_dim(
         words, new.astype(jnp.int32)[..., 0], w_idx, axis=-1
     )
+
+
+def update_word_buf(buf: jax.Array, token_idx: jax.Array, code: jax.Array) -> jax.Array:
+    """RMW one token's codes into the in-progress word buffer (..., M, 1).
+
+    Resets at word boundaries (token_idx % 4 == 0)."""
+    byte = token_idx % WORD
+    shift = (byte * 8).astype(jnp.uint32)
+    cur = jnp.where(byte == 0, 0, buf).astype(jnp.uint32)
+    mask = jnp.uint32(0xFF) << shift
+    new = (cur & ~mask) | (code.astype(jnp.uint32)[..., None] << shift)
+    return new.astype(jnp.int32)
 
 
 def prefill_update(
@@ -150,12 +166,18 @@ def prefill_update(
         )
         kct = pq_encode(k[:, :, n4:], key_cents, layout)  # (bs, nh_k, tail, M)
         vct = pq_encode(v[:, :, n4:], value_cents, layout)
+        # window codes go straight into the arena past n_codes (masked out
+        # of attention until the flush counter-bump); the arena only sees
+        # whole-word writes, the byte RMW happens in the small word buffer
         for t in range(tail):
-            new["key_residual_codes"] = set_word_byte(
-                new["key_residual_codes"], state["r"] + t, kct[:, :, t]
+            pos = new["n_codes"] + state["r"] + t
+            new["key_word_buf"] = update_word_buf(new["key_word_buf"], pos, kct[:, :, t])
+            new["value_word_buf"] = update_word_buf(new["value_word_buf"], pos, vct[:, :, t])
+            new["key_codes"] = jax.lax.dynamic_update_index_in_dim(
+                new["key_codes"], new["key_word_buf"][..., 0], pos // WORD, axis=-1
             )
-            new["value_residual_codes"] = set_word_byte(
-                new["value_residual_codes"], state["r"] + t, vct[:, :, t]
+            new["value_codes"] = jax.lax.dynamic_update_index_in_dim(
+                new["value_codes"], new["value_word_buf"][..., 0], pos // WORD, axis=-1
             )
         new["r"] = state["r"] + tail
     return new
@@ -172,16 +194,17 @@ def decode_update(
     """Append one decode token (reference decoding, pq_utils.py:281-311).
 
     Flush without lax.cond and without re-encoding: every decode step encodes
-    ONLY its one token into the small word-packed window-code buffer, and
-    that (nh_k, M, Lt/4) buffer is unconditionally copied into the arena at
-    n_codes. While the window is partial the copied span lies beyond the
-    valid region (attention masks by n_codes) so it is harmless; when the
-    window fills, "flush" is just the counter bump. Rationale: a lax.cond
-    over the multi-GB arena defeats XLA's in-place buffer aliasing (the
-    arena would be copied every token — the reference's torch.cat pathology
-    reborn), and re-encoding the whole window per step materializes a
-    (nh_k, Lt, M, C) distance tensor; the incremental scheme costs one
-    1-token encode plus a ~25 KB write per layer per step.
+    ONLY its one token and read-modify-writes its byte straight into the
+    arena word at n_codes + r. While the window is partial those positions
+    lie beyond the valid region (attention masks by n_codes) so they are
+    invisible; when the window fills, "flush" is just the counter bump.
+    Rationale: a lax.cond over the multi-GB arena defeats XLA's in-place
+    buffer aliasing (the arena would be copied every token — the
+    reference's torch.cat pathology reborn); re-encoding the window per
+    step materializes a (nh_k, Lt, M, C) distance tensor; and keeping a
+    separate window-code buffer costs ~8 ms/step in slice + layout copies
+    (measured at 3B/32K). The direct write is one 1-token encode plus a
+    ~14 KB arena RMW per layer per step.
     """
     cfg_Lt = state["key_residual"].shape[2]
 
@@ -200,17 +223,16 @@ def decode_update(
     new["value_residual"] = jax.lax.dynamic_update_slice(
         state["value_residual"], v.astype(state["value_residual"].dtype), (0, 0, r, 0)
     )
-    new["key_residual_codes"] = set_word_byte(state["key_residual_codes"], r, kc1)
-    new["value_residual_codes"] = set_word_byte(state["value_residual_codes"], r, vc1)
+    pos = state["n_codes"] + r
+    new["key_word_buf"] = update_word_buf(state["key_word_buf"], pos, kc1)
+    new["value_word_buf"] = update_word_buf(state["value_word_buf"], pos, vc1)
+    new["key_codes"] = jax.lax.dynamic_update_index_in_dim(
+        state["key_codes"], new["key_word_buf"][..., 0], pos // WORD, axis=-1
+    )
+    new["value_codes"] = jax.lax.dynamic_update_index_in_dim(
+        state["value_codes"], new["value_word_buf"][..., 0], pos // WORD, axis=-1
+    )
     new["r"] = r + 1
-    # unconditional small copy of the window's codes into the arena
-    start_w = state["n_codes"] // 4
-    new["key_codes"] = jax.lax.dynamic_update_slice(
-        state["key_codes"], new["key_residual_codes"], (0, 0, 0, start_w)
-    )
-    new["value_codes"] = jax.lax.dynamic_update_slice(
-        state["value_codes"], new["value_residual_codes"], (0, 0, 0, start_w)
-    )
     return new
 
 

@@ -62,10 +62,12 @@ def load_hf_weights(model_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> Par
                 ),
                 dtype,
             ),
-            "wq": stack("model.layers.{i}.self_attn.q_proj.weight"),
-            "wk": stack("model.layers.{i}.self_attn.k_proj.weight"),
-            "wv": stack("model.layers.{i}.self_attn.v_proj.weight"),
-            "wo": stack("model.layers.{i}.self_attn.o_proj.weight"),
+            # q/k/v/o keep HF (out, in) orientation: contracting dim minor
+            "wq": stack("model.layers.{i}.self_attn.q_proj.weight", transpose=False),
+            "wk": stack("model.layers.{i}.self_attn.k_proj.weight", transpose=False),
+            "wv": stack("model.layers.{i}.self_attn.v_proj.weight", transpose=False),
+            # wo keeps HF (out, in) orientation: contracting dim minor (see init_params)
+            "wo": stack("model.layers.{i}.self_attn.o_proj.weight", transpose=False),
             "w_gate": stack("model.layers.{i}.mlp.gate_proj.weight"),
             "w_up": stack("model.layers.{i}.mlp.up_proj.weight"),
             "w_down": stack("model.layers.{i}.mlp.down_proj.weight"),

@@ -32,6 +32,7 @@ from million_tpu.cache.pq_cache import (
     prefill_update,
     decode_update,
     set_word_byte,
+    update_word_buf,
 )
 from million_tpu.cache.dense_cache import dense_prefill_update
 from million_tpu.ops.pq_attention_ref import (
@@ -155,10 +156,14 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
         "layers": {
             "attn_norm": jnp.ones((L, D), cfg.dtype),
             "mlp_norm": jnp.ones((L, D), cfg.dtype),
-            "wq": w(ks[1], L, D, nh * dh),
-            "wk": w(ks[2], L, D, nk * dh),
-            "wv": w(ks[3], L, D, nk * dh),
-            "wo": w(ks[4], L, nh * dh, D),
+            # all attention projections are stored TRANSPOSED (out, in) so
+            # the contracting dim is minor-most: XLA otherwise inserts a
+            # per-layer weight layout copy every decode step (profiled at
+            # ~3.3 ms/step for wo + ~1.9 ms/step for wq/wk/wv at 3B).
+            "wq": w(ks[1], L, nh * dh, D),
+            "wk": w(ks[2], L, nk * dh, D),
+            "wv": w(ks[3], L, nk * dh, D),
+            "wo": w(ks[4], L, D, nh * dh),
             "w_gate": w(ks[5], L, D, I),
             "w_up": w(ks[6], L, D, I),
             "w_down": w(ks[7], L, I, D),
@@ -168,6 +173,26 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
         params["lm_head"] = w(ks[8], D, cfg.vocab_size)
     return params
 
+
+
+def _append_code(cache, side, i, token_idx, code):
+    """Append one token's codes for layer i at arena position token_idx.
+
+    The byte-granular RMW happens in the small per-layer word buffer
+    (L, bs, nh_k, M, 1); the multi-GB arena only sees a whole-word
+    dynamic_update_slice (WRITE-only — an arena read in its own update
+    expression breaks XLA's in-place aliasing and duplicates the buffer,
+    measured as an OOM + 6x slowdown at 3B/32K)."""
+    buf_key, arena_key = side + "_word_buf", side + "_codes"
+    buf = jax.lax.dynamic_index_in_dim(cache[buf_key], i, 0, keepdims=False)
+    buf = update_word_buf(buf, token_idx, code)
+    cache[buf_key] = jax.lax.dynamic_update_slice(
+        cache[buf_key], buf[None], (i, 0, 0, 0, 0)
+    )
+    cache[arena_key] = jax.lax.dynamic_update_slice(
+        cache[arena_key], buf[None], (i, 0, 0, 0, token_idx // WORD)
+    )
+    return cache
 
 def _rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
@@ -208,9 +233,9 @@ def _qkv(x: jax.Array, lp: Params, cfg: ModelConfig, pos: jax.Array):
     """Project + reshape + RoPE. x (bs, n, D) -> q (bs,nh,n,dh), k/v (bs,nk,n,dh)."""
     bs, n, _ = x.shape
     nh, nk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (x @ lp["wq"]).reshape(bs, n, nh, dh).transpose(0, 2, 1, 3)
-    k = (x @ lp["wk"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
-    v = (x @ lp["wv"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
+    q = jnp.einsum("bnd,fd->bnf", x, lp["wq"]).reshape(bs, n, nh, dh).transpose(0, 2, 1, 3)
+    k = jnp.einsum("bnd,fd->bnf", x, lp["wk"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
+    v = jnp.einsum("bnd,fd->bnf", x, lp["wv"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
     inv_freq = _rope_freqs(cfg)
     q = _apply_rope(q, pos, inv_freq)
     k = _apply_rope(k, pos, inv_freq)
@@ -291,21 +316,10 @@ def prefill(
                 cache["value_residual"] = jax.lax.dynamic_update_slice(
                     cache["value_residual"], vt[None], (i, 0, 0, r0, 0)
                 )
-                krc = jax.lax.dynamic_index_in_dim(
-                    cache["key_residual_codes"], i, 0, keepdims=False
-                )
-                vrc = jax.lax.dynamic_index_in_dim(
-                    cache["value_residual_codes"], i, 0, keepdims=False
-                )
                 for t in range(tail):
-                    krc = set_word_byte(krc, r0 + t, kc[..., n4 + t])
-                    vrc = set_word_byte(vrc, r0 + t, vc[..., n4 + t])
-                cache["key_residual_codes"] = jax.lax.dynamic_update_slice(
-                    cache["key_residual_codes"], krc[None], (i, 0, 0, 0, 0)
-                )
-                cache["value_residual_codes"] = jax.lax.dynamic_update_slice(
-                    cache["value_residual_codes"], vrc[None], (i, 0, 0, 0, 0)
-                )
+                    pos_t = cache["n_codes"][i] + r0 + t
+                    cache = _append_code(cache, "key", i, pos_t, kc[..., n4 + t])
+                    cache = _append_code(cache, "value", i, pos_t, vc[..., n4 + t])
                 cache["r"] = cache["r"].at[i].add(tail)
             if distort_recent:
                 k = pq_decode(
@@ -326,7 +340,7 @@ def prefill(
             cache["length"] = cache["length"].at[i].add(n)
             attn = causal_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(bs, n, -1)
-        x = x + (attn @ lp["wo"]).astype(x.dtype)
+        x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h, lp).astype(x.dtype)
         return (x, cache, i + 1), None
@@ -392,34 +406,10 @@ def decode_step(
             )
             kc1 = pq_encode(k, kcent, SUBSPACE_LAYOUT)[:, :, 0]  # (bs, nh_k, M)
             vc1 = pq_encode(v, vcent, SUBSPACE_LAYOUT)[:, :, 0]
-            krc = set_word_byte(
-                jax.lax.dynamic_index_in_dim(
-                    cache["key_residual_codes"], i, 0, keepdims=False
-                ),
-                r,
-                kc1,
-            )
-            vrc = set_word_byte(
-                jax.lax.dynamic_index_in_dim(
-                    cache["value_residual_codes"], i, 0, keepdims=False
-                ),
-                r,
-                vc1,
-            )
-            cache["key_residual_codes"] = jax.lax.dynamic_update_slice(
-                cache["key_residual_codes"], krc[None], (i, 0, 0, 0, 0)
-            )
-            cache["value_residual_codes"] = jax.lax.dynamic_update_slice(
-                cache["value_residual_codes"], vrc[None], (i, 0, 0, 0, 0)
-            )
-            # mirror the window's word-packed codes into the arena at
-            # words [start//4, start//4 + Lt//4)
-            cache["key_codes"] = jax.lax.dynamic_update_slice(
-                cache["key_codes"], krc[None], (i, 0, 0, 0, start // WORD)
-            )
-            cache["value_codes"] = jax.lax.dynamic_update_slice(
-                cache["value_codes"], vrc[None], (i, 0, 0, 0, start // WORD)
-            )
+            # write this token's codes straight into the arena (invisible
+            # to attention until the window flush bumps n_codes)
+            cache = _append_code(cache, "key", i, start + r, kc1)
+            cache = _append_code(cache, "value", i, start + r, vc1)
             if mode == "pq_pallas":
                 attn = _pq_pallas_attention_stacked(
                     q[:, :, 0], cache, cents, i, cfg, mesh
@@ -457,7 +447,7 @@ def decode_step(
             kmask = jnp.arange(kl.shape[2]) < cache["length"][i]
             attn = _masked_dense_decode(q[:, :, 0], kl, vl, kmask)
         attn = attn.reshape(bs, 1, -1)  # (bs, nh, d) -> (bs, 1, nh*d)
-        x = x + (attn @ lp["wo"]).astype(x.dtype)
+        x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h, lp).astype(x.dtype)
         return (x, cache, i + 1), None

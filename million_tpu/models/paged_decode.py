@@ -90,9 +90,9 @@ def paged_decode_step(
         vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
 
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = (h @ lp["wq"]).reshape(S, 1, nh, dh).transpose(0, 2, 1, 3)
-        k = (h @ lp["wk"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
-        v = (h @ lp["wv"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
+        q = jnp.einsum("bnd,fd->bnf", h, lp["wq"]).reshape(S, 1, nh, dh).transpose(0, 2, 1, 3)
+        k = jnp.einsum("bnd,fd->bnf", h, lp["wk"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
+        v = jnp.einsum("bnd,fd->bnf", h, lp["wv"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
         q = _rope_per_seq(q, positions, inv_freq)
         k = _rope_per_seq(k, positions, inv_freq)
 
@@ -188,7 +188,7 @@ def paged_decode_step(
         merged, _ = merge_partials(jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r]))
         attn = merged[:, :, :G].reshape(S, 1, nh * dh)
 
-        x_out = x + (attn.astype(x.dtype) @ lp["wo"]).astype(x.dtype)
+        x_out = x + jnp.einsum("bnf,df->bnd", attn.astype(x.dtype), lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x_out, lp["mlp_norm"], cfg.rms_eps)
         x_out = x_out + _mlp(h2, lp).astype(x.dtype)
         return (x_out, st, li + 1), None
@@ -266,7 +266,7 @@ def paged_prefill_seq(
             ].set(vrc0)
         attn = causal_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(1, n, -1)
-        x = x + (attn @ lp["wo"]).astype(x.dtype)
+        x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h2, lp).astype(x.dtype)
         return (x, st, li + 1), None

@@ -250,6 +250,8 @@ def _make_consume(block, tw, q8, ss, vo, kh_s, vh_s, acc, m_s, l_s, n_codes, int
     q8 (G, 4M) int8 (prepare_q), ss (G, 1) f32 score scale, vo (G, 4M) f32
     per-row PV output scale (zero at filler rows)."""
     G = q8.shape[0]
+    slots = _slot_positions(block, tw)  # traced once per kernel body
+    LOG127 = float(np.log(127.0))
 
     def consume(p_idx, bi):
         k8 = _expand_i8(kh_s[p_idx], interpret)  # (4M, block) i8
@@ -259,15 +261,15 @@ def _make_consume(block, tw, q8, ss, vo, kh_s, vh_s, acc, m_s, l_s, n_codes, int
         ).astype(jnp.float32) * ss  # (G, block)
         # only the block containing n_codes needs masking; full blocks skip
         # the position compare entirely (one lax.select on a scalar).
-        pos = bi * block + _slot_positions(block, tw)
+        pos = bi * block + slots
         full = (bi + 1) * block <= n_codes
         s = jnp.where(jnp.logical_or(full, pos < n_codes), s, NEG_INF)
         m_prev = m_s[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_s[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        x = p * 127.0
+        # x = 127 * p computed by folding ln(127) into the exp shift
+        x = jnp.exp(s - (m_new - LOG127))
+        l_new = l_s[:, :1] * alpha + jnp.sum(x, axis=1, keepdims=True) * (1.0 / 127.0)
         ph_f = jnp.round(x)
         pl_f = jnp.round((x - ph_f) * 128.0)
         # one MXU dot for both p planes: rows [0,G) = hi, [G,2G) = lo
@@ -506,9 +508,9 @@ def _pq_attn_kernel_stacked(
     ss_ref,  # (1, 1, GROUP_PAD, 128) f32
     kc_ref,  # (1, 1, 1, M, block//4) int32 from (L, bs, nh_k, M, NW)
     vc_ref,
-    kt_ref,  # (1, M, 128) int32 from (L, M, 128)
-    vt_ref,
-    vo_ref,  # (1, GROUP_PAD, 4M) f32 from (L, GROUP_PAD, 4M)
+    kt_ref,  # (M, 128) int32 — CURRENT layer's table (sliced in XLA; the
+    vt_ref,  # full (L, M, 128) stack as an operand costs a per-call copy)
+    vo_ref,  # (GROUP_PAD, 4M) f32 — current layer's PV output scales
     out_ref,
     lse_ref,
     acc_ref,
@@ -532,10 +534,10 @@ def _pq_attn_kernel_stacked(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     consume = _make_consume(
-        block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[0],
+        block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
     )
-    produce = _make_produce(block, tw, interpret, kt_ref[0], vt_ref[0], kh_ref, vh_ref)
+    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * block < n_codes)
 
@@ -600,13 +602,16 @@ def pq_codes_attention_stacked(
     bw = block // WORD
     R = 4 * M
 
-    # layer-specific q-scale folding (tiny dynamic slice of the (L, 4M) table)
+    # per-layer slices of the tiny tables/scales (32 KB each): passing the
+    # full (L, ...) stacks as pallas operands made XLA copy every stack on
+    # every call — ~5.8 ms/step at 3B (profiled).
     kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
-    q8, ss = prepare_q(q, DecodeTable(kpack.tab[0], kq_l, kq_l))
+    kt_l = jax.lax.dynamic_index_in_dim(kpack.tab, layer, 0, False)
+    vt_l = jax.lax.dynamic_index_in_dim(vpack.tab, layer, 0, False)
+    vo_l = jax.lax.dynamic_index_in_dim(vpack.out_scale, layer, 0, False)
+    q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
-    vo_all = jnp.broadcast_to(
-        vpack.out_scale[:, None, :], (L, G, R)
-    ).astype(jnp.float32)
+    vo_b = jnp.broadcast_to(vo_l, (G, R)).astype(jnp.float32)
     _, select_idx = decode_row_maps(M)
 
     kernel = functools.partial(
@@ -626,9 +631,9 @@ def pq_codes_attention_stacked(
                 (1, 1, 1, M, bw),
                 lambda b, h, i, li, nc, nb=nb: (li[0], b, h, 0, jnp.minimum(i, nb - 1)),
             ),
-            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, nc: (li[0], 0, 0)),
-            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, nc: (li[0], 0, 0)),
-            pl.BlockSpec((1, G, R), lambda b, h, i, li, nc: (li[0], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, nc: (b, h, 0, 0)),
@@ -653,7 +658,7 @@ def pq_codes_attention_stacked(
     )(
         layer.reshape(1).astype(jnp.int32),
         n_codes.reshape(1).astype(jnp.int32),
-        q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo_all,
+        q8, ss_b, key_codes, value_codes, kt_l, vt_l, vo_b,
     )
     return out[..., select_idx], lse[..., 0]
 
@@ -810,9 +815,9 @@ def _pq_paged_attn_kernel_stacked(
     ss_ref,
     kc_ref,  # (1, 1, 1, M, ps_w) int32
     vc_ref,
-    kt_ref,  # (1, M, 128) int32
+    kt_ref,  # (M, 128) int32 — current layer's table (sliced in XLA)
     vt_ref,
-    vo_ref,  # (1, GROUP_PAD, 4M) f32
+    vo_ref,  # (GROUP_PAD, 4M) f32
     out_ref,
     lse_ref,
     acc_ref,
@@ -837,10 +842,10 @@ def _pq_paged_attn_kernel_stacked(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     consume = _make_consume(
-        page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[0],
+        page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
     )
-    produce = _make_produce(page_size, tw, interpret, kt_ref[0], vt_ref[0], kh_ref, vh_ref)
+    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * page_size < n_codes)
 
@@ -893,11 +898,12 @@ def pq_paged_attention_stacked(
     R = 4 * M
 
     kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
-    q8, ss = prepare_q(q, DecodeTable(kpack.tab[0], kq_l, kq_l))
+    kt_l = jax.lax.dynamic_index_in_dim(kpack.tab, layer, 0, False)
+    vt_l = jax.lax.dynamic_index_in_dim(vpack.tab, layer, 0, False)
+    vo_l = jax.lax.dynamic_index_in_dim(vpack.out_scale, layer, 0, False)
+    q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
-    vo_all = jnp.broadcast_to(
-        vpack.out_scale[:, None, :], (L, G, R)
-    ).astype(jnp.float32)
+    vo_b = jnp.broadcast_to(vo_l, (G, R)).astype(jnp.float32)
     _, select_idx = decode_row_maps(M)
 
     kernel = functools.partial(
@@ -917,9 +923,9 @@ def pq_paged_attention_stacked(
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
             pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
-            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, pt, nc: (li[0], 0, 0)),
-            pl.BlockSpec((1, M, LANES), lambda b, h, i, li, pt, nc: (li[0], 0, 0)),
-            pl.BlockSpec((1, G, R), lambda b, h, i, li, pt, nc: (li[0], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
@@ -947,6 +953,6 @@ def pq_paged_attention_stacked(
         layer.reshape(1).astype(jnp.int32),
         pt,
         n_codes.astype(jnp.int32),
-        q8, ss_b, key_pool, value_pool, kpack.tab, vpack.tab, vo_all,
+        q8, ss_b, key_pool, value_pool, kt_l, vt_l, vo_b,
     )
     return out[..., select_idx], lse[..., 0]

@@ -49,10 +49,10 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
         "layers": {
             "attn_norm": s(None, None),
             "mlp_norm": s(None, None),
-            "wq": s(None, None, "tp"),
-            "wk": s(None, None, "tp"),
-            "wv": s(None, None, "tp"),
-            "wo": s(None, "tp", None),
+            "wq": s(None, "tp", None),  # transposed storage (L, out, in)
+            "wk": s(None, "tp", None),
+            "wv": s(None, "tp", None),
+            "wo": s(None, None, "tp"),  # transposed storage (L, D, nh*dh)
             "w_gate": s(None, None, "tp"),
             "w_up": s(None, None, "tp"),
             "w_down": s(None, "tp", None),
@@ -68,10 +68,10 @@ def pq_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
     return {
         "key_codes": s(None, "dp", "tp", None, "sp"),
         "value_codes": s(None, "dp", "tp", None, "sp"),
+        "key_word_buf": s(None, "dp", "tp", None, None),
+        "value_word_buf": s(None, "dp", "tp", None, None),
         "key_residual": s(None, "dp", "tp", None, None),
         "value_residual": s(None, "dp", "tp", None, None),
-        "key_residual_codes": s(None, "dp", "tp", None, None),
-        "value_residual_codes": s(None, "dp", "tp", None, None),
         "n_codes": s(None),
         "r": s(None),
     }
