@@ -42,9 +42,11 @@ def main():
 
     scale = 1.0 / d**0.5
 
+    direct = C <= 128  # nbits<=7: direct-index tables, no parity select
     kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
     vcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
-    kpack, vpack = pack_decode_table(kcent), pack_decode_table(vcent)
+    kpack = pack_decode_table(kcent, direct=direct)
+    vpack = pack_decode_table(vcent, direct=direct)
 
     # ---- parity at a small length --------------------------------------
     np_ = args.parity_n
@@ -56,6 +58,7 @@ def main():
         jnp.asarray(q * scale, jnp.bfloat16),
         pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)), kpack, vpack,
         jnp.asarray(n_codes, jnp.int32), block=min(args.block, np_),
+        direct=direct,
     )
     out.block_until_ready()
 
@@ -84,7 +87,7 @@ def main():
     # program constants, exploding compile time at GB scales.
     @jax.jit
     def step(qq, kc, vc):
-        o, _ = pq_codes_attention(qq, kc, vc, kpack, vpack, ncd, block=args.block)
+        o, _ = pq_codes_attention(qq, kc, vc, kpack, vpack, ncd, block=args.block, direct=direct)
         # roll q so successive chained calls are NOT value-identical (some
         # runtimes dedupe repeated identical computations), while keeping a
         # data dependency on the kernel output.

@@ -60,10 +60,12 @@ def build_tables(cents):
     cents {"key": (L, M, C, d_m), "value": ...} ->
     {"key": ..., "value": ..., "kpack": (L, d=M*d_m, 128), "vpack": ...}
     """
+    direct = cents["key"].shape[2] <= 128  # C static from the cents shape
+    pack = lambda c: pack_decode_table(c, direct=direct)
     return {
         **cents,
-        "kpack": jax.vmap(pack_decode_table)(cents["key"]),
-        "vpack": jax.vmap(pack_decode_table)(cents["value"]),
+        "kpack": jax.vmap(pack)(cents["key"]),
+        "vpack": jax.vmap(pack)(cents["value"]),
     }
 
 Params = Dict[str, Any]
@@ -374,6 +376,17 @@ def decode_step(
     x = params["embed"][token][:, None, :]  # (bs, 1, D)
     pos_arr = pos[None] if jnp.ndim(pos) == 0 else pos
 
+    # Counters evolve IDENTICALLY in every layer (same update rule per
+    # token), so compute them once per step outside the scan: per-layer
+    # indexed counter reads fed the kernels' scalar prefetch a fresh (L,)
+    # slice every iteration, costing ~2 ms/step in tiny blocking
+    # HBM->SMEM copies (profiled at 3B/32K).
+    if mode in ("pq", "pq_pallas"):
+        Lt_s = cache["key_residual"].shape[3]
+        do_restart_s = cache["r"][0] >= Lt_s
+        start_s = jnp.where(do_restart_s, cache["n_codes"][0] + Lt_s, cache["n_codes"][0])
+        r_s = jnp.where(do_restart_s, 0, cache["r"][0])
+
     # Carry-threaded cache (see prefill): indexed per-layer updates on the
     # stacked arenas keep XLA's in-place aliasing; the fused kernel reads
     # its layer directly from the stacked arena via a scalar-prefetched
@@ -386,15 +399,7 @@ def decode_step(
         if mode in ("pq", "pq_pallas"):
             kcent = jax.lax.dynamic_index_in_dim(cents["key"], i, 0, keepdims=False)
             vcent = jax.lax.dynamic_index_in_dim(cents["value"], i, 0, keepdims=False)
-            Lt = cache["key_residual"].shape[3]
-            # window restart (counters only; the arena already holds the
-            # window's codes from the per-step mirror below)
-            do_restart = cache["r"][i] >= Lt
-            n0 = cache["n_codes"][i]
-            start = jnp.where(do_restart, n0 + Lt, n0)
-            r = jnp.where(do_restart, 0, cache["r"][i])
-            cache["n_codes"] = cache["n_codes"].at[i].set(start)
-            cache["r"] = cache["r"].at[i].set(r + 1)
+            start, r = start_s, r_s  # hoisted uniform counters
             # append token to the residual window + its incremental code
             kd = k.astype(cache["key_residual"].dtype)
             vd = v.astype(cache["value_residual"].dtype)
@@ -404,15 +409,22 @@ def decode_step(
             cache["value_residual"] = jax.lax.dynamic_update_slice(
                 cache["value_residual"], vd[None], (i, 0, 0, r, 0)
             )
-            kc1 = pq_encode(k, kcent, SUBSPACE_LAYOUT)[:, :, 0]  # (bs, nh_k, M)
-            vc1 = pq_encode(v, vcent, SUBSPACE_LAYOUT)[:, :, 0]
+            # one fused encode for K and V (halves the argmin fixed cost)
+            kvc = pq_encode(
+                jnp.concatenate([k, v], axis=0),
+                jnp.concatenate([kcent[None], vcent[None]], axis=0),
+                SUBSPACE_LAYOUT,
+                batched_cents=True,
+            )[:, :, 0]  # (2*bs, nh_k, M)
+            kc1, vc1 = kvc[:bs], kvc[bs:]
             # write this token's codes straight into the arena (invisible
             # to attention until the window flush bumps n_codes)
             cache = _append_code(cache, "key", i, start + r, kc1)
             cache = _append_code(cache, "value", i, start + r, vc1)
             if mode == "pq_pallas":
                 attn = _pq_pallas_attention_stacked(
-                    q[:, :, 0], cache, cents, i, cfg, mesh
+                    q[:, :, 0], cache, cents, i, cfg, mesh,
+                    n_codes=start, r=r + 1,
                 )
             else:
                 from million_tpu.ops.pq_attention_pallas import unpack_codes
@@ -429,8 +441,8 @@ def decode_step(
                     vcent,
                     jax.lax.dynamic_index_in_dim(cache["key_residual"], i, 0, False),
                     jax.lax.dynamic_index_in_dim(cache["value_residual"], i, 0, False),
-                    cache["n_codes"][i],
-                    cache["r"][i],
+                    start,
+                    r + 1,
                     layout=SUBSPACE_LAYOUT,
                 )
         else:
@@ -457,10 +469,16 @@ def decode_step(
     (x, cache, _), _ = jax.lax.scan(
         layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
     )
+    if mode in ("pq", "pq_pallas"):
+        cache = dict(cache)
+        cache["n_codes"] = jnp.full_like(cache["n_codes"], start_s)
+        cache["r"] = jnp.full_like(cache["r"], r_s + 1)
     return _logits(params, cfg, x)[:, 0], cache
 
 
-def _pq_pallas_attention_stacked(q, cache, cents, layer_idx, cfg, mesh=None):
+def _pq_pallas_attention_stacked(
+    q, cache, cents, layer_idx, cfg, mesh=None, n_codes=None, r=None
+):
     """Fused-kernel decode attention over the STACKED cache: the kernel
     selects its layer through a scalar-prefetched index (no layer-slice
     materialization); the small residual window is sliced normally and
@@ -476,7 +494,10 @@ def _pq_pallas_attention_stacked(q, cache, cents, layer_idx, cfg, mesh=None):
     qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
     q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
-    n_codes = cache["n_codes"][layer_idx]
+    if n_codes is None:
+        n_codes = cache["n_codes"][layer_idx]
+    if r is None:
+        r = cache["r"][layer_idx]
 
     if mesh is not None:
         from million_tpu.parallel.sharded_decode import (
@@ -489,19 +510,19 @@ def _pq_pallas_attention_stacked(q, cache, cents, layer_idx, cfg, mesh=None):
         out_c, lse_c = sharded_pq_codes_attention_stacked(
             mesh, q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"], layer_idx, n_codes,
-            interpret=interp,
+            interpret=interp, direct=C <= 128,
         )
     else:
         out_c, lse_c = pq_codes_attention_stacked(
             q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"],
-            layer_idx, n_codes,
+            layer_idx, n_codes, direct=C <= 128,
         )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32),
         jax.lax.dynamic_index_in_dim(cache["key_residual"], layer_idx, 0, False),
         jax.lax.dynamic_index_in_dim(cache["value_residual"], layer_idx, 0, False),
-        cache["r"][layer_idx],
+        r,
         scale=1.0,
     )
     merged, _ = merge_partials(jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r]))
@@ -539,6 +560,7 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
             cents_l["vpack"],
             cache_l["n_codes"],
             interpret=interp,
+            direct=C <= 128,
         )
     else:
         out_c, lse_c = pq_codes_attention(
@@ -548,6 +570,7 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
             cents_l["kpack"],
             cents_l["vpack"],
             cache_l["n_codes"],
+            direct=C <= 128,
         )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32) / 1.0,  # already scaled

@@ -175,6 +175,7 @@ def paged_decode_step(
             q_pad, st["key_pool"], st["value_pool"],
             tables["kpack"], tables["vpack"], li,
             state["page_table"], n_codes_eff,
+            direct=tables["key"].shape[2] <= 128,
         )
         # valid residual entries per slot: [0, r_eff] (token just appended)
         rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, r_eff, -1)[:, None]

@@ -116,12 +116,21 @@ class DecodeTable(NamedTuple):
     out_scale: jax.Array
 
 
-def pack_decode_table(cents: jax.Array) -> DecodeTable:
+def pack_decode_table(cents: jax.Array, direct: bool = False) -> DecodeTable:
     """Build the kernel's int8 quad-packed gather table from a codebook
-    (M, C, d_m) f32. Requires d_m == 2 and C <= 256."""
+    (M, C, d_m) f32. Requires d_m == 2 and C <= 256.
+
+    direct=True (requires C <= 128): lane l holds code l's components in the
+    low 16 bits ([c0(l), c1(l), 0, 0]) so the kernel decodes with a bare
+    byte-index gather — no parity select, ~40% fewer produce ops. This is
+    the fast path for the reference's C=128 kernel variants (setup.py
+    compiles C in {128, 256}); callers must pass the SAME `direct` flag to
+    the attention wrappers."""
     M, C, d_m = cents.shape
     if C > 256:
         raise ValueError("kernel supports nbits <= 8 (C <= 256)")
+    if direct and C > 128:
+        raise ValueError("direct tables require C <= 128")
     if d_m != 2:
         raise ValueError(
             f"the fused kernel requires d_m == 2 (M = d/2); got d_m={d_m}. "
@@ -131,14 +140,18 @@ def pack_decode_table(cents: jax.Array) -> DecodeTable:
     sc = jnp.maximum(jnp.max(jnp.abs(c), axis=1), 1e-9)  # (M, 2)
     q = jnp.clip(jnp.round(c * (127.0 / sc[:, None, :])), -127, 127)
     q = q.astype(jnp.int32)  # (M, C, 2)
-    qp = jnp.zeros((M, 256, 2), jnp.int32).at[:, :C].set(q)
-    b = [qp[:, 0::2, 0], qp[:, 0::2, 1], qp[:, 1::2, 0], qp[:, 1::2, 1]]
-    w = (
-        (b[0] & 255)
-        | ((b[1] & 255) << 8)
-        | ((b[2] & 255) << 16)
-        | ((b[3] & 255) << 24)
-    )  # (M, 128)
+    if direct:
+        qp = jnp.zeros((M, 128, 2), jnp.int32).at[:, :C].set(q)
+        w = (qp[..., 0] & 255) | ((qp[..., 1] & 255) << 8)  # (M, 128)
+    else:
+        qp = jnp.zeros((M, 256, 2), jnp.int32).at[:, :C].set(q)
+        b = [qp[:, 0::2, 0], qp[:, 0::2, 1], qp[:, 1::2, 0], qp[:, 1::2, 1]]
+        w = (
+            (b[0] & 255)
+            | ((b[1] & 255) << 8)
+            | ((b[2] & 255) << 16)
+            | ((b[3] & 255) << 24)
+        )  # (M, 128)
     # q_scale row 4m+j = sc[m, j]; filler rows 4m+2, 4m+3 = 0
     q_scale = jnp.stack(
         [sc[:, 0], sc[:, 1], jnp.zeros(M), jnp.zeros(M)], axis=1
@@ -147,7 +160,7 @@ def pack_decode_table(cents: jax.Array) -> DecodeTable:
     return DecodeTable(tab=w.astype(jnp.int32), q_scale=q_scale, out_scale=out_scale)
 
 
-def dequantize_table(table: DecodeTable, C: int = 256) -> jax.Array:
+def dequantize_table(table: DecodeTable, C: int = 256, direct: bool = False) -> jax.Array:
     """Effective codebook the kernel computes with: (M, C, 2) f32.
 
     The jnp/numpy oracle should decode with THIS codebook when checking
@@ -160,11 +173,13 @@ def dequantize_table(table: DecodeTable, C: int = 256) -> jax.Array:
         byte = ((u >> (8 * k)) & 255).astype(jnp.uint8)
         i8 = jax.lax.bitcast_convert_type(byte, jnp.int8)
         comps.append(i8.astype(jnp.float32))
-    # lane l: [c0(2l), c1(2l), c0(2l+1), c1(2l+1)]
-    even = jnp.stack([comps[0], comps[1]], axis=-1)  # (M, 128, 2) codes 2l
-    odd = jnp.stack([comps[2], comps[3]], axis=-1)  # codes 2l+1
-    full = jnp.stack([even, odd], axis=2).reshape(M, 256, 2)
     sc = jnp.stack([table.q_scale[0::4], table.q_scale[1::4]], axis=-1)  # (M, 2)
+    if direct:
+        full = jnp.stack([comps[0], comps[1]], axis=-1)  # (M, 128, 2) code l
+    else:
+        even = jnp.stack([comps[0], comps[1]], axis=-1)  # codes 2l
+        odd = jnp.stack([comps[2], comps[3]], axis=-1)  # codes 2l+1
+        full = jnp.stack([even, odd], axis=2).reshape(M, 256, 2)
     return (full * sc[:, None, :] / 127.0)[:, :C]
 
 
@@ -202,15 +217,22 @@ def prepare_q(q: jax.Array, table: DecodeTable):
 # kernel body building blocks
 # --------------------------------------------------------------------------
 
-def _decode_words(tab, w, b, interpret):
+def _decode_words(tab, w, b, interpret, direct=False):
     """Decode one word-tile byte: words w (M, tw) i32, byte position b ->
     (M, tw) i32 whose low 16 bits are [comp0, comp1] int8 of token
     4*(word_base+lane)+b (high 16 bits are filler).
 
-    One gather: index = code>>1 (hardware wraps indices mod 128, measured;
-    interpret mode masks explicitly because jnp clamps), then the code's
-    parity bit (via the sign trick) selects the 16-bit half.
+    Pair layout (C <= 256): one gather with index = code>>1 (hardware wraps
+    indices mod 128, measured; interpret mode masks explicitly because jnp
+    clamps), then the code's parity bit (via the sign trick) selects the
+    16-bit half. Direct layout (C <= 128): a bare byte-index gather — the
+    wrap masks the higher bytes, no parity select at all.
     """
+    if direct:
+        idx = w if b == 0 else (w >> (8 * b))
+        if interpret:
+            idx = idx & 127
+        return jnp.take_along_axis(tab, idx, axis=1)
     idx = w >> (8 * b + 1)
     if interpret:
         idx = idx & 127
@@ -290,7 +312,7 @@ def _make_consume(block, tw, q8, ss, vo, kh_s, vh_s, acc, m_s, l_s, n_codes, int
     return consume
 
 
-def _make_produce(block, tw, interpret, kt, vt, kh_s, vh_s):
+def _make_produce(block, tw, interpret, kt, vt, kh_s, vh_s, direct=False):
     """Decode one block of K/V words into scratch pair p_idx: one gather per
     word-tile byte, stores coalesced to (M, 4*tw) per word-tile."""
     n_tiles = block // (4 * tw)
@@ -301,15 +323,20 @@ def _make_produce(block, tw, interpret, kt, vt, kh_s, vh_s):
             kws, vws = kw[:, wsl], vw[:, wsl]
             osl = slice(t * 4 * tw, (t + 1) * 4 * tw)
             kh_s[p_idx, :, osl] = jnp.concatenate(
-                [_decode_words(kt, kws, b, interpret) for b in range(4)], axis=1
+                [_decode_words(kt, kws, b, interpret, direct) for b in range(4)],
+                axis=1,
             )
             vh_s[p_idx, :, osl] = jnp.concatenate(
-                [_decode_words(vt, vws, b, interpret) for b in range(4)], axis=1
+                [_decode_words(vt, vws, b, interpret, direct) for b in range(4)],
+                axis=1,
             )
     return produce
 
 
 def _finish(out_ref, lse_ref, acc, m_s, l_s):
+    """Normalize and emit the partial in kernel-row order plus its LSE (the
+    natural-order selection happens in XLA — Mosaic rejects both gathers
+    and strided slices over the 4M-lane row domain)."""
     l = l_s[:, :1]
     safe_l = jnp.maximum(l, 1e-30)
     out_ref[0, 0] = acc[:] / safe_l
@@ -359,12 +386,15 @@ def _pq_attn_kernel(
     acc_ref,
     m_ref,
     l_ref,
-    kh_ref,  # (2, M, block) i32 double-buffered decode scratch
-    vh_ref,
+    kh_ref,  # (1, M, block) i32 decode scratch — SINGLE buffer: consume of
+    vh_ref,  # block i-1 precedes produce of block i in program order, so no
+    # double-buffering is needed (regions serialize; measured no loss), and
+    # the freed VMEM funds a 2x larger block (fewer per-block overheads).
     *,
     block: int,
     tw: int,
     interpret: bool,
+    direct: bool = False,
 ):
     i = pl.program_id(2)
     nb = pl.num_programs(2) - 1  # last step is the pipeline epilogue
@@ -380,27 +410,15 @@ def _pq_attn_kernel(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
     )
-    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
+    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
-    c_live = jnp.logical_and(i > 0, (i - 1) * block < n_codes)
-
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 0))
+    @pl.when(jnp.logical_and(i > 0, (i - 1) * block < n_codes))
     def _():
         consume(0, i - 1)
 
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 1))
-    def _():
-        consume(1, i - 1)
-
-    p_live = jnp.logical_and(i < nb, i * block < n_codes)
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 0))
+    @pl.when(jnp.logical_and(i < nb, i * block < n_codes))
     def _():
         produce(0, kc_ref[0, 0], vc_ref[0, 0])
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 1))
-    def _():
-        produce(1, kc_ref[0, 0], vc_ref[0, 0])
 
     @pl.when(i == nb)
     def _():
@@ -409,7 +427,7 @@ def _pq_attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block", "n_bucket", "interpret"),
+    static_argnames=("block", "n_bucket", "interpret", "direct"),
 )
 def pq_codes_attention(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, PRE-SCALED by 1/sqrt(d)
@@ -419,9 +437,10 @@ def pq_codes_attention(
     vpack: DecodeTable,
     n_codes: jax.Array,  # () int32
     *,
-    block: int = 4096,
+    block: int = 8192,
     n_bucket: int | None = None,
     interpret: bool | None = None,
+    direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Partial attention over the quantized code arena.
 
@@ -452,7 +471,7 @@ def pq_codes_attention(
     q8, ss_b, vo, select_idx = _prep_call(q, kpack, vpack)
     nc = n_codes.astype(jnp.int32).reshape(1, 1)
     kernel = functools.partial(
-        _pq_attn_kernel, block=block, tw=tw, interpret=interpret,
+        _pq_attn_kernel, block=block, tw=tw, interpret=interpret, direct=direct,
     )
     bw = block // WORD
     R = 4 * M
@@ -489,8 +508,8 @@ def pq_codes_attention(
             pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, M, block), jnp.int32),
-            pltpu.VMEM((2, M, block), jnp.int32),
+            pltpu.VMEM((1, M, block), jnp.int32),
+            pltpu.VMEM((1, M, block), jnp.int32),
         ],
         interpret=interpret,
     )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
@@ -522,6 +541,7 @@ def _pq_attn_kernel_stacked(
     block: int,
     tw: int,
     interpret: bool,
+    direct: bool = False,
 ):
     i = pl.program_id(2)
     nb = pl.num_programs(2) - 1
@@ -537,27 +557,15 @@ def _pq_attn_kernel_stacked(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
     )
-    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
+    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
-    c_live = jnp.logical_and(i > 0, (i - 1) * block < n_codes)
-
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 0))
+    @pl.when(jnp.logical_and(i > 0, (i - 1) * block < n_codes))
     def _():
         consume(0, i - 1)
 
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 1))
-    def _():
-        consume(1, i - 1)
-
-    p_live = jnp.logical_and(i < nb, i * block < n_codes)
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 0))
+    @pl.when(jnp.logical_and(i < nb, i * block < n_codes))
     def _():
         produce(0, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 1))
-    def _():
-        produce(1, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
 
     @pl.when(i == nb)
     def _():
@@ -565,7 +573,7 @@ def _pq_attn_kernel_stacked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "n_bucket", "interpret")
+    jax.jit, static_argnames=("block", "n_bucket", "interpret", "direct")
 )
 def pq_codes_attention_stacked(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
@@ -576,9 +584,10 @@ def pq_codes_attention_stacked(
     layer: jax.Array,  # () int32
     n_codes: jax.Array,  # () int32
     *,
-    block: int = 4096,
+    block: int = 8192,
     n_bucket: int | None = None,
     interpret: bool | None = None,
+    direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """pq_codes_attention over one layer of a STACKED cache, the layer chosen
     by a scalar-prefetched index. This exists because slicing the layer out
@@ -616,6 +625,7 @@ def pq_codes_attention_stacked(
 
     kernel = functools.partial(
         _pq_attn_kernel_stacked, block=block, tw=tw, interpret=interpret,
+        direct=direct,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -643,8 +653,8 @@ def pq_codes_attention_stacked(
             pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, M, block), jnp.int32),
-            pltpu.VMEM((2, M, block), jnp.int32),
+            pltpu.VMEM((1, M, block), jnp.int32),
+            pltpu.VMEM((1, M, block), jnp.int32),
         ],
     )
     out, lse = pl.pallas_call(
@@ -657,7 +667,7 @@ def pq_codes_attention_stacked(
         interpret=interpret,
     )(
         layer.reshape(1).astype(jnp.int32),
-        n_codes.reshape(1).astype(jnp.int32),
+        n_codes.astype(jnp.int32).reshape(1),
         q8, ss_b, key_codes, value_codes, kt_l, vt_l, vo_b,
     )
     return out[..., select_idx], lse[..., 0]
@@ -688,6 +698,7 @@ def _pq_paged_attn_kernel(
     page_size: int,
     tw: int,
     interpret: bool,
+    direct: bool = False,
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
@@ -704,7 +715,7 @@ def _pq_paged_attn_kernel(
         page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
     )
-    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
+    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * page_size < n_codes)
 
@@ -731,7 +742,7 @@ def _pq_paged_attn_kernel(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "direct"))
 def pq_paged_attention(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (n_pages, nh_k, M, page_size//4) int32 — ONE layer
@@ -742,6 +753,7 @@ def pq_paged_attention(
     n_codes: jax.Array,  # (bs,) int32 per-sequence
     *,
     interpret: bool | None = None,
+    direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused decode attention over a PAGED code pool: the grid walks each
     sequence's page table (scalar-prefetched, so the page id feeds the
@@ -761,6 +773,7 @@ def pq_paged_attention(
     q8, ss_b, vo, select_idx = _prep_call(q, kpack, vpack)
     kernel = functools.partial(
         _pq_paged_attn_kernel, page_size=page_size, tw=tw, interpret=interpret,
+        direct=direct,
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)  # clamp -1; masked by n_codes
 
@@ -829,6 +842,7 @@ def _pq_paged_attn_kernel_stacked(
     page_size: int,
     tw: int,
     interpret: bool,
+    direct: bool = False,
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
@@ -845,7 +859,7 @@ def _pq_paged_attn_kernel_stacked(
         page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
     )
-    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref)
+    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
     c_live = jnp.logical_and(i > 0, (i - 1) * page_size < n_codes)
 
@@ -872,7 +886,7 @@ def _pq_paged_attn_kernel_stacked(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "direct"))
 def pq_paged_attention_stacked(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (L, n_pages+1, nh_k, M, ps_w) int32 — FULL stack
@@ -884,6 +898,7 @@ def pq_paged_attention_stacked(
     n_codes: jax.Array,  # (bs,) int32 per-sequence
     *,
     interpret: bool | None = None,
+    direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """pq_paged_attention over one layer of the stacked page pools, the layer
     selected via scalar prefetch (same rationale as
@@ -908,7 +923,7 @@ def pq_paged_attention_stacked(
 
     kernel = functools.partial(
         _pq_paged_attn_kernel_stacked, page_size=page_size, tw=tw,
-        interpret=interpret,
+        interpret=interpret, direct=direct,
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)
 

@@ -39,8 +39,9 @@ def sharded_pq_codes_attention(
     vpack: jax.Array,
     n_codes: jax.Array,  # () int32, replicated — GLOBAL valid token count
     *,
-    block: int = 4096,
+    block: int = 8192,
     interpret: bool | None = None,
+    direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out, lse) exactly like pq_codes_attention, but computed with
     the code arena sequence-sharded across the mesh's "sp" axis (and batch /
@@ -57,7 +58,7 @@ def sharded_pq_codes_attention(
         local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
         out, lse = pq_codes_attention(
             q, kc, vc, kp, vp, local_valid,
-            block=min(block, n_local), interpret=interpret,
+            block=min(block, n_local), interpret=interpret, direct=direct,
         )
         # associative LSE merge across shards (reduce kernel math)
         mx = jax.lax.pmax(lse, "sp")  # (bs, nh_k, G)
@@ -94,8 +95,9 @@ def sharded_pq_codes_attention_stacked(
     layer: jax.Array,  # () int32
     n_codes: jax.Array,  # () int32 — GLOBAL valid token count
     *,
-    block: int = 4096,
+    block: int = 8192,
     interpret: bool | None = None,
+    direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Stacked-arena version of sharded_pq_codes_attention: one layer of the
     (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards."""
@@ -110,7 +112,7 @@ def sharded_pq_codes_attention_stacked(
         local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
         out, lse = pq_codes_attention_stacked(
             q, kc, vc, kp, vp, li[0], local_valid,
-            block=min(block, n_local), interpret=interpret,
+            block=min(block, n_local), interpret=interpret, direct=direct,
         )
         mx = jax.lax.pmax(lse, "sp")
         w = jnp.exp(lse - mx)

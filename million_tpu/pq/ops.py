@@ -53,7 +53,12 @@ def merge_subspaces(xs: jax.Array, layout: str = "contiguous") -> jax.Array:
     raise ValueError(f"unknown subspace layout {layout!r}")
 
 
-def pq_encode(x: jax.Array, cents: jax.Array, layout: str = "contiguous") -> jax.Array:
+def pq_encode(
+    x: jax.Array,
+    cents: jax.Array,
+    layout: str = "contiguous",
+    batched_cents: bool = False,
+) -> jax.Array:
     """Nearest-centroid encode. x (..., d), cents (M, C, d_m) -> (..., M) uint8.
 
     Equivalent to the reference's sa_encode_4d_keops (pq_utils.py:451-499):
@@ -61,17 +66,34 @@ def pq_encode(x: jax.Array, cents: jax.Array, layout: str = "contiguous") -> jax
     Implemented as one batched matmul: argmin_c ||x_m||^2 - 2 x_m.c_mc +
     ||c_mc||^2 == argmin_c (||c_mc||^2 - 2 x_m.c_mc), which keeps the MXU fed
     and avoids materializing a (..., M, C, d_m) difference tensor.
+
+    batched_cents=True: cents (X, M, C, d_m) with x's LEADING axis a multiple
+    of X, pairing x[i] with cents[i * X // x.shape[0]] — used to fuse the K
+    and V encodes of a decode step into one argmin kernel (the per-call
+    fixed cost dominates at decode shapes; measured ~0.8 ms/step at 3B).
     """
-    M = cents.shape[0]
+    M = cents.shape[-3]
     xs = subspace_view(x.astype(jnp.float32), M, layout)  # (..., M, d_m)
     c = cents.astype(jnp.float32)
     # (..., M, C): inner products per subspace. Full f32 precision — a
     # low-precision matmul here flips argmin ties and changes codes.
-    ip = jnp.einsum("...mk,mck->...mc", xs, c, precision=jax.lax.Precision.HIGHEST)
-    c_sq = jnp.sum(c * c, axis=-1)  # (M, C)
+    if batched_cents:
+        X = c.shape[0]
+        g = x.shape[0] // X  # rows of x per cents bank
+        xg = xs.reshape(X, g, *xs.shape[1:])
+        ip = jnp.einsum(
+            "xg...mk,xmck->xg...mc", xg, c, precision=jax.lax.Precision.HIGHEST
+        ).reshape(*xs.shape[:-1], c.shape[-2])
+        c_sq = jnp.repeat(jnp.sum(c * c, axis=-1), g, axis=0)  # (X*g, M, C)
+        c_sq = c_sq.reshape(
+            (x.shape[0],) + (1,) * (xs.ndim - 3) + c_sq.shape[1:]
+        )
+    else:
+        ip = jnp.einsum("...mk,mck->...mc", xs, c, precision=jax.lax.Precision.HIGHEST)
+        c_sq = jnp.sum(c * c, axis=-1)  # (M, C)
     dists = c_sq - 2.0 * ip
     codes = jnp.argmin(dists, axis=-1)
-    return codes.astype(jnp.uint8 if cents.shape[1] <= 256 else jnp.int32)
+    return codes.astype(jnp.uint8 if cents.shape[-2] <= 256 else jnp.int32)
 
 
 def pq_decode(

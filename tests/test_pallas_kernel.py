@@ -187,3 +187,27 @@ def test_decode_row_maps():
         assert sorted(sidx.tolist()) == sorted(
             {4 * m + j for m in range(M) for j in range(2)}
         )
+
+
+def test_kernel_direct_table_matches_oracle(rng):
+    """C=128 direct-index tables (the nbits=7 fast path) vs the oracle on
+    the kernel's effective int8 codebook."""
+    from million_tpu.ops.pq_attention_pallas import dequantize_table
+
+    q, kc, vc, kcent, vcent, n = make_inputs(rng, C=128, N=256, n_codes=200)
+    kc, vc = kc % 128, vc % 128
+    d = q.shape[-1]
+    scale = 1.0 / d**0.5
+    kp = pack_decode_table(jnp.asarray(kcent), direct=True)
+    vp = pack_decode_table(jnp.asarray(vcent), direct=True)
+    out, lse = pq_codes_attention(
+        jnp.asarray(q * scale, jnp.bfloat16),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        kp, vp, jnp.asarray(n, jnp.int32),
+        block=128, interpret=True, direct=True,
+    )
+    keff = np.asarray(dequantize_table(kp, 128, direct=True))
+    veff = np.asarray(dequantize_table(vp, 128, direct=True))
+    want_out, want_lse = oracle_codes_attention(q, kc, vc, keff, veff, n, scale)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
