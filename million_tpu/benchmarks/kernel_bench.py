@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--M", type=int, default=64)
     ap.add_argument("--nbits", type=int, default=8, help="bits per code (C=2^nbits)")
-    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--block", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--parity-n", type=int, default=2048)
     args = ap.parse_args()

@@ -38,11 +38,17 @@ ladder; the first-cut kernel ran at 57 GB/s effective, the bf16-pair
     concentrated-attention heads), so PV = two int8 MXU matmuls; filler
     output rows are zeroed by the per-row output scale.
 
-* Block-level double-buffered software pipeline: each grid step DECODES
-  its block into VMEM scratch while the MXU consumes the PREVIOUS block's
-  scratch (block-level online softmax, flash-2 style); an epilogue grid
-  step drains the last block. Stores are coalesced to (M, 4*128) per
-  word-tile (measured win over per-byte stores).
+* FUSED per-tile structure (no software pipeline): each grid step decodes
+  its block tile-by-tile (512 tokens per tile), feeding each decoded K
+  tile straight into its int8 score matmul, then — after the block-level
+  online softmax (flash-2 style) — decodes each V tile straight into an
+  accumulated PV matmul. An earlier produce/consume split that staged the
+  decoded block in (M, block) VMEM scratch so the "MXU consumes block i-1
+  while the VPU decodes block i" measured 1400 us/call at the 3B/32K
+  bench shape vs 1119 us for this form (block 16384): the VPU serializes
+  either way on v5e, so the scratch round-trip and the epilogue grid step
+  were pure overhead. Pallas still double-buffers the HBM code-block DMAs
+  across grid steps automatically.
 
 * Online softmax stats in f32; the kernel emits the normalized partial and
   its LSE. The exact-residual window and the final merge (reference
@@ -266,21 +272,42 @@ def _slot_positions(block: int, tw: int):
     return 4 * (t * tw + lane) + b  # (1, block)
 
 
-def _make_consume(block, tw, q8, ss, vo, kh_s, vh_s, acc, m_s, l_s, n_codes, interpret):
-    """One block's int8 score matmul + online softmax + two-plane int8 PV.
+def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
+                     interpret, direct=False):
+    """One block of fused PQ attention: per-tile K decode feeding per-tile
+    int8 score matmuls, block-level online softmax, then per-tile V decode
+    feeding an accumulated two-plane int8 PV matmul.
+
+    Everything stays in registers / small tiles — no (M, block) VMEM scratch
+    round-trip and no produce/consume pipeline split. On v5e the split
+    pipeline cost 1400 us/call at the 3B/32K bench shape vs 1119 us for this
+    fused form (block 16384): the VPU serializes the decode either way, and
+    the scratch stores+reloads plus the extra epilogue grid step were pure
+    overhead.
 
     q8 (G, 4M) int8 (prepare_q), ss (G, 1) f32 score scale, vo (G, 4M) f32
     per-row PV output scale (zero at filler rows)."""
     G = q8.shape[0]
     slots = _slot_positions(block, tw)  # traced once per kernel body
     LOG127 = float(np.log(127.0))
+    n_tiles = block // (4 * tw)
 
-    def consume(p_idx, bi):
-        k8 = _expand_i8(kh_s[p_idx], interpret)  # (4M, block) i8
-        s = jax.lax.dot_general(
-            q8, k8, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * ss  # (G, block)
+    def block_step(bi, kw, vw):
+        s_parts = []
+        for t in range(n_tiles):
+            wsl = slice(t * tw, (t + 1) * tw)
+            kd = jnp.concatenate(
+                [_decode_words(kt, kw[:, wsl], b, interpret, direct) for b in range(4)],
+                axis=1,
+            )  # (M, 4tw) i32: decoded K of 4tw tokens
+            k8 = _expand_i8(kd, interpret)  # (4M, 4tw) i8
+            s_parts.append(
+                jax.lax.dot_general(
+                    q8, k8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * ss
+            )
+        s = jnp.concatenate(s_parts, axis=1)  # (G, block)
         # only the block containing n_codes needs masking; full blocks skip
         # the position compare entirely (one lax.select on a scalar).
         pos = bi * block + slots
@@ -294,14 +321,23 @@ def _make_consume(block, tw, q8, ss, vo, kh_s, vh_s, acc, m_s, l_s, n_codes, int
         l_new = l_s[:, :1] * alpha + jnp.sum(x, axis=1, keepdims=True) * (1.0 / 127.0)
         ph_f = jnp.round(x)
         pl_f = jnp.round((x - ph_f) * 128.0)
-        # one MXU dot for both p planes: rows [0,G) = hi, [G,2G) = lo
+        # one MXU dot per tile for both p planes: rows [0,G) = hi, [G,2G) = lo
         p2 = jnp.concatenate(
             [ph_f.astype(jnp.int8), pl_f.astype(jnp.int8)], axis=0
         )  # (2G, block)
-        v8 = _expand_i8(vh_s[p_idx], interpret)  # (4M, block) i8
-        dd = jax.lax.dot_general(
-            p2, v8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )  # (2G, 4M)
+        dd = jnp.zeros((2 * G, 4 * kt.shape[0]), jnp.int32)
+        for t in range(n_tiles):
+            wsl = slice(t * tw, (t + 1) * tw)
+            tsl = slice(t * 4 * tw, (t + 1) * 4 * tw)
+            vd = jnp.concatenate(
+                [_decode_words(vt, vw[:, wsl], b, interpret, direct) for b in range(4)],
+                axis=1,
+            )
+            v8 = _expand_i8(vd, interpret)  # (4M, 4tw) i8
+            dd = dd + jax.lax.dot_general(
+                p2[:, tsl], v8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (2G, 4M)
         pv = (
             dd[:G].astype(jnp.float32)
             + dd[G:].astype(jnp.float32) * (1.0 / 128.0)
@@ -309,28 +345,7 @@ def _make_consume(block, tw, q8, ss, vo, kh_s, vh_s, acc, m_s, l_s, n_codes, int
         acc[:] = acc[:] * alpha + pv
         m_s[:, :1] = m_new
         l_s[:, :1] = l_new
-    return consume
-
-
-def _make_produce(block, tw, interpret, kt, vt, kh_s, vh_s, direct=False):
-    """Decode one block of K/V words into scratch pair p_idx: one gather per
-    word-tile byte, stores coalesced to (M, 4*tw) per word-tile."""
-    n_tiles = block // (4 * tw)
-
-    def produce(p_idx, kw, vw):
-        for t in range(n_tiles):
-            wsl = slice(t * tw, (t + 1) * tw)
-            kws, vws = kw[:, wsl], vw[:, wsl]
-            osl = slice(t * 4 * tw, (t + 1) * 4 * tw)
-            kh_s[p_idx, :, osl] = jnp.concatenate(
-                [_decode_words(kt, kws, b, interpret, direct) for b in range(4)],
-                axis=1,
-            )
-            vh_s[p_idx, :, osl] = jnp.concatenate(
-                [_decode_words(vt, vws, b, interpret, direct) for b in range(4)],
-                axis=1,
-            )
-    return produce
+    return block_step
 
 
 def _finish(out_ref, lse_ref, acc, m_s, l_s):
@@ -386,10 +401,6 @@ def _pq_attn_kernel(
     acc_ref,
     m_ref,
     l_ref,
-    kh_ref,  # (1, M, block) i32 decode scratch — SINGLE buffer: consume of
-    vh_ref,  # block i-1 precedes produce of block i in program order, so no
-    # double-buffering is needed (regions serialize; measured no loss), and
-    # the freed VMEM funds a 2x larger block (fewer per-block overheads).
     *,
     block: int,
     tw: int,
@@ -397,7 +408,7 @@ def _pq_attn_kernel(
     direct: bool = False,
 ):
     i = pl.program_id(2)
-    nb = pl.num_programs(2) - 1  # last step is the pipeline epilogue
+    nb = pl.num_programs(2)
     n_codes = nc_ref[0, 0]
 
     @pl.when(i == 0)
@@ -406,21 +417,16 @@ def _pq_attn_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    consume = _make_consume(
+    block_step = _make_block_step(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
-        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+        kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
     )
-    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
-    @pl.when(jnp.logical_and(i > 0, (i - 1) * block < n_codes))
+    @pl.when(i * block < n_codes)
     def _():
-        consume(0, i - 1)
+        block_step(i, kc_ref[0, 0], vc_ref[0, 0])
 
-    @pl.when(jnp.logical_and(i < nb, i * block < n_codes))
-    def _():
-        produce(0, kc_ref[0, 0], vc_ref[0, 0])
-
-    @pl.when(i == nb)
+    @pl.when(i == nb - 1)
     def _():
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
@@ -437,7 +443,7 @@ def pq_codes_attention(
     vpack: DecodeTable,
     n_codes: jax.Array,  # () int32
     *,
-    block: int = 8192,
+    block: int = 16384,
     n_bucket: int | None = None,
     interpret: bool | None = None,
     direct: bool = False,
@@ -477,19 +483,19 @@ def pq_codes_attention(
     R = 4 * M
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bs, nh_k, nb + 1),
+        grid=(bs, nh_k, nb),
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, G, R), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, M, bw),
-                lambda b, h, i, nb=nb: (b, h, 0, jnp.minimum(i, nb - 1)),
+                lambda b, h, i: (b, h, 0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, M, bw),
-                lambda b, h, i, nb=nb: (b, h, 0, jnp.minimum(i, nb - 1)),
+                lambda b, h, i: (b, h, 0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -508,8 +514,6 @@ def pq_codes_attention(
             pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((1, M, block), jnp.int32),
-            pltpu.VMEM((1, M, block), jnp.int32),
         ],
         interpret=interpret,
     )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
@@ -535,8 +539,6 @@ def _pq_attn_kernel_stacked(
     acc_ref,
     m_ref,
     l_ref,
-    kh_ref,
-    vh_ref,
     *,
     block: int,
     tw: int,
@@ -544,7 +546,7 @@ def _pq_attn_kernel_stacked(
     direct: bool = False,
 ):
     i = pl.program_id(2)
-    nb = pl.num_programs(2) - 1
+    nb = pl.num_programs(2)
     n_codes = nc_ref[0]
 
     @pl.when(i == 0)
@@ -553,21 +555,16 @@ def _pq_attn_kernel_stacked(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    consume = _make_consume(
+    block_step = _make_block_step(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
-        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+        kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
     )
-    produce = _make_produce(block, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
-    @pl.when(jnp.logical_and(i > 0, (i - 1) * block < n_codes))
+    @pl.when(i * block < n_codes)
     def _():
-        consume(0, i - 1)
+        block_step(i, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
 
-    @pl.when(jnp.logical_and(i < nb, i * block < n_codes))
-    def _():
-        produce(0, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
-
-    @pl.when(i == nb)
+    @pl.when(i == nb - 1)
     def _():
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
@@ -584,7 +581,7 @@ def pq_codes_attention_stacked(
     layer: jax.Array,  # () int32
     n_codes: jax.Array,  # () int32
     *,
-    block: int = 8192,
+    block: int = 16384,
     n_bucket: int | None = None,
     interpret: bool | None = None,
     direct: bool = False,
@@ -629,17 +626,17 @@ def pq_codes_attention_stacked(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bs, nh_k, nb + 1),
+        grid=(bs, nh_k, nb),
         in_specs=[
             pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
             pl.BlockSpec(
                 (1, 1, 1, M, bw),
-                lambda b, h, i, li, nc, nb=nb: (li[0], b, h, 0, jnp.minimum(i, nb - 1)),
+                lambda b, h, i, li, nc: (li[0], b, h, 0, i),
             ),
             pl.BlockSpec(
                 (1, 1, 1, M, bw),
-                lambda b, h, i, li, nc, nb=nb: (li[0], b, h, 0, jnp.minimum(i, nb - 1)),
+                lambda b, h, i, li, nc: (li[0], b, h, 0, i),
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -653,8 +650,6 @@ def pq_codes_attention_stacked(
             pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((1, M, block), jnp.int32),
-            pltpu.VMEM((1, M, block), jnp.int32),
         ],
     )
     out, lse = pl.pallas_call(
@@ -692,8 +687,6 @@ def _pq_paged_attn_kernel(
     acc_ref,
     m_ref,
     l_ref,
-    kh_ref,
-    vh_ref,
     *,
     page_size: int,
     tw: int,
@@ -702,7 +695,7 @@ def _pq_paged_attn_kernel(
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
-    nb = pl.num_programs(2) - 1
+    nb = pl.num_programs(2)
     n_codes = nc_ref[b]
 
     @pl.when(i == 0)
@@ -711,33 +704,16 @@ def _pq_paged_attn_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    consume = _make_consume(
+    block_step = _make_block_step(
         page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
-        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+        kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
     )
-    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
-    c_live = jnp.logical_and(i > 0, (i - 1) * page_size < n_codes)
-
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 0))
+    @pl.when(i * page_size < n_codes)
     def _():
-        consume(0, i - 1)
+        block_step(i, kc_ref[0, 0], vc_ref[0, 0])
 
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 1))
-    def _():
-        consume(1, i - 1)
-
-    p_live = jnp.logical_and(i < nb, i * page_size < n_codes)
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 0))
-    def _():
-        produce(0, kc_ref[0, 0], vc_ref[0, 0])
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 1))
-    def _():
-        produce(1, kc_ref[0, 0], vc_ref[0, 0])
-
-    @pl.when(i == nb)
+    @pl.when(i == nb - 1)
     def _():
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
@@ -759,8 +735,8 @@ def pq_paged_attention(
     sequence's page table (scalar-prefetched, so the page id feeds the
     BlockSpec index map — pages stream straight from HBM in table order, the
     TPU equivalent of the reference's paged kernel goal that its CUDA
-    variant never stabilized, paged_pq_utils.py:399-681). Same block-level
-    double-buffered pipeline as the flat kernel, one page per block."""
+    variant never stabilized, paged_pq_utils.py:399-681). Same fused
+    per-tile block step as the flat kernel, one page per block."""
     bs, nh_k, G, d = q.shape
     n_pages, _, M, ps_w = key_pool.shape
     page_size = ps_w * WORD
@@ -779,17 +755,17 @@ def pq_paged_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bs, nh_k, P_max + 1),
+        grid=(bs, nh_k, P_max),
         in_specs=[
             pl.BlockSpec((1, 1, G, R), lambda b, h, i, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec(
                 (1, 1, M, ps_w),
-                lambda b, h, i, pt, nc, P=P_max: (pt[b, jnp.minimum(i, P - 1)], h, 0, 0),
+                lambda b, h, i, pt, nc: (pt[b, i], h, 0, 0),
             ),
             pl.BlockSpec(
                 (1, 1, M, ps_w),
-                lambda b, h, i, pt, nc, P=P_max: (pt[b, jnp.minimum(i, P - 1)], h, 0, 0),
+                lambda b, h, i, pt, nc: (pt[b, i], h, 0, 0),
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -803,8 +779,6 @@ def pq_paged_attention(
             pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, M, page_size), jnp.int32),
-            pltpu.VMEM((2, M, page_size), jnp.int32),
         ],
     )
     out, lse = pl.pallas_call(
@@ -836,8 +810,6 @@ def _pq_paged_attn_kernel_stacked(
     acc_ref,
     m_ref,
     l_ref,
-    kh_ref,
-    vh_ref,
     *,
     page_size: int,
     tw: int,
@@ -846,7 +818,7 @@ def _pq_paged_attn_kernel_stacked(
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
-    nb = pl.num_programs(2) - 1
+    nb = pl.num_programs(2)
     n_codes = nc_ref[b]
 
     @pl.when(i == 0)
@@ -855,33 +827,16 @@ def _pq_paged_attn_kernel_stacked(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    consume = _make_consume(
+    block_step = _make_block_step(
         page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
-        kh_ref, vh_ref, acc_ref, m_ref, l_ref, n_codes, interpret,
+        kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
     )
-    produce = _make_produce(page_size, tw, interpret, kt_ref[:], vt_ref[:], kh_ref, vh_ref, direct)
 
-    c_live = jnp.logical_and(i > 0, (i - 1) * page_size < n_codes)
-
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 0))
+    @pl.when(i * page_size < n_codes)
     def _():
-        consume(0, i - 1)
+        block_step(i, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
 
-    @pl.when(jnp.logical_and(c_live, (i - 1) % 2 == 1))
-    def _():
-        consume(1, i - 1)
-
-    p_live = jnp.logical_and(i < nb, i * page_size < n_codes)
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 0))
-    def _():
-        produce(0, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
-
-    @pl.when(jnp.logical_and(p_live, i % 2 == 1))
-    def _():
-        produce(1, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
-
-    @pl.when(i == nb)
+    @pl.when(i == nb - 1)
     def _():
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
@@ -927,12 +882,12 @@ def pq_paged_attention_stacked(
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)
 
-    def codes_map(b, h, i, li, pt, nc, P=P_max):
-        return (li[0], pt[b, jnp.minimum(i, P - 1)], h, 0, 0)
+    def codes_map(b, h, i, li, pt, nc):
+        return (li[0], pt[b, i], h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(bs, nh_k, P_max + 1),
+        grid=(bs, nh_k, P_max),
         in_specs=[
             pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
@@ -952,8 +907,6 @@ def pq_paged_attention_stacked(
             pltpu.VMEM((G, R), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((2, M, page_size), jnp.int32),
-            pltpu.VMEM((2, M, page_size), jnp.int32),
         ],
     )
     out, lse = pl.pallas_call(

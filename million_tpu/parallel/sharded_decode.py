@@ -39,7 +39,7 @@ def sharded_pq_codes_attention(
     vpack: jax.Array,
     n_codes: jax.Array,  # () int32, replicated — GLOBAL valid token count
     *,
-    block: int = 8192,
+    block: int = 16384,
     interpret: bool | None = None,
     direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -95,7 +95,7 @@ def sharded_pq_codes_attention_stacked(
     layer: jax.Array,  # () int32
     n_codes: jax.Array,  # () int32 — GLOBAL valid token count
     *,
-    block: int = 8192,
+    block: int = 16384,
     interpret: bool | None = None,
     direct: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
