@@ -5,6 +5,7 @@ from million_tpu.cache.pq_cache import (  # noqa: F401
     init_state,
     prefill_update,
     decode_update,
+    flush_window,
     cache_memory_bytes,
 )
 from million_tpu.cache.dense_cache import (  # noqa: F401

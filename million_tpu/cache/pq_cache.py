@@ -20,21 +20,23 @@ steps, so XLA donates and updates buffers in place:
   key_residual / value_residual : (bs, nh_k, Lt, d) — recent tokens exact,
       in the compute dtype. Matches the reference's fp16 residual window
       (pq_utils.py:110, 127-135).
-  (the current residual window's codes are written DIRECTLY into the
-      arena at [n_codes, n_codes+Lt) as each token arrives — a ~14 KB
-      read-modify-write per step. They stay invisible to attention, which
-      masks by n_codes, until the window fills and the flush is a counter
-      bump. Profiling showed separate per-window code buffers cost ~8 ms/
-      step in slice/write-back and layout-change copies at 3B/32K scale.)
+  (the residual window's codes are NOT mirrored into the arena while the
+      window fills: a per-token word RMW + strided arena column write cost
+      ~1.2 ms/step at 3B/32K. Instead the WHOLE window is batch-encoded and
+      written as one contiguous word slab when it fills — the reference's
+      own flush flow, pq_utils.py:288-302 — which amortizes to ~0.4 us/step.)
   n_codes, r : int32 scalars — quantized-token and residual counts
       (reference: seen_tokens / residualed counters, pq_utils.py:111-113).
 
 Invariants: total visible tokens = n_codes + r; n_codes is ALWAYS a multiple
 of 4 (word alignment — prefill writes multiples of 4 and routes ragged tails
-into the residual window; flushes advance by Lt). When r reaches Lt the whole
-residual window's codes are already in the arena (the per-step mirror), so
-the flush is just a counter bump. Layer states are stacked on a leading axis
-and scanned by the model.
+into the residual window; flushes advance by Lt). When r reaches Lt,
+flush_window encodes the full residual window into the arena and resets r.
+The model's decode_step takes the flush as a STATIC host-scheduled argument
+(the host knows token counts exactly), avoiding a lax.cond around the
+multi-GB arena; the single-layer decode_update here auto-flushes with a
+lax.cond, which is fine at unit-test scale. Layer states are stacked on a
+leading axis and scanned by the model.
 """
 
 from __future__ import annotations
@@ -78,12 +80,6 @@ def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
         "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // WORD), jnp.int32),
         "key_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "value_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
-        # in-progress arena word (the token-granular RMW happens here; the
-        # arena itself only ever sees whole-word WRITES — reading the arena
-        # in its own update expression breaks XLA's in-place aliasing and
-        # duplicates the multi-GB buffer, measured as an OOM + 6x slowdown)
-        "key_word_buf": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, 1), jnp.int32),
-        "value_word_buf": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, 1), jnp.int32),
         "n_codes": jnp.zeros((), jnp.int32),
         "r": jnp.zeros((), jnp.int32),
     }
@@ -95,35 +91,31 @@ def init_state(cfg: PQCacheConfig, num_layers: int) -> PQCacheLayerState:
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (num_layers, *x.shape)).copy(), one)
 
 
-def set_word_byte(words: jax.Array, token_idx: jax.Array, code: jax.Array) -> jax.Array:
-    """Write one token's codes into the word-packed buffer.
-
-    words (..., M, nw) int32; token_idx () int32; code (..., M) uint8/int.
-    Returns words with byte (token_idx % 4) of word (token_idx // 4) set.
-    NOTE: reads `words` — only use on SMALL buffers (an arena-sized operand
-    would lose in-place aliasing; see update_word_buf/write below).
+def flush_window(
+    state: PQCacheLayerState,
+    key_cents: jax.Array,  # (M, C, d_m)
+    value_cents: jax.Array,
+    layout: str = "strided",
+) -> PQCacheLayerState:
+    """Encode the FULL residual window into the arena and reset counters
+    (reference flush, pq_utils.py:288-302): one batched encode + one
+    contiguous word-slab write at [n_codes, n_codes + Lt), then
+    n_codes += Lt, r = 0. The residual contents are left in place — slots
+    are overwritten as new tokens arrive and masked out of attention by r.
     """
-    w_idx = token_idx // WORD
-    shift = (token_idx % WORD) * 8
-    old = jax.lax.dynamic_index_in_dim(words, w_idx, axis=-1, keepdims=True)
-    oldu = old.astype(jnp.uint32)
-    mask = jnp.uint32(0xFF) << shift.astype(jnp.uint32)
-    new = (oldu & ~mask) | (code.astype(jnp.uint32)[..., None] << shift.astype(jnp.uint32))
-    return jax.lax.dynamic_update_index_in_dim(
-        words, new.astype(jnp.int32)[..., 0], w_idx, axis=-1
-    )
-
-
-def update_word_buf(buf: jax.Array, token_idx: jax.Array, code: jax.Array) -> jax.Array:
-    """RMW one token's codes into the in-progress word buffer (..., M, 1).
-
-    Resets at word boundaries (token_idx % 4 == 0)."""
-    byte = token_idx % WORD
-    shift = (byte * 8).astype(jnp.uint32)
-    cur = jnp.where(byte == 0, 0, buf).astype(jnp.uint32)
-    mask = jnp.uint32(0xFF) << shift
-    new = (cur & ~mask) | (code.astype(jnp.uint32)[..., None] << shift)
-    return new.astype(jnp.int32)
+    Lt = state["key_residual"].shape[2]
+    new = dict(state)
+    start_w = state["n_codes"] // WORD
+    for side, cents in (("key", key_cents), ("value", value_cents)):
+        codes_t = jnp.swapaxes(
+            pq_encode(state[side + "_residual"], cents, layout), -1, -2
+        )  # (bs, nh_k, M, Lt)
+        new[side + "_codes"] = jax.lax.dynamic_update_slice(
+            state[side + "_codes"], pack_codes(codes_t), (0, 0, 0, start_w)
+        )
+    new["n_codes"] = state["n_codes"] + Lt
+    new["r"] = jnp.zeros_like(state["r"])
+    return new
 
 
 def prefill_update(
@@ -164,21 +156,6 @@ def prefill_update(
         new["value_residual"] = jax.lax.dynamic_update_slice(
             new["value_residual"], vt, (0, 0, state["r"], 0)
         )
-        kct = pq_encode(k[:, :, n4:], key_cents, layout)  # (bs, nh_k, tail, M)
-        vct = pq_encode(v[:, :, n4:], value_cents, layout)
-        # window codes go straight into the arena past n_codes (masked out
-        # of attention until the flush counter-bump); the arena only sees
-        # whole-word writes, the byte RMW happens in the small word buffer
-        for t in range(tail):
-            pos = new["n_codes"] + state["r"] + t
-            new["key_word_buf"] = update_word_buf(new["key_word_buf"], pos, kct[:, :, t])
-            new["value_word_buf"] = update_word_buf(new["value_word_buf"], pos, vct[:, :, t])
-            new["key_codes"] = jax.lax.dynamic_update_index_in_dim(
-                new["key_codes"], new["key_word_buf"][..., 0], pos // WORD, axis=-1
-            )
-            new["value_codes"] = jax.lax.dynamic_update_index_in_dim(
-                new["value_codes"], new["value_word_buf"][..., 0], pos // WORD, axis=-1
-            )
         new["r"] = state["r"] + tail
     return new
 
@@ -193,44 +170,26 @@ def decode_update(
 ) -> PQCacheLayerState:
     """Append one decode token (reference decoding, pq_utils.py:281-311).
 
-    Flush without lax.cond and without re-encoding: every decode step encodes
-    ONLY its one token and read-modify-writes its byte straight into the
-    arena word at n_codes + r. While the window is partial those positions
-    lie beyond the valid region (attention masks by n_codes) so they are
-    invisible; when the window fills, "flush" is just the counter bump.
-    Rationale: a lax.cond over the multi-GB arena defeats XLA's in-place
-    buffer aliasing (the arena would be copied every token — the
-    reference's torch.cat pathology reborn); re-encoding the window per
-    step materializes a (nh_k, Lt, M, C) distance tensor; and keeping a
-    separate window-code buffer costs ~8 ms/step in slice + layout copies
-    (measured at 3B/32K). The direct write is one 1-token encode plus a
-    ~14 KB arena RMW per layer per step.
-    """
-    cfg_Lt = state["key_residual"].shape[2]
-
-    do_restart = state["r"] >= cfg_Lt
-    state = dict(state)
-    state["n_codes"] = jnp.where(do_restart, state["n_codes"] + cfg_Lt, state["n_codes"])
-    state["r"] = jnp.where(do_restart, 0, state["r"])
-
+    When the residual window is full the whole window is batch-encoded into
+    the arena first (flush_window) under a lax.cond. The cond is fine at
+    this single-layer unit scale; the model's decode_step instead takes the
+    flush as a static host-scheduled argument so the multi-GB stacked arena
+    never flows through a conditional (which would break XLA's in-place
+    buffer aliasing)."""
+    Lt = state["key_residual"].shape[2]
+    state = jax.lax.cond(
+        state["r"] >= Lt,
+        lambda s: flush_window(s, key_cents, value_cents, layout),
+        lambda s: dict(s),
+        state,
+    )
     r = state["r"]
-    kc1 = pq_encode(k, key_cents, layout)[:, :, 0]  # (bs, nh_k, M)
-    vc1 = pq_encode(v, value_cents, layout)[:, :, 0]
     new = dict(state)
     new["key_residual"] = jax.lax.dynamic_update_slice(
         state["key_residual"], k.astype(state["key_residual"].dtype), (0, 0, r, 0)
     )
     new["value_residual"] = jax.lax.dynamic_update_slice(
         state["value_residual"], v.astype(state["value_residual"].dtype), (0, 0, r, 0)
-    )
-    pos = state["n_codes"] + r
-    new["key_word_buf"] = update_word_buf(state["key_word_buf"], pos, kc1)
-    new["value_word_buf"] = update_word_buf(state["value_word_buf"], pos, vc1)
-    new["key_codes"] = jax.lax.dynamic_update_index_in_dim(
-        state["key_codes"], new["key_word_buf"][..., 0], pos // WORD, axis=-1
-    )
-    new["value_codes"] = jax.lax.dynamic_update_index_in_dim(
-        state["value_codes"], new["value_word_buf"][..., 0], pos // WORD, axis=-1
     )
     new["r"] = r + 1
     return new

@@ -27,19 +27,14 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from million_tpu.cache.pq_cache import (
-    PQCacheLayerState,
-    prefill_update,
-    decode_update,
-    set_word_byte,
-    update_word_buf,
-)
+from million_tpu.cache.pq_cache import PQCacheLayerState
 from million_tpu.cache.dense_cache import dense_prefill_update
 from million_tpu.ops.pq_attention_ref import (
     causal_attention,
     dense_decode_attention,
     masked_partial_attention,
     merge_partials,
+    merge_two_partials,
     pq_decode_attention_ref,
 )
 from million_tpu.ops.pq_attention_pallas import (
@@ -177,25 +172,6 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
 
 
 
-def _append_code(cache, side, i, token_idx, code):
-    """Append one token's codes for layer i at arena position token_idx.
-
-    The byte-granular RMW happens in the small per-layer word buffer
-    (L, bs, nh_k, M, 1); the multi-GB arena only sees a whole-word
-    dynamic_update_slice (WRITE-only — an arena read in its own update
-    expression breaks XLA's in-place aliasing and duplicates the buffer,
-    measured as an OOM + 6x slowdown at 3B/32K)."""
-    buf_key, arena_key = side + "_word_buf", side + "_codes"
-    buf = jax.lax.dynamic_index_in_dim(cache[buf_key], i, 0, keepdims=False)
-    buf = update_word_buf(buf, token_idx, code)
-    cache[buf_key] = jax.lax.dynamic_update_slice(
-        cache[buf_key], buf[None], (i, 0, 0, 0, 0)
-    )
-    cache[arena_key] = jax.lax.dynamic_update_slice(
-        cache[arena_key], buf[None], (i, 0, 0, 0, token_idx // WORD)
-    )
-    return cache
-
 def _rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -318,10 +294,6 @@ def prefill(
                 cache["value_residual"] = jax.lax.dynamic_update_slice(
                     cache["value_residual"], vt[None], (i, 0, 0, r0, 0)
                 )
-                for t in range(tail):
-                    pos_t = cache["n_codes"][i] + r0 + t
-                    cache = _append_code(cache, "key", i, pos_t, kc[..., n4 + t])
-                    cache = _append_code(cache, "value", i, pos_t, vc[..., n4 + t])
                 cache["r"] = cache["r"].at[i].add(tail)
             if distort_recent:
                 k = pq_decode(
@@ -355,7 +327,7 @@ def prefill(
     return _logits(params, cfg, x), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "mode", "mesh"))
+@partial(jax.jit, static_argnames=("cfg", "mode", "mesh", "flush"))
 def decode_step(
     params: Params,
     cfg: ModelConfig,
@@ -365,12 +337,23 @@ def decode_step(
     cents: Optional[Dict[str, jax.Array]] = None,
     mode: str = "pq",
     mesh=None,  # jax.sharding.Mesh -> sequence-sharded kernel attention
+    flush: bool = False,  # STATIC: encode+flush the full residual window first
 ) -> Tuple[jax.Array, PQCacheLayerState]:
     """One decode token. Returns (logits (bs, V) f32, updated cache).
 
-    The PQ path appends to the residual window (flushing to codes when full)
-    and runs the fused PQ decode attention — the analogue of the reference
-    hot path cache.decoding + flash_decoding kernel (pq_utils.py:281-328).
+    The PQ path appends to the residual window and runs the fused PQ decode
+    attention — the analogue of the reference hot path cache.decoding +
+    flash_decoding kernel (pq_utils.py:281-328).
+
+    `flush` MUST be passed as True on the step where the residual window is
+    full (r == Lt) — the host schedules it deterministically from token
+    counts (runtime/generate.py). It is a static argument (two compiled
+    variants) rather than a lax.cond so the multi-GB stacked arena never
+    flows through a conditional, which would break XLA's in-place buffer
+    aliasing. The flush batch-encodes all layers' residual windows and
+    writes one contiguous word slab per side (reference flush flow,
+    pq_utils.py:288-302) — amortized ~0.4 us/step vs ~1.2 ms/step for the
+    per-token incremental arena mirror it replaced (profiled at 3B/32K).
     """
     bs = token.shape[0]
     x = params["embed"][token][:, None, :]  # (bs, 1, D)
@@ -382,10 +365,10 @@ def decode_step(
     # slice every iteration, costing ~2 ms/step in tiny blocking
     # HBM->SMEM copies (profiled at 3B/32K).
     if mode in ("pq", "pq_pallas"):
-        Lt_s = cache["key_residual"].shape[3]
-        do_restart_s = cache["r"][0] >= Lt_s
-        start_s = jnp.where(do_restart_s, cache["n_codes"][0] + Lt_s, cache["n_codes"][0])
-        r_s = jnp.where(do_restart_s, 0, cache["r"][0])
+        if flush:
+            cache = _flush_windows_stacked(cache, cents)
+        start_s = cache["n_codes"][0]
+        r_s = cache["r"][0]
 
     # Carry-threaded cache (see prefill): indexed per-layer updates on the
     # stacked arenas keep XLA's in-place aliasing; the fused kernel reads
@@ -400,7 +383,9 @@ def decode_step(
             kcent = jax.lax.dynamic_index_in_dim(cents["key"], i, 0, keepdims=False)
             vcent = jax.lax.dynamic_index_in_dim(cents["value"], i, 0, keepdims=False)
             start, r = start_s, r_s  # hoisted uniform counters
-            # append token to the residual window + its incremental code
+            # append the token to the residual window ONLY — its code is
+            # produced at the next window flush by the batched encode
+            # (_flush_windows_stacked); no per-token encode or arena write.
             kd = k.astype(cache["key_residual"].dtype)
             vd = v.astype(cache["value_residual"].dtype)
             cache["key_residual"] = jax.lax.dynamic_update_slice(
@@ -409,18 +394,6 @@ def decode_step(
             cache["value_residual"] = jax.lax.dynamic_update_slice(
                 cache["value_residual"], vd[None], (i, 0, 0, r, 0)
             )
-            # one fused encode for K and V (halves the argmin fixed cost)
-            kvc = pq_encode(
-                jnp.concatenate([k, v], axis=0),
-                jnp.concatenate([kcent[None], vcent[None]], axis=0),
-                SUBSPACE_LAYOUT,
-                batched_cents=True,
-            )[:, :, 0]  # (2*bs, nh_k, M)
-            kc1, vc1 = kvc[:bs], kvc[bs:]
-            # write this token's codes straight into the arena (invisible
-            # to attention until the window flush bumps n_codes)
-            cache = _append_code(cache, "key", i, start + r, kc1)
-            cache = _append_code(cache, "value", i, start + r, vc1)
             if mode == "pq_pallas":
                 attn = _pq_pallas_attention_stacked(
                     q[:, :, 0], cache, cents, i, cfg, mesh,
@@ -471,9 +444,31 @@ def decode_step(
     )
     if mode in ("pq", "pq_pallas"):
         cache = dict(cache)
-        cache["n_codes"] = jnp.full_like(cache["n_codes"], start_s)
         cache["r"] = jnp.full_like(cache["r"], r_s + 1)
     return _logits(params, cfg, x)[:, 0], cache
+
+
+def _flush_windows_stacked(cache, cents):
+    """Flush every layer's residual window into the stacked code arenas
+    (decode_step's static-flush path; single-layer analogue:
+    cache/pq_cache.py flush_window). One batched encode per side, mapped
+    over layers to bound the argmin distance transient, then ONE contiguous
+    word-slab dynamic_update_slice per side. n_codes is layer-uniform in
+    the decode path, so a single (stack-wide) offset is exact."""
+    cache = dict(cache)
+    Lt = cache["key_residual"].shape[3]
+    start_w = cache["n_codes"][0] // WORD
+    for side in ("key", "value"):
+        def enc(args):
+            res, cen = args  # (bs, nh_k, Lt, d), (M, C, d_m)
+            return jnp.swapaxes(pq_encode(res, cen, SUBSPACE_LAYOUT), -1, -2)
+        codes_t = jax.lax.map(enc, (cache[side + "_residual"], cents[side]))
+        cache[side + "_codes"] = jax.lax.dynamic_update_slice(
+            cache[side + "_codes"], pack_codes(codes_t), (0, 0, 0, 0, start_w)
+        )
+    cache["n_codes"] = cache["n_codes"] + Lt
+    cache["r"] = jnp.zeros_like(cache["r"])
+    return cache
 
 
 def _pq_pallas_attention_stacked(
@@ -525,7 +520,7 @@ def _pq_pallas_attention_stacked(
         r,
         scale=1.0,
     )
-    merged, _ = merge_partials(jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r]))
+    merged, _ = merge_two_partials(out_c, lse_c, out_r, lse_r)
     return merged[:, :, :G].reshape(bs, nh, d).astype(q.dtype)
 
 
@@ -579,9 +574,7 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
         cache_l["r"],
         scale=1.0,
     )
-    merged, _ = merge_partials(
-        jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r])
-    )
+    merged, _ = merge_two_partials(out_c, lse_c, out_r, lse_r)
     return merged[:, :, :G].reshape(bs, nh, d).astype(q.dtype)
 
 

@@ -34,7 +34,7 @@ from million_tpu.ops.pq_attention_pallas import (
     pq_paged_attention,
     pq_paged_attention_stacked,
 )
-from million_tpu.ops.pq_attention_ref import masked_partial_attention, merge_partials
+from million_tpu.ops.pq_attention_ref import masked_partial_attention, merge_two_partials
 from million_tpu.pq.ops import pq_encode
 
 
@@ -186,7 +186,7 @@ def paged_decode_step(
             rmask[:, None, None, :],  # broadcast over (nh_k, G)
             scale=1.0,
         )
-        merged, _ = merge_partials(jnp.stack([out_c, out_r]), jnp.stack([lse_c, lse_r]))
+        merged, _ = merge_two_partials(out_c, lse_c, out_r, lse_r)
         attn = merged[:, :, :G].reshape(S, 1, nh * dh)
 
         x_out = x + jnp.einsum("bnf,df->bnd", attn.astype(x.dtype), lp["wo"]).astype(x.dtype)

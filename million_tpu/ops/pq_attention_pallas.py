@@ -205,6 +205,19 @@ def decode_row_maps(M: int) -> Tuple[np.ndarray, np.ndarray]:
     return gather_idx, select_idx
 
 
+def _select_natural(out: jax.Array) -> jax.Array:
+    """Kernel-row order (..., 4M) -> natural strided head order (..., 2M).
+
+    Row 4m+j is component j of subspace m; natural head dim is m + j*M.
+    Written as reshape+slice+transpose instead of a lane gather: XLA lowers
+    the gather through a chain of layout copies (~0.45 ms/step at 3B/32K),
+    while the strided slice fuses into the consumer."""
+    *s, R = out.shape
+    M = R // 4
+    o = out.reshape(*s, M, 4)[..., :2]  # (..., M, 2): [m, j] = row 4m+j
+    return jnp.swapaxes(o, -1, -2).reshape(*s, 2 * M)
+
+
 def prepare_q(q: jax.Array, table: DecodeTable):
     """Fold centroid scales into q and int8-quantize per query row.
 
@@ -517,7 +530,7 @@ def pq_codes_attention(
         ],
         interpret=interpret,
     )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
-    return out[..., select_idx], lse[..., 0]
+    return _select_natural(out), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -665,7 +678,7 @@ def pq_codes_attention_stacked(
         n_codes.astype(jnp.int32).reshape(1),
         q8, ss_b, key_codes, value_codes, kt_l, vt_l, vo_b,
     )
-    return out[..., select_idx], lse[..., 0]
+    return _select_natural(out), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -791,7 +804,7 @@ def pq_paged_attention(
         interpret=interpret,
     )(pt, n_codes.astype(jnp.int32), q8, ss_b, key_pool, value_pool,
       kpack.tab, vpack.tab, vo)
-    return out[..., select_idx], lse[..., 0]
+    return _select_natural(out), lse[..., 0]
 
 
 def _pq_paged_attn_kernel_stacked(
@@ -923,4 +936,4 @@ def pq_paged_attention_stacked(
         n_codes.astype(jnp.int32),
         q8, ss_b, key_pool, value_pool, kt_l, vt_l, vo_b,
     )
-    return out[..., select_idx], lse[..., 0]
+    return _select_natural(out), lse[..., 0]

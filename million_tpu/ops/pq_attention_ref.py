@@ -53,6 +53,20 @@ def merge_partials(
     return merged, lse
 
 
+def merge_two_partials(out_a, lse_a, out_b, lse_b):
+    """LSE-merge exactly two partials without a stack axis.
+
+    Same math as merge_partials; the stacked form makes XLA materialize
+    (2, ...) temporaries with layout copies on TPU decode shapes (~0.3
+    ms/step at 3B/32K), while this expands to pure elementwise fusion."""
+    m = jnp.maximum(lse_a, lse_b)
+    wa = jnp.exp(lse_a - m)
+    wb = jnp.exp(lse_b - m)
+    denom = wa + wb
+    merged = (out_a * wa[..., None] + out_b * wb[..., None]) / denom[..., None]
+    return merged, m + jnp.log(denom)
+
+
 def _gqa_expand(x: jax.Array, nh: int) -> jax.Array:
     """(bs, nh_k, ...) -> (bs, nh, ...) by repeating each KV head nh/nh_k times."""
     bs, nh_k = x.shape[:2]

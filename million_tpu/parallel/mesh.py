@@ -68,8 +68,6 @@ def pq_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
     return {
         "key_codes": s(None, "dp", "tp", None, "sp"),
         "value_codes": s(None, "dp", "tp", None, "sp"),
-        "key_word_buf": s(None, "dp", "tp", None, None),
-        "value_word_buf": s(None, "dp", "tp", None, None),
         "key_residual": s(None, "dp", "tp", None, None),
         "value_residual": s(None, "dp", "tp", None, None),
         "n_codes": s(None),

@@ -53,11 +53,12 @@ def generate(
     if mode != "dense":
         n_max = cache["key_codes"].shape[-1] * 4  # arena stores packed words
         lt = cache["key_residual"].shape[-2]
-        # Prefill writes all prompt tokens as codes; decode flushes whole
-        # Lt-sized residual windows, so the arena high-water mark is
-        # n_prompt + Lt * floor((max_new - 1) / Lt) — plus Lt headroom for
-        # the decode path's unconditional window mirror (pq_cache.decode_update).
-        peak_codes = n_prompt + lt * ((max(max_new_tokens, 1) - 1) // lt) + lt
+        # Prefill writes the 4-aligned prompt prefix as codes; decode
+        # flushes whole Lt-sized residual windows. Arena high-water mark =
+        # aligned prefix + Lt per flush that can occur while generating.
+        tail0 = n_prompt % 4
+        n_flushes = (tail0 + max(max_new_tokens - 1, 0)) // lt
+        peak_codes = (n_prompt - tail0) + lt * n_flushes
         if peak_codes > n_max:
             raise ValueError(
                 f"prompt({n_prompt}) + max_new_tokens({max_new_tokens}) would "
@@ -83,10 +84,19 @@ def generate(
 
     toks = [tok]
     t1 = time.perf_counter()
+    # Host-scheduled residual-window flush: the residual count after prefill
+    # is n_prompt % 4 (the ragged tail), +1 per decode step; when it reaches
+    # Lt the step must run with flush=True (static arg — see decode_step).
+    r_host = n_prompt % 4 if mode != "dense" else 0
+    lt_host = cache["key_residual"].shape[-2] if mode != "dense" else 0
     for i in range(max_new_tokens - 1):
         pos = jnp.asarray(n_prompt + i, jnp.int32)
+        flush = mode != "dense" and r_host >= lt_host
+        if flush:
+            r_host = 0
+        r_host += 1
         logits, cache = llama.decode_step(
-            params, cfg, tok, pos, cache, cents, mode=mode
+            params, cfg, tok, pos, cache, cents, mode=mode, flush=flush
         )
         key, sk = jax.random.split(key)
         tok = sample(logits, sk, sampling)

@@ -99,10 +99,17 @@ def test_generate_with_trained_codebooks_tracks_dense(rng):
     ld, dn_cache = prefill(params, CFG, ids, dn_cache, None, mode="dense")
 
     agree = 0
+    r_host = 24 % 4  # host-side flush schedule (see runtime/generate.py)
     for t in range(10):  # crosses the Lt=8 residual flush
         tok = jnp.asarray([int(np.argmax(np.asarray(ld)[0, -1] if t == 0 else ld_step))], jnp.int32)
         pos = jnp.asarray(24 + t, jnp.int32)
-        lp_step, pq_cache = decode_step(params, CFG, tok, pos, pq_cache, cents, mode="pq")
+        flush = r_host >= 8
+        if flush:
+            r_host = 0
+        r_host += 1
+        lp_step, pq_cache = decode_step(
+            params, CFG, tok, pos, pq_cache, cents, mode="pq", flush=flush
+        )
         ld_full, dn_cache = decode_step(params, CFG, tok, pos, dn_cache, None, mode="dense")
         ld_step = np.asarray(ld_full)[0]
         agree += int(np.argmax(np.asarray(lp_step)[0]) == np.argmax(ld_step))
