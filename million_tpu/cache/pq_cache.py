@@ -47,7 +47,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from million_tpu.pq.ops import pq_encode
+from million_tpu.pq.ops import pq_encode, pq_encode_chunked
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 
 PQCacheLayerState = Dict[str, jax.Array]
@@ -137,8 +137,8 @@ def prefill_update(
     tail = n - n4
     new = dict(state)
     if n4:
-        kc = jnp.swapaxes(pq_encode(k[:, :, :n4], key_cents, layout), -1, -2)
-        vc = jnp.swapaxes(pq_encode(v[:, :, :n4], value_cents, layout), -1, -2)
+        kc = jnp.swapaxes(pq_encode_chunked(k[:, :, :n4], key_cents, layout), -1, -2)
+        vc = jnp.swapaxes(pq_encode_chunked(v[:, :, :n4], value_cents, layout), -1, -2)
         start_w = state["n_codes"] // WORD
         new["key_codes"] = jax.lax.dynamic_update_slice(
             state["key_codes"], pack_codes(kc), (0, 0, 0, start_w)

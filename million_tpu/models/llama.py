@@ -44,7 +44,7 @@ from million_tpu.ops.pq_attention_pallas import (
     pack_decode_table,
     pq_codes_attention,
 )
-from million_tpu.pq.ops import pq_encode, pq_decode
+from million_tpu.pq.ops import pq_encode, pq_encode_chunked, pq_decode
 
 SUBSPACE_LAYOUT = "strided"  # see pq.ops.subspace_view — the TPU-native split
 
@@ -234,7 +234,7 @@ def _logits(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent"))
+@partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent", "last_logit_only"))
 def prefill(
     params: Params,
     cfg: ModelConfig,
@@ -244,8 +244,13 @@ def prefill(
     pos_offset: jax.Array | int = 0,
     mode: str = "pq",
     distort_recent: bool = False,
+    last_logit_only: bool = False,
 ) -> Tuple[jax.Array, PQCacheLayerState]:
-    """Full prefill. Returns (logits (bs, n, V) f32, updated cache).
+    """Full prefill. Returns (logits (bs, n, V) f32, updated cache);
+    with last_logit_only=True, logits are (bs, 1, V) — the full-sequence
+    logit tensor is (bs, n, V) f32 = 16.5 GB at 32K prompts x 128K vocab,
+    so generation (which only samples from the last position) must not
+    materialize it. Perplexity keeps the full tensor (teacher forcing).
 
     mode "pq": encode k/v into the code arena; attention over exact (or, with
     distort_recent, decode(encode(.)) — the reference ppl protocol,
@@ -271,8 +276,8 @@ def prefill(
             # aligned prefix -> word arena; ragged tail -> exact residual
             n4 = (n // WORD) * WORD
             tail = n - n4
-            kc = jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2)
-            vc = jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2)
+            kc = jnp.swapaxes(pq_encode_chunked(k, kcent, SUBSPACE_LAYOUT), -1, -2)
+            vc = jnp.swapaxes(pq_encode_chunked(v, vcent, SUBSPACE_LAYOUT), -1, -2)
             if n4:
                 start_w = cache["n_codes"][i] // WORD
                 cache["key_codes"] = jax.lax.dynamic_update_slice(
@@ -324,6 +329,8 @@ def prefill(
     (x, cache, _), _ = jax.lax.scan(
         layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
     )
+    if last_logit_only:
+        x = x[:, -1:]
     return _logits(params, cfg, x), cache
 
 

@@ -35,7 +35,7 @@ from million_tpu.ops.pq_attention_pallas import (
     pq_paged_attention_stacked,
 )
 from million_tpu.ops.pq_attention_ref import masked_partial_attention, merge_two_partials
-from million_tpu.pq.ops import pq_encode
+from million_tpu.pq.ops import pq_encode, pq_encode_chunked
 
 
 def _rope_per_seq(x: jax.Array, pos: jax.Array, inv_freq: jax.Array) -> jax.Array:
@@ -240,8 +240,8 @@ def paged_prefill_seq(
         vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, pos)
-        kc = jnp.swapaxes(pq_encode(k[0], kcent, SUBSPACE_LAYOUT), -1, -2)
-        vc = jnp.swapaxes(pq_encode(v[0], vcent, SUBSPACE_LAYOUT), -1, -2)
+        kc = jnp.swapaxes(pq_encode_chunked(k[0], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(pq_encode_chunked(v[0], vcent, SUBSPACE_LAYOUT), -1, -2)
         st = dict(st)
         if n4:
             st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(

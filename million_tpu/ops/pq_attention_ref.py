@@ -175,12 +175,33 @@ def causal_attention(
 ) -> jax.Array:
     """Causal SDPA for prefill (reference prefill path, pq_utils.py:249-260).
 
-    f32 softmax statistics; XLA fuses this adequately for prefill — the
-    decode hot path is the Pallas kernel, not this.
+    Long sequences on TPU go through the stock Pallas flash-attention op —
+    the dense jnp form materializes the (nh, n, n) f32 score matrix, which
+    at 32K context is ~100 GB and cannot compile (the reference leans on
+    torch SDPA's fused kernels for the same reason, pq_utils.py:249-260).
+    Short sequences and CPU (interpret/test) runs keep the exact jnp path.
     """
     bs, nh, n, d = q.shape
     if scale is None:
         scale = 1.0 / (d**0.5)
+    if n >= 1024 and jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        kf = _gqa_expand(k, nh).astype(q.dtype)
+        vf = _gqa_expand(v, nh).astype(q.dtype)
+        blk = 512
+        n_pad = (-n) % blk
+        if n_pad:
+            pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
+            qp, kp, vp = (jnp.pad(x, pad) for x in (q, kf, vf))
+        else:
+            qp, kp, vp = q, kf, vf
+        # padded tail keys sit AFTER every real query, so causality masks
+        # them out of real rows; padded query rows are sliced away.
+        out = flash_attention(qp, kp, vp, causal=True, sm_scale=scale)
+        return out[:, :, :n].astype(q.dtype)
     k = _gqa_expand(k, nh).astype(jnp.float32)
     v = _gqa_expand(v, nh).astype(jnp.float32)
     s = jnp.einsum("bhqk,bhnk->bhqn", q.astype(jnp.float32), k) * scale

@@ -96,6 +96,30 @@ def pq_encode(
     return codes.astype(jnp.uint8 if cents.shape[-2] <= 256 else jnp.int32)
 
 
+def pq_encode_chunked(
+    x: jax.Array,  # (..., n, d) with tokens on axis -2
+    cents: jax.Array,  # (M, C, d_m)
+    layout: str = "contiguous",
+    chunk: int = 1024,
+) -> jax.Array:
+    """pq_encode over the token axis in bounded chunks.
+
+    pq_encode materializes a (..., n, M, C) f32 distance tensor; at 32K-token
+    prefill that is ~17 GB per layer side (OOM / 65+ ms of pure HBM traffic
+    per layer). Chunking bounds the transient to (..., chunk, M, C) — the
+    chunk loop is static under jit (prefill lengths are static)."""
+    n = x.shape[-2]
+    if n <= chunk:
+        return pq_encode(x, cents, layout)
+    parts = [
+        pq_encode(
+            jax.lax.slice_in_dim(x, s, min(s + chunk, n), axis=-2), cents, layout
+        )
+        for s in range(0, n, chunk)
+    ]
+    return jnp.concatenate(parts, axis=-2)
+
+
 def pq_decode(
     codes: jax.Array, cents: jax.Array, layout: str = "contiguous"
 ) -> jax.Array:

@@ -75,7 +75,9 @@ def generate(
 
     t0 = time.perf_counter()
     prefill_mode = "dense" if mode == "dense" else "pq"
-    logits, cache = llama.prefill(params, cfg, input_ids, cache, cents, mode=prefill_mode)
+    logits, cache = llama.prefill(
+        params, cfg, input_ids, cache, cents, mode=prefill_mode, last_logit_only=True
+    )
     key, sk = jax.random.split(key)
     tok = sample(logits[:, -1], sk, sampling)
     tok.block_until_ready()

@@ -167,3 +167,16 @@ def test_opq_preserves_inner_products(rng):
         np.asarray(jnp.sum((q @ R) * (k @ R), -1)),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_pq_encode_chunked_matches_unchunked(rng):
+    import jax.numpy as jnp
+    from million_tpu.pq.ops import pq_encode, pq_encode_chunked
+
+    x = jnp.asarray(rng.standard_normal((2, 3, 50, 16)), jnp.float32)
+    cents = jnp.asarray(rng.standard_normal((8, 32, 2)), jnp.float32)
+    a = pq_encode(x, cents, "strided")
+    b = pq_encode_chunked(x, cents, "strided", chunk=16)
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
