@@ -15,6 +15,35 @@ from typing import Optional
 import numpy as np
 
 PPL_DATASETS = {"wikitext-2", "wikitext-103", "ptb"}
+
+
+class ByteTokenizer:
+    """Hermetic byte-level tokenizer: ids are UTF-8 bytes (vocab 256).
+
+    Stands in for an HF tokenizer in offline/synthetic runs (the registry
+    analogue of the reference's `_synthetic` escape hatch) so that the
+    text-driven harnesses — LongBench, lm-eval, .txt perplexity — run
+    end-to-end without model assets. Matches the two HF calls the harnesses
+    use: `tok(text) -> {"input_ids": [...]}` and `tok.decode(ids) -> text`.
+    """
+
+    vocab_size = 256
+
+    def __call__(self, text: str, add_special_tokens: bool = True):
+        return {"input_ids": list(text.encode("utf-8"))}
+
+    def decode(self, ids) -> str:
+        return bytes(int(i) % 256 for i in ids).decode("utf-8", errors="replace")
+
+
+def load_tokenizer(spec: Optional[str]):
+    """spec: None/"byte" -> ByteTokenizer; anything else -> HF AutoTokenizer
+    path or hub name (transformers is baked in; assets must be local)."""
+    if spec in (None, "", "byte"):
+        return ByteTokenizer()
+    from transformers import AutoTokenizer  # type: ignore
+
+    return AutoTokenizer.from_pretrained(spec)
 _HF_SPECS = {
     "wikitext-2": ("wikitext", "wikitext-2-raw-v1", "test", "text"),
     "wikitext-103": ("wikitext", "wikitext-103-raw-v1", "test", "text"),
@@ -41,7 +70,10 @@ def load_tokens(
     if p.exists():
         if tokenizer is None:
             raise ValueError(f"need a tokenizer to tokenize text file {dataset}")
-        return np.asarray(tokenizer(p.read_text())["input_ids"], np.int32)
+        ids = np.asarray(tokenizer(p.read_text())["input_ids"], np.int32)
+        # a mismatched tokenizer (e.g. the hermetic byte fallback on a tiny
+        # test vocab) must not index the embedding out of range
+        return ids % vocab_size
     if dataset in _HF_SPECS:
         if tokenizer is None:
             raise ValueError(f"need a tokenizer for dataset {dataset}")

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from million_tpu.benchmarks.perplexity import perplexity
-from million_tpu.benchmarks.registry import load_tokens, select_benchmark
+from million_tpu.benchmarks.registry import load_tokenizer, load_tokens, select_benchmark
 from million_tpu.benchmarks.speedtest import speedtest
 from million_tpu.cache.dense_cache import DenseCacheConfig, init_dense_state
 from million_tpu.cache.pq_cache import PQCacheConfig, init_state
@@ -36,13 +36,15 @@ from million_tpu.utils.fvecs import read_fvecs, write_fvecs
 from million_tpu.utils.ledger import append_result
 
 DEFAULTS = {
-    "model": {"preset": "tinyllama-1.1b", "weights": None, "seed": 0},
+    "model": {"preset": "tinyllama-1.1b", "weights": None, "tokenizer": "byte", "seed": 0},
     "pq": {"M": None, "nbits": 8, "Lt": 128, "train_iters": 25, "sample_target": 32768},
     "cache": {"N_max": 32768},
     "run": {
         "dataset": "_synthetic",
+        "data_path": None,
         "max_length": 2048,
         "max_windows": 4,
+        "max_samples": None,
         "prefill_lengths": [1024, 4096],
         "decode_length": 64,
         "mode": "pq_pallas",
@@ -133,7 +135,11 @@ def run_benchmark(cfg: Config, mcfg, params, mode: str, cents):
             decode_length=cfg.run.decode_length,
         )
     if kind == "perplexity":
-        tokens = load_tokens(cfg.run.dataset, vocab_size=mcfg.vocab_size)
+        tokens = load_tokens(
+            cfg.run.dataset,
+            tokenizer=load_tokenizer(cfg.model.tokenizer),
+            vocab_size=mcfg.vocab_size,
+        )
         factory = (
             make_dense_cache_factory(cfg, mcfg, n_max=cfg.run.max_length)
             if mode == "dense"
@@ -145,7 +151,97 @@ def run_benchmark(cfg: Config, mcfg, params, mode: str, cents):
             max_length=cfg.run.max_length,
             max_windows=cfg.run.max_windows,
         )
+    if kind == "longbench":
+        return run_longbench(cfg, mcfg, params, mode, cents)
+    if kind == "lm_eval":
+        return run_lm_eval(cfg, mcfg, params, mode, cents)
     raise NotImplementedError(f"benchmark kind {kind} (dataset {cfg.run.dataset})")
+
+
+def run_longbench(cfg: Config, mcfg, params, mode: str, cents):
+    """LongBench generate-and-score (reference pred_long_bench protocol):
+    per-request fresh cache (the cache_clear_func contract), task prompt,
+    middle truncation, greedy generation of dataset2maxlen tokens."""
+    from million_tpu.benchmarks.longbench import (
+        dataset2maxlen,
+        load_longbench_rows,
+        pred_longbench,
+    )
+    from million_tpu.runtime.generate import generate
+    from million_tpu.runtime.sampling import SamplingConfig
+
+    task = cfg.run.dataset.split(":", 1)[1]
+    tok = load_tokenizer(cfg.model.tokenizer)
+    rows = load_longbench_rows(task, cfg.run.data_path)
+    maxgen = dataset2maxlen[task]
+    n_max = cfg.cache.N_max
+    factory = (
+        make_dense_cache_factory(cfg, mcfg, n_max=n_max)
+        if mode == "dense"
+        else make_pq_cache_factory(cfg, mcfg, n_max=n_max)
+    )
+    greedy = SamplingConfig(temperature=0.0)
+
+    def generate_fn(prompt: str, max_new: int) -> str:
+        ids = tok(prompt)["input_ids"][: n_max - maxgen - 4]
+        ids = jnp.asarray(np.asarray(ids, np.int32) % mcfg.vocab_size)[None, :]
+        res, _ = generate(
+            params, mcfg, ids, factory(), cents,
+            mode=mode, max_new_tokens=max_new, sampling=greedy,
+        )
+        return tok.decode(res.tokens[0].tolist())
+
+    return pred_longbench(
+        generate_fn, tok, task, rows,
+        max_length=min(cfg.run.max_length, n_max - maxgen - 4),
+        max_samples=cfg.run.max_samples,
+    )
+
+
+def run_lm_eval(cfg: Config, mcfg, params, mode: str, cents):
+    """Loglikelihood multiple-choice accuracy. The dataset spec is
+    `lm_eval:<path.jsonl>` — rows either pre-tokenized ({context_ids,
+    choices_ids, label}) or text ({context, choices, label}, tokenized
+    here); with the lm_eval package installed, `lm_eval:task:<name>` runs
+    the external harness through MillionLM."""
+    import json as _json
+
+    from million_tpu.benchmarks.lm_eval_adapter import (
+        evaluate_multiple_choice,
+        make_lm_eval_model,
+    )
+
+    spec = cfg.run.dataset.split(":", 1)[1]
+    tok = load_tokenizer(cfg.model.tokenizer)
+    factory = (
+        make_dense_cache_factory(cfg, mcfg)
+        if mode == "dense"
+        else make_pq_cache_factory(cfg, mcfg)
+    )
+    if spec.startswith("task:"):
+        import lm_eval  # type: ignore
+
+        lm = make_lm_eval_model(params, mcfg, factory, cents, tok, mode=mode)
+        return lm_eval.simple_evaluate(model=lm, tasks=[spec[5:]])["results"]
+    rows = [
+        _json.loads(l)
+        for l in Path(cfg.run.data_path or spec).read_text().splitlines()
+        if l.strip()
+    ]
+    examples = []
+    for r in rows[: cfg.run.max_samples]:
+        if "context_ids" in r:
+            examples.append(r)
+        else:
+            examples.append({
+                "context_ids": [i % mcfg.vocab_size for i in tok(r["context"])["input_ids"]],
+                "choices_ids": [
+                    [i % mcfg.vocab_size for i in tok(c)["input_ids"]]
+                    for c in r["choices"]
+                ],
+                "label": r["label"],
+            })
+    return evaluate_multiple_choice(params, mcfg, factory, cents, examples, mode=mode)
 
 
 def stage_baseline(cfg, mcfg, params):
@@ -158,7 +254,11 @@ def stage_sampling(cfg, mcfg, params):
     """Collect per-layer KV samples (reference sampling stage,
     main_pq.py:168-205): run dense prefills over the dataset and persist
     subsampled head-vectors until sample_target rows per layer."""
-    tokens = load_tokens(cfg.run.dataset, vocab_size=mcfg.vocab_size)
+    tokens = load_tokens(
+        cfg.run.dataset,
+        tokenizer=load_tokenizer(cfg.model.tokenizer),
+        vocab_size=mcfg.vocab_size,
+    )
     target = cfg.pq.sample_target
     out = art_dir(cfg)
     for L in range(mcfg.num_layers):

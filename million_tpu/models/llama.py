@@ -366,6 +366,18 @@ def decode_step(
     x = params["embed"][token][:, None, :]  # (bs, 1, D)
     pos_arr = pos[None] if jnp.ndim(pos) == 0 else pos
 
+    # The compiled kernel tiles the arena in >=512-token word blocks
+    # (ops.pq_attention_pallas._block_geometry); arenas below one tile
+    # (tiny configs, unit tests on hardware) demote to the jnp oracle —
+    # same math, LSE-identical. This is the TPU-native analogue of the
+    # reference's layered kernel fallback chain (paged_pq_utils.py:816-895):
+    # resolved statically at trace time instead of caught at runtime.
+    if mode == "pq_pallas" and jax.default_backend() != "cpu":
+        n_arena = cache["key_codes"].shape[-1] * 4
+        sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+        if n_arena // sp < 512:
+            mode = "pq"
+
     # Counters evolve IDENTICALLY in every layer (same update rule per
     # token), so compute them once per step outside the scan: per-layer
     # indexed counter reads fed the kernels' scalar prefetch a fresh (L,)

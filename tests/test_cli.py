@@ -55,3 +55,51 @@ def test_perplexity_pipeline(tmp_path):
     assert base["ppl"] > 0 and np.isfinite(base["ppl"])
     assert ev["ppl"] > 0 and np.isfinite(ev["ppl"])
     assert ev["windows"] == 2
+
+
+def test_longbench_pipeline(tmp_path):
+    """LongBench harness through the CLI with a local JSONL + byte tokenizer."""
+    os.chdir(tmp_path)
+    rows = [
+        {"context": "The capital of France is Paris.", "input": "What is the capital?",
+         "answers": ["Paris"], "all_classes": []},
+        {"context": "Two plus two equals four.", "input": "What is 2+2?",
+         "answers": ["four"], "all_classes": []},
+    ]
+    p = tmp_path / "hotpotqa.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    main([
+        "-f", "/root/repo/configs/test-tiny.json",
+        "-p", "evaluation",
+        "-o", "run.dataset=longbench:hotpotqa",
+        "-o", f"run.data_path={p}",
+        "-o", "run.max_length=192",
+        "-o", f"run.results={tmp_path}/lb.jsonl",
+        "-o", f"run.artifacts={tmp_path}/artifacts",
+    ])
+    rows = read_results(tmp_path / "lb.jsonl")
+    res = rows[0]["result"]
+    assert res["dataset"] == "hotpotqa"
+    assert res["n"] == 2
+    assert 0.0 <= res["score"] <= 1.0
+
+
+def test_lm_eval_pipeline(tmp_path):
+    """Hermetic loglikelihood multiple-choice accuracy through the CLI."""
+    os.chdir(tmp_path)
+    rows = [
+        {"context": "The sky is", "choices": [" blue", " a potato"], "label": 0},
+        {"context": "Water is", "choices": [" wet", " dry"], "label": 0},
+    ]
+    p = tmp_path / "mc.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    main([
+        "-f", "/root/repo/configs/test-tiny.json",
+        "-p", "evaluation",
+        "-o", f"run.dataset=lm_eval:{p}",
+        "-o", f"run.results={tmp_path}/mc_res.jsonl",
+        "-o", f"run.artifacts={tmp_path}/artifacts",
+    ])
+    res = read_results(tmp_path / "mc_res.jsonl")[0]["result"]
+    assert res["n"] == 2
+    assert 0.0 <= res["acc"] <= 1.0
