@@ -59,6 +59,21 @@ ladder; the first-cut kernel ran at 57 GB/s effective, the bf16-pair
 The kernel requires d_m == 2 (M = d/2, the reference's production shape and
 quality sweet spot — BASELINE.md shows M=d/4 degenerate at nbits=8); other
 layouts run through the jnp reference path (ops/pq_attention_ref.py).
+
+Speed-of-light accounting (v5e, bs=7 x 8 KV heads x 32K x M=64 bench shape,
+measured 2026-08-19): the kernel runs 1.46 ms/call = 382 cyc per 512-token
+tile. Each tile issues 64 vreg-gathers (8 index vregs x 4 bytes x 2 sides);
+an isolated serialized gather chain measures ~12.6 cyc/vreg and ~6 cyc/vreg
+with two in flight, so 64 x 6 = 384 cyc — the kernel sits AT the VPU
+gather-issue floor, with all ALU ops hidden beneath the gathers. The
+remaining 4.3x to the HBM floor (287 us for 235 MB of codes at 819 GB/s) is
+not reachable by scheduling: one lane-gather per code is information-
+theoretically required for d_m=2 tables (a 7-bit lane index cannot decode
+two independent 8-bit codes), so the only paths below this floor change the
+quantization geometry — d_m=4 halves both gathers and code bytes at known
+quality cost (reference results.jsonl:9: M=d/4 ppl degenerate), asymmetric
+K:d_m=2 / V:d_m=4 halves only the V side and needs quality validation on
+real weights.
 """
 
 from __future__ import annotations

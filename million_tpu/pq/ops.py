@@ -77,19 +77,37 @@ def pq_encode(
     c = cents.astype(jnp.float32)
     # (..., M, C): inner products per subspace. Full f32 precision — a
     # low-precision matmul here flips argmin ties and changes codes.
+    # The d_m axis is zero-padded to a full 8-sublane tile so XLA maps the
+    # contraction onto the MXU: a bare k=2 contraction lowers to a VPU
+    # fusion (measured 39.5 ms vs 2.5 ms per (8, 1024)-token chunk on v5e,
+    # 16x, bit-identical codes).
+    kpad = (-c.shape[-1]) % 8
+    if kpad:
+        xs_p = jnp.pad(xs, [(0, 0)] * (xs.ndim - 1) + [(0, kpad)])
+        c_p = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, kpad)])
+    else:
+        xs_p, c_p = xs, c
     if batched_cents:
         X = c.shape[0]
         g = x.shape[0] // X  # rows of x per cents bank
-        xg = xs.reshape(X, g, *xs.shape[1:])
-        ip = jnp.einsum(
-            "xg...mk,xmck->xg...mc", xg, c, precision=jax.lax.Precision.HIGHEST
-        ).reshape(*xs.shape[:-1], c.shape[-2])
+        xg = xs_p.reshape(X, g, *xs_p.shape[1:])  # (X, g, ..., M, k)
+        ip = jax.lax.dot_general(
+            xg, c_p,
+            (((xg.ndim - 1,), (3,)), ((0, xg.ndim - 2), (0, 1))),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (X, M, g, ..., C)
+        ip = jnp.moveaxis(ip, 1, -2).reshape(*xs.shape[:-1], c.shape[-2])
         c_sq = jnp.repeat(jnp.sum(c * c, axis=-1), g, axis=0)  # (X*g, M, C)
         c_sq = c_sq.reshape(
             (x.shape[0],) + (1,) * (xs.ndim - 3) + c_sq.shape[1:]
         )
     else:
-        ip = jnp.einsum("...mk,mck->...mc", xs, c, precision=jax.lax.Precision.HIGHEST)
+        ip = jax.lax.dot_general(
+            xs_p, c_p,
+            (((xs_p.ndim - 1,), (2,)), ((xs_p.ndim - 2,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (M, ..., C)
+        ip = jnp.moveaxis(ip, 0, -2)  # (..., M, C)
         c_sq = jnp.sum(c * c, axis=-1)  # (M, C)
     dists = c_sq - 2.0 * ip
     codes = jnp.argmin(dists, axis=-1)
