@@ -25,13 +25,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, dcn: int = 1, devices=None) -> Mesh:
+    """Mesh axes ("dcn", "dp", "tp", "sp").
+
+    dcn is the multi-slice axis (slices connected over the data-center
+    network, not ICI): the KV code sequence shards over ("dcn", "sp"), so
+    each slice owns a contiguous super-range of tokens and the per-token
+    traffic stays on ICI — only the tiny (partial, lse) pairs cross DCN in
+    the final merge. dcn=1 (the default) degenerates to single-slice; all
+    other arrays are replicated over dcn unless sharded explicitly.
+    """
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp * sp
+    n = dcn * dp * tp * sp
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(dp, tp, sp)
-    return Mesh(arr, ("dp", "tp", "sp"))
+    arr = np.asarray(devices[:n]).reshape(dcn, dp, tp, sp)
+    return Mesh(arr, ("dcn", "dp", "tp", "sp"))
 
 
 def param_shardings(mesh: Mesh) -> Dict[str, Any]:
@@ -61,13 +70,15 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
 
 
 def pq_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
-    """Cache pytree shardings: codes sequence-sharded over sp, batch over dp,
-    KV heads over tp; the residual window is small (Lt tokens) and
-    replicated across sp."""
+    """Cache pytree shardings: codes sequence-sharded over ("dcn", "sp") —
+    contiguous super-ranges per slice, ICI-local shards within — batch over
+    dp, KV heads over tp; the residual window is small (Lt tokens) and
+    replicated across the sequence axes."""
     s = lambda *spec: NamedSharding(mesh, P(*spec))
+    seq = ("dcn", "sp") if "dcn" in mesh.shape else "sp"
     return {
-        "key_codes": s(None, "dp", "tp", None, "sp"),
-        "value_codes": s(None, "dp", "tp", None, "sp"),
+        "key_codes": s(None, "dp", "tp", None, seq),
+        "value_codes": s(None, "dp", "tp", None, seq),
         "key_residual": s(None, "dp", "tp", None, None),
         "value_residual": s(None, "dp", "tp", None, None),
         "n_codes": s(None),

@@ -24,10 +24,40 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+import numpy as np
+
 from million_tpu.ops.pq_attention_pallas import (
     pq_codes_attention,
     pq_codes_attention_stacked,
 )
+
+
+def _seq_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Sequence-sharding axes: ("dcn", "sp") on a multi-slice mesh — slice-
+    major so each DCN slice owns a contiguous token super-range and shard
+    traffic stays on ICI — else just ("sp",)."""
+    return ("dcn", "sp") if "dcn" in mesh.shape else ("sp",)
+
+
+def _linear_shard_index(mesh: Mesh, seq_axes: Tuple[str, ...]) -> jax.Array:
+    """This device's linear sequence-shard index, axis-major order."""
+    i = jnp.asarray(0, jnp.int32)
+    for a in seq_axes:
+        i = i * mesh.shape[a] + jax.lax.axis_index(a)
+    return i
+
+
+def _merge_over(out: jax.Array, lse: jax.Array, seq_axes: Tuple[str, ...]):
+    """Associative LSE merge across the sequence axes (reference reduce
+    kernel math, Kernel.cuh:1211-1270). XLA lowers the psum over ("dcn",
+    "sp") hierarchically: ICI reduce within a slice, then the tiny
+    (G, d)+scalar per head crosses DCN."""
+    mx = jax.lax.pmax(lse, seq_axes)
+    w = jnp.exp(lse - mx)
+    num = jax.lax.psum(out * w[..., None], seq_axes)
+    den = jax.lax.psum(w, seq_axes)
+    merged = num / jnp.maximum(den, 1e-30)[..., None]
+    return merged, mx + jnp.log(jnp.maximum(den, 1e-30))
 
 
 def sharded_pq_codes_attention(
@@ -46,35 +76,34 @@ def sharded_pq_codes_attention(
     """Returns (out, lse) exactly like pq_codes_attention, but computed with
     the code arena sequence-sharded across the mesh's "sp" axis (and batch /
     KV heads sharded over "dp" / "tp")."""
-    sp = mesh.shape["sp"]
+    seq_axes = _seq_axes(mesh)
+    n_shards = int(np.prod([mesh.shape[a] for a in seq_axes]))
     N = key_codes.shape[3] * 4  # tokens
-    if key_codes.shape[3] % sp != 0:
-        raise ValueError(f"arena words {key_codes.shape[3]} not divisible by sp={sp}")
-    n_local = N // sp
+    if key_codes.shape[3] % n_shards != 0:
+        raise ValueError(
+            f"arena words {key_codes.shape[3]} not divisible by "
+            f"{'x'.join(seq_axes)}={n_shards}"
+        )
+    n_local = N // n_shards
 
     def local_fn(q, kc, vc, kp, vp, nc):
-        i = jax.lax.axis_index("sp")
+        i = _linear_shard_index(mesh, seq_axes)
         # tokens owned by this shard: [i*n_local, (i+1)*n_local)
         local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
         out, lse = pq_codes_attention(
             q, kc, vc, kp, vp, local_valid,
             block=min(block, n_local), interpret=interpret, direct=direct,
         )
-        # associative LSE merge across shards (reduce kernel math)
-        mx = jax.lax.pmax(lse, "sp")  # (bs, nh_k, G)
-        w = jnp.exp(lse - mx)
-        num = jax.lax.psum(out * w[..., None], "sp")
-        den = jax.lax.psum(w, "sp")
-        merged = num / jnp.maximum(den, 1e-30)[..., None]
-        return merged, mx + jnp.log(jnp.maximum(den, 1e-30))
+        merged, lse_m = _merge_over(out, lse, seq_axes)
+        return merged, lse_m
 
     shmap = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
             P("dp", "tp", None, None),  # q
-            P("dp", "tp", None, "sp"),  # key codes
-            P("dp", "tp", None, "sp"),  # value codes
+            P("dp", "tp", None, seq_axes),  # key codes
+            P("dp", "tp", None, seq_axes),  # value codes
             P(),  # kpack
             P(),  # vpack
             P(),  # n_codes (1,)
@@ -101,33 +130,32 @@ def sharded_pq_codes_attention_stacked(
 ) -> Tuple[jax.Array, jax.Array]:
     """Stacked-arena version of sharded_pq_codes_attention: one layer of the
     (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards."""
-    sp = mesh.shape["sp"]
+    seq_axes = _seq_axes(mesh)
+    n_shards = int(np.prod([mesh.shape[a] for a in seq_axes]))
     N = key_codes.shape[4] * 4  # tokens
-    if key_codes.shape[4] % sp != 0:
-        raise ValueError(f"arena words {key_codes.shape[4]} not divisible by sp={sp}")
-    n_local = N // sp
+    if key_codes.shape[4] % n_shards != 0:
+        raise ValueError(
+            f"arena words {key_codes.shape[4]} not divisible by "
+            f"{'x'.join(seq_axes)}={n_shards}"
+        )
+    n_local = N // n_shards
 
     def local_fn(q, kc, vc, kp, vp, li, nc):
-        i = jax.lax.axis_index("sp")
+        i = _linear_shard_index(mesh, seq_axes)
         local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
         out, lse = pq_codes_attention_stacked(
             q, kc, vc, kp, vp, li[0], local_valid,
             block=min(block, n_local), interpret=interpret, direct=direct,
         )
-        mx = jax.lax.pmax(lse, "sp")
-        w = jnp.exp(lse - mx)
-        num = jax.lax.psum(out * w[..., None], "sp")
-        den = jax.lax.psum(w, "sp")
-        merged = num / jnp.maximum(den, 1e-30)[..., None]
-        return merged, mx + jnp.log(jnp.maximum(den, 1e-30))
+        return _merge_over(out, lse, seq_axes)
 
     shmap = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
             P("dp", "tp", None, None),
-            P(None, "dp", "tp", None, "sp"),
-            P(None, "dp", "tp", None, "sp"),
+            P(None, "dp", "tp", None, seq_axes),
+            P(None, "dp", "tp", None, seq_axes),
             P(),
             P(),
             P(),

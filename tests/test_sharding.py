@@ -20,12 +20,17 @@ from million_tpu.ops.pq_attention_pallas import (
 
 def test_mesh_axes():
     mesh = make_mesh(dp=2, tp=2, sp=2)
-    assert mesh.shape == {"dp": 2, "tp": 2, "sp": 2}
+    assert mesh.shape == {"dcn": 1, "dp": 2, "tp": 2, "sp": 2}
 
 
-@pytest.mark.parametrize("dp,tp,sp", [(1, 1, 8), (2, 1, 4), (2, 2, 2)])
-def test_sharded_attention_matches_single_device(rng, dp, tp, sp):
-    mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+@pytest.mark.parametrize(
+    "dcn,dp,tp,sp", [(1, 1, 1, 8), (1, 2, 1, 4), (1, 2, 2, 2), (2, 1, 1, 4), (2, 2, 1, 2)]
+)
+def test_sharded_attention_matches_single_device(rng, dcn, dp, tp, sp):
+    """Sequence shards over ("dcn", "sp") — dcn>1 models multi-slice: each
+    slice owns a contiguous token super-range, merged with the same
+    associative LSE combine over both axes."""
+    mesh = make_mesh(dp=dp, tp=tp, sp=sp, dcn=dcn)
     bs, nh_k, d, M, C, N = dp, 2 * tp, 32, 16, 256, 1024
     n_codes = 700
     q = jnp.asarray(
