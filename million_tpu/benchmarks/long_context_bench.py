@@ -1,0 +1,118 @@
+"""Long-context decode benchmark: PQ 4-bit KV at contexts dense bf16 cannot
+hold on one chip.
+
+At 128K tokens a llama-3.2-3b-class dense bf16 KV cache is 14.7 GB — it
+does not fit a 16 GB v5e beside 6.4 GB of weights. The 4-bit PQ arena is
+3.7 GB, so 128K decodes on ONE chip (the reference's long-context claim,
+README.md:15-16, extended 4x past its 32K headline). Reports steady-state
+TPOT over the chosen context.
+
+Run:  python -m million_tpu.benchmarks.long_context_bench [--ctx 131072]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ctx", type=int, default=131072)
+    ap.add_argument("--preset", default="llama-3.2-3b")
+    ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--block", type=int, default=16384)
+    args = ap.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+    from million_tpu.models.llama import PRESETS, build_tables, decode_step
+    from million_tpu.utils.timing import chained_bench
+
+    CTX, bs = args.ctx, args.bs
+    cfg = PRESETS[args.preset]
+    rng = np.random.default_rng(0)
+    M, C, L = cfg.head_dim // 2, 256, cfg.num_layers
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+    }
+    tables = build_tables(cents)
+    pq_cfg = PQCacheConfig(
+        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128, N_max=CTX
+    )
+    params = __import__("million_tpu.models.llama", fromlist=["init_params"]).init_params(
+        cfg, jax.random.PRNGKey(0)
+    )
+    code_bytes = 2 * L * bs * cfg.num_kv_heads * M * CTX
+    dense_bytes = 2 * L * bs * cfg.num_kv_heads * CTX * cfg.head_dim * 2
+    log(
+        f"ctx={CTX}: PQ arena {code_bytes/1e9:.2f} GB vs dense bf16 KV "
+        f"{dense_bytes/1e9:.2f} GB (weights "
+        f"{sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))/1e9:.2f} GB)"
+    )
+
+    code_shape = (L, bs, cfg.num_kv_heads, M, CTX // 4)
+
+    tile_w = min(1024, CTX // 4)
+
+    @jax.jit
+    def make_codes(seed):
+        tile = jax.random.bits(
+            jax.random.PRNGKey(seed), (*code_shape[:-1], tile_w), jnp.uint32
+        ).astype(jnp.int32)
+        return jnp.tile(
+            tile, (1,) * (len(code_shape) - 1) + (CTX // 4 // tile_w,)
+        )
+
+    def make_state():
+        cache = init_state(pq_cfg, L)
+        cache = dict(cache)
+        cache["key_codes"] = make_codes(1)
+        cache["value_codes"] = make_codes(2)
+        cache["n_codes"] = jnp.full((L,), CTX - 512, jnp.int32)
+        return (jnp.zeros((bs,), jnp.int32), cache)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(params, tables, state):
+        tok, cache = state
+        logits, cache = decode_step(
+            params, cfg, tok, jnp.asarray(CTX - 500, jnp.int32), cache, tables,
+            mode="pq_pallas",
+        )
+        return (jnp.argmax(logits, -1).astype(jnp.int32), cache)
+
+    dt = chained_bench(lambda st: step(params, tables, st), make_state, iters=args.iters)
+    log(f"TPOT {dt*1e3:.2f} ms at ctx={CTX} bs={bs}")
+    print(
+        json.dumps(
+            {
+                "metric": f"decode TPOT, {args.preset} @ {CTX} ctx, PQ 4-bit KV, "
+                f"single chip (dense bf16 KV would need {dense_bytes/1e9:.1f} GB)",
+                "value": round(dt * 1e3, 2),
+                "unit": "ms/token",
+                "tokens_per_s": round(bs / dt, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
