@@ -155,6 +155,25 @@ def measure_dense(cfg, params, bs, iters):
     return dt
 
 
+def _device_watchdog(timeout_s: float = 180.0):
+    """Fail fast (exit 3) if the accelerator runtime never answers — a dead
+    remote-TPU tunnel otherwise hangs the first dispatch forever."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        jnp.ones(8).sum().block_until_ready()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        log(f"device unreachable after {timeout_s:.0f}s — aborting bench")
+        sys.exit(3)
+
+
 def main():
     # persistent compile cache: the 3B decode graphs are slow to compile on
     # remote-compile setups; cache them across invocations.
@@ -164,6 +183,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
+    _device_watchdog()
     iters = 16
     cfg, params, w_bytes = build_model()
 
