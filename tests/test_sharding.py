@@ -80,3 +80,42 @@ def test_sharded_attention_with_placed_inputs(rng):
         mesh, q, kc_sh, vc_sh, kpack, vpack, nc, block=128
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_stacked_attention_multislice(rng):
+    """Stacked-arena sharded attention on a 2-slice mesh (dcn=2, sp=2):
+    layer selected by scalar index, sequence sharded over (dcn, sp), LSE
+    merged hierarchically — matches the single-device stacked kernel."""
+    from million_tpu.ops.pq_attention_pallas import pq_codes_attention_stacked
+    from million_tpu.parallel.sharded_decode import (
+        sharded_pq_codes_attention_stacked,
+    )
+    import jax.tree_util as jtu
+
+    mesh = make_mesh(dp=1, tp=2, sp=2, dcn=2)
+    L, bs, nh_k, d, M, C, N = 3, 1, 2, 32, 16, 64, 1024
+    q = jnp.asarray(
+        rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16
+    )
+    kc = pack_codes(jnp.asarray(rng.integers(0, C, (L, bs, nh_k, M, N)), jnp.uint8))
+    vc = pack_codes(jnp.asarray(rng.integers(0, C, (L, bs, nh_k, M, N)), jnp.uint8))
+    kcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
+    vcent = jnp.asarray(rng.standard_normal((M, C, d // M)), jnp.float32)
+    kp, vp = pack_decode_table(kcent), pack_decode_table(vcent)
+    kp_s = jtu.tree_map(lambda x: jnp.broadcast_to(x, (L, *x.shape)), kp)
+    vp_s = jtu.tree_map(lambda x: jnp.broadcast_to(x, (L, *x.shape)), vp)
+    li = jnp.asarray(1, jnp.int32)
+    nc = jnp.asarray(700, jnp.int32)
+
+    want_out, want_lse = pq_codes_attention_stacked(
+        q, kc, vc, kp_s, vp_s, li, nc, block=128
+    )
+    got_out, got_lse = sharded_pq_codes_attention_stacked(
+        mesh, q, kc, vc, kp_s, vp_s, li, nc, block=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(want_out), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_lse), np.asarray(want_lse), rtol=2e-3, atol=2e-3
+    )
