@@ -56,9 +56,13 @@ ladder; the first-cut kernel ran at 57 GB/s effective, the bf16-pair
   they are microseconds — and the same (partial, lse) pair is the
   cross-chip combine for sequence-sharded decode (parallel/sharded_decode).
 
-The kernel requires d_m == 2 (M = d/2, the reference's production shape and
-quality sweet spot — BASELINE.md shows M=d/4 degenerate at nbits=8); other
-layouts run through the jnp reference path (ops/pq_attention_ref.py).
+Supported quantization geometry: d_m == 2 with C <= 256 (M = d/2, the
+reference's production shape and quality sweet spot — BASELINE.md shows
+M=d/4 degenerate at nbits=8), and d_m == 4 with C <= 128 direct tables
+(the reference's M=32 kernel shape at d=128, setup.py:13) — all four
+packed bytes are real components, so d_m=4 halves both gather count and
+code bytes at its known quality cost. Other layouts run through the jnp
+reference path (ops/pq_attention_ref.py).
 
 Speed-of-light accounting (v5e, bs=7 x 8 KV heads x 32K x M=64 bench shape,
 measured 2026-08-19): the kernel runs 1.46 ms/call = 382 cyc per 512-token
@@ -70,10 +74,10 @@ remaining 4.3x to the HBM floor (287 us for 235 MB of codes at 819 GB/s) is
 not reachable by scheduling: one lane-gather per code is information-
 theoretically required for d_m=2 tables (a 7-bit lane index cannot decode
 two independent 8-bit codes), so the only paths below this floor change the
-quantization geometry — d_m=4 halves both gathers and code bytes at known
-quality cost (reference results.jsonl:9: M=d/4 ppl degenerate), asymmetric
-K:d_m=2 / V:d_m=4 halves only the V side and needs quality validation on
-real weights.
+quantization geometry: the supported d_m=4 layout halves both gathers and
+code bytes at known quality cost (reference results.jsonl:9: M=d/4 ppl
+degenerate at nbits=8); an asymmetric K:d_m=2 / V:d_m=4 split would halve
+only the V side and needs quality validation on real weights.
 """
 
 from __future__ import annotations
@@ -123,11 +127,13 @@ def unpack_codes(words: jax.Array) -> jax.Array:
 class DecodeTable(NamedTuple):
     """int8-quantized gather table for one codebook (see pack_decode_table).
 
-    tab:       (M, 128) int32 — lane l of row m packs the four int8 values
+    tab:       (M, 128) int32 — lane l of row m packs four int8 values,
+               each scaled by 127/scale[m, comp]. d_m=2 pair layout:
                [comp0(code 2l), comp1(code 2l), comp0(code 2l+1),
-                comp1(code 2l+1)], each scaled by 127/scale[m, comp].
+               comp1(code 2l+1)]; d_m=2 direct (C<=128): [c0(l), c1(l),
+               0, 0]; d_m=4 direct: [c0(l), c1(l), c2(l), c3(l)].
     q_scale:   (4M,) f32 — row r = 4m+j holds scale[m, j] (for folding into
-               q on the K side); filler rows 4m+2, 4m+3 are 0.
+               q on the K side); rows with no real component are 0.
     out_scale: (4M,) f32 — row r = 4m+j holds scale[m, j] / 127^2 (PV output
                rescale); filler rows 0.
     """
@@ -139,31 +145,51 @@ class DecodeTable(NamedTuple):
 
 def pack_decode_table(cents: jax.Array, direct: bool = False) -> DecodeTable:
     """Build the kernel's int8 quad-packed gather table from a codebook
-    (M, C, d_m) f32. Requires d_m == 2 and C <= 256.
+    (M, C, d_m) f32. Supports d_m == 2 with C <= 256 and d_m == 4 with
+    C <= 128 (the reference compiles kernels for M in {16, 32, 64} at
+    d=128, i.e. d_m in {8, 4, 2}, setup.py:10-15; d_m == 8 needs 8 comps
+    per code = two table lanes and stays on the jnp path).
 
-    direct=True (requires C <= 128): lane l holds code l's components in the
-    low 16 bits ([c0(l), c1(l), 0, 0]) so the kernel decodes with a bare
-    byte-index gather — no parity select, ~40% fewer produce ops. This is
-    the fast path for the reference's C=128 kernel variants (setup.py
-    compiles C in {128, 256}); callers must pass the SAME `direct` flag to
-    the attention wrappers."""
+    direct=True (requires C <= 128): lane l holds code l's components so
+    the kernel decodes with a bare byte-index gather — no parity select,
+    ~40% fewer produce ops (d_m=2 packs [c0, c1, 0, 0] in the low 16 bits;
+    d_m=4 fills all four bytes [c0, c1, c2, c3] — mandatory for d_m=4).
+    Callers must pass the SAME `direct` flag to the attention wrappers."""
     M, C, d_m = cents.shape
     if C > 256:
         raise ValueError("kernel supports nbits <= 8 (C <= 256)")
     if direct and C > 128:
         raise ValueError("direct tables require C <= 128")
-    if d_m != 2:
+    if d_m not in (2, 4):
         raise ValueError(
-            f"the fused kernel requires d_m == 2 (M = d/2); got d_m={d_m}. "
+            f"the fused kernel requires d_m in (2, 4); got d_m={d_m}. "
             "Use the jnp reference attention for other layouts."
         )
+    if d_m == 4 and not direct:
+        raise ValueError(
+            "d_m == 4 packs all four components per lane, which needs "
+            "direct (byte-index) tables: C <= 128 and direct=True"
+        )
     c = cents.astype(jnp.float32)
-    sc = jnp.maximum(jnp.max(jnp.abs(c), axis=1), 1e-9)  # (M, 2)
+    sc = jnp.maximum(jnp.max(jnp.abs(c), axis=1), 1e-9)  # (M, d_m)
     q = jnp.clip(jnp.round(c * (127.0 / sc[:, None, :])), -127, 127)
-    q = q.astype(jnp.int32)  # (M, C, 2)
-    if direct:
+    q = q.astype(jnp.int32)  # (M, C, d_m)
+    if d_m == 4:
+        qp = jnp.zeros((M, 128, 4), jnp.int32).at[:, :C].set(q)
+        w = (
+            (qp[..., 0] & 255)
+            | ((qp[..., 1] & 255) << 8)
+            | ((qp[..., 2] & 255) << 16)
+            | ((qp[..., 3] & 255) << 24)
+        )  # (M, 128)
+        # all four kernel rows per subspace are real components
+        q_scale = sc.reshape(4 * M)
+    elif direct:
         qp = jnp.zeros((M, 128, 2), jnp.int32).at[:, :C].set(q)
         w = (qp[..., 0] & 255) | ((qp[..., 1] & 255) << 8)  # (M, 128)
+        q_scale = jnp.stack(
+            [sc[:, 0], sc[:, 1], jnp.zeros(M), jnp.zeros(M)], axis=1
+        ).reshape(4 * M)
     else:
         qp = jnp.zeros((M, 256, 2), jnp.int32).at[:, :C].set(q)
         b = [qp[:, 0::2, 0], qp[:, 0::2, 1], qp[:, 1::2, 0], qp[:, 1::2, 1]]
@@ -173,16 +199,18 @@ def pack_decode_table(cents: jax.Array, direct: bool = False) -> DecodeTable:
             | ((b[2] & 255) << 16)
             | ((b[3] & 255) << 24)
         )  # (M, 128)
-    # q_scale row 4m+j = sc[m, j]; filler rows 4m+2, 4m+3 = 0
-    q_scale = jnp.stack(
-        [sc[:, 0], sc[:, 1], jnp.zeros(M), jnp.zeros(M)], axis=1
-    ).reshape(4 * M)
+        # q_scale row 4m+j = sc[m, j]; filler rows 4m+2, 4m+3 = 0
+        q_scale = jnp.stack(
+            [sc[:, 0], sc[:, 1], jnp.zeros(M), jnp.zeros(M)], axis=1
+        ).reshape(4 * M)
     out_scale = q_scale / (127.0 * 127.0)
     return DecodeTable(tab=w.astype(jnp.int32), q_scale=q_scale, out_scale=out_scale)
 
 
-def dequantize_table(table: DecodeTable, C: int = 256, direct: bool = False) -> jax.Array:
-    """Effective codebook the kernel computes with: (M, C, 2) f32.
+def dequantize_table(
+    table: DecodeTable, C: int = 256, direct: bool = False, d_m: int = 2
+) -> jax.Array:
+    """Effective codebook the kernel computes with: (M, C, d_m) f32.
 
     The jnp/numpy oracle should decode with THIS codebook when checking
     kernel parity (the int8 centroid quantization is part of the engine's
@@ -194,34 +222,38 @@ def dequantize_table(table: DecodeTable, C: int = 256, direct: bool = False) -> 
         byte = ((u >> (8 * k)) & 255).astype(jnp.uint8)
         i8 = jax.lax.bitcast_convert_type(byte, jnp.int8)
         comps.append(i8.astype(jnp.float32))
-    sc = jnp.stack([table.q_scale[0::4], table.q_scale[1::4]], axis=-1)  # (M, 2)
-    if direct:
-        full = jnp.stack([comps[0], comps[1]], axis=-1)  # (M, 128, 2) code l
+    if d_m == 4:
+        sc = jnp.stack([table.q_scale[j::4] for j in range(4)], axis=-1)  # (M, 4)
+        full = jnp.stack(comps, axis=-1)  # (M, 128, 4) code l
     else:
-        even = jnp.stack([comps[0], comps[1]], axis=-1)  # codes 2l
-        odd = jnp.stack([comps[2], comps[3]], axis=-1)  # codes 2l+1
-        full = jnp.stack([even, odd], axis=2).reshape(M, 256, 2)
+        sc = jnp.stack([table.q_scale[0::4], table.q_scale[1::4]], axis=-1)  # (M, 2)
+        if direct:
+            full = jnp.stack([comps[0], comps[1]], axis=-1)  # (M, 128, 2) code l
+        else:
+            even = jnp.stack([comps[0], comps[1]], axis=-1)  # codes 2l
+            odd = jnp.stack([comps[2], comps[3]], axis=-1)  # codes 2l+1
+            full = jnp.stack([even, odd], axis=2).reshape(M, 256, 2)
     return (full * sc[:, None, :] / 127.0)[:, :C]
 
 
-def decode_row_maps(M: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Static row maps between kernel rows (4M) and head dims (d = 2M; the
-    strided subspace split: component j of subspace m = dim m + jM).
+def decode_row_maps(M: int, d_m: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+    """Static row maps between kernel rows (4M) and head dims (d = d_m*M;
+    the strided subspace split: component j of subspace m = dim m + jM).
 
-    Returns (gather_idx (4M,): kernel row -> head dim (filler rows -> 0),
-             select_idx (2M,): head dim -> kernel row)."""
-    d = 2 * M
+    Returns (gather_idx (4M,): kernel row -> head dim (d_m=2 filler rows
+             -> 0), select_idx (d,): head dim -> kernel row)."""
+    d = d_m * M
     gather_idx = np.zeros((4 * M,), np.int32)
     select_idx = np.zeros((d,), np.int32)
     for m in range(M):
-        for j in range(2):
+        for j in range(d_m):
             gather_idx[4 * m + j] = m + j * M
             select_idx[m + j * M] = 4 * m + j
     return gather_idx, select_idx
 
 
-def _select_natural(out: jax.Array) -> jax.Array:
-    """Kernel-row order (..., 4M) -> natural strided head order (..., 2M).
+def _select_natural(out: jax.Array, d_m: int = 2) -> jax.Array:
+    """Kernel-row order (..., 4M) -> natural strided head order (..., d_m*M).
 
     Row 4m+j is component j of subspace m; natural head dim is m + j*M.
     Written as reshape+slice+transpose instead of a lane gather: XLA lowers
@@ -229,8 +261,8 @@ def _select_natural(out: jax.Array) -> jax.Array:
     while the strided slice fuses into the consumer."""
     *s, R = out.shape
     M = R // 4
-    o = out.reshape(*s, M, 4)[..., :2]  # (..., M, 2): [m, j] = row 4m+j
-    return jnp.swapaxes(o, -1, -2).reshape(*s, 2 * M)
+    o = out.reshape(*s, M, 4)[..., :d_m]  # (..., M, d_m): [m, j] = row 4m+j
+    return jnp.swapaxes(o, -1, -2).reshape(*s, d_m * M)
 
 
 def prepare_q(q: jax.Array, table: DecodeTable):
@@ -238,9 +270,12 @@ def prepare_q(q: jax.Array, table: DecodeTable):
 
     q (..., d) f32/bf16 (PRE-SCALED by 1/sqrt(d)) ->
     (q8 (..., 4M) int8, s_scale (..., 1) f32): scores = (q8 @ K8) * s_scale.
+    d_m is inferred from d / M; d_m=2 filler rows get q=0 (their q_scale is
+    0), so the matmul over all 4M rows stays exact in both layouts.
     """
     M = table.tab.shape[0]
-    gidx, _ = decode_row_maps(M)
+    d_m = q.shape[-1] // M
+    gidx, _ = decode_row_maps(M, d_m)
     qe = q.astype(jnp.float32)[..., gidx] * table.q_scale
     qmax = jnp.maximum(jnp.max(jnp.abs(qe), axis=-1, keepdims=True), 1e-9)
     q8 = jnp.round(qe * (127.0 / qmax)).astype(jnp.int8)
@@ -403,7 +438,7 @@ def _prep_call(q, kpack, vpack):
     scale tile (lane-broadcast for VMEM), PV output scale tile, row select
     map for the output."""
     M = kpack.tab.shape[0]
-    _, select_idx = decode_row_maps(M)
+    _, select_idx = decode_row_maps(M, q.shape[-1] // M)
     q8, ss = prepare_q(q, kpack)  # (bs, nh_k, G, 4M) i8, (bs, nh_k, G, 1)
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     G = q.shape[2]
@@ -545,7 +580,7 @@ def pq_codes_attention(
         ],
         interpret=interpret,
     )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
-    return _select_natural(out), lse[..., 0]
+    return _select_natural(out, d // M), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -646,7 +681,7 @@ def pq_codes_attention_stacked(
     q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     vo_b = jnp.broadcast_to(vo_l, (G, R)).astype(jnp.float32)
-    _, select_idx = decode_row_maps(M)
+    _, select_idx = decode_row_maps(M, d // M)
 
     kernel = functools.partial(
         _pq_attn_kernel_stacked, block=block, tw=tw, interpret=interpret,
@@ -693,7 +728,7 @@ def pq_codes_attention_stacked(
         n_codes.astype(jnp.int32).reshape(1),
         q8, ss_b, key_codes, value_codes, kt_l, vt_l, vo_b,
     )
-    return _select_natural(out), lse[..., 0]
+    return _select_natural(out, d // M), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -819,7 +854,7 @@ def pq_paged_attention(
         interpret=interpret,
     )(pt, n_codes.astype(jnp.int32), q8, ss_b, key_pool, value_pool,
       kpack.tab, vpack.tab, vo)
-    return _select_natural(out), lse[..., 0]
+    return _select_natural(out, d // M), lse[..., 0]
 
 
 def _pq_paged_attn_kernel_stacked(
@@ -902,7 +937,7 @@ def pq_paged_attention_stacked(
     q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     vo_b = jnp.broadcast_to(vo_l, (G, R)).astype(jnp.float32)
-    _, select_idx = decode_row_maps(M)
+    _, select_idx = decode_row_maps(M, d // M)
 
     kernel = functools.partial(
         _pq_paged_attn_kernel_stacked, page_size=page_size, tw=tw,
@@ -951,4 +986,4 @@ def pq_paged_attention_stacked(
         n_codes.astype(jnp.int32),
         q8, ss_b, key_pool, value_pool, kt_l, vt_l, vo_b,
     )
-    return _select_natural(out), lse[..., 0]
+    return _select_natural(out, d // M), lse[..., 0]

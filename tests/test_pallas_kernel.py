@@ -211,3 +211,47 @@ def test_kernel_direct_table_matches_oracle(rng):
     want_out, want_lse = oracle_codes_attention(q, kc, vc, keff, veff, n, scale)
     np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
     np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
+
+
+def test_kernel_dm4_direct_matches_oracle(rng):
+    """d_m=4 (M=d/4, the reference's M=32-at-d=128 kernel shape,
+    setup.py:13) with C=128 direct tables: all four packed bytes are real
+    components, half the gathers and code bytes of d_m=2."""
+    from million_tpu.ops.pq_attention_pallas import dequantize_table
+
+    q, kc, vc, kcent, vcent, n = make_inputs(
+        rng, d=32, M=8, C=128, N=256, n_codes=200
+    )
+    d = q.shape[-1]
+    scale = 1.0 / d**0.5
+    kp = pack_decode_table(jnp.asarray(kcent), direct=True)
+    vp = pack_decode_table(jnp.asarray(vcent), direct=True)
+    assert kp.q_scale.shape == (4 * 8,)
+    out, lse = pq_codes_attention(
+        jnp.asarray(q * scale, jnp.bfloat16),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        kp, vp, jnp.asarray(n, jnp.int32),
+        block=128, interpret=True, direct=True,
+    )
+    keff = np.asarray(dequantize_table(kp, 128, direct=True, d_m=4))
+    veff = np.asarray(dequantize_table(vp, 128, direct=True, d_m=4))
+    want_out, want_lse = oracle_codes_attention(q, kc, vc, keff, veff, n, scale)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
+
+
+def test_pack_decode_table_dm4_requires_direct(rng):
+    cents = jnp.asarray(rng.standard_normal((8, 256, 4)), jnp.float32)
+    with pytest.raises(ValueError, match="direct"):
+        pack_decode_table(cents)
+
+
+def test_decode_row_maps_dm4():
+    from million_tpu.ops.pq_attention_pallas import decode_row_maps
+
+    gidx, sidx = decode_row_maps(4, d_m=4)  # M=4, d=16
+    # kernel row 4m+j <-> head dim m + j*M
+    for m in range(4):
+        for j in range(4):
+            assert gidx[4 * m + j] == m + j * 4
+            assert sidx[m + j * 4] == 4 * m + j
