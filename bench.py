@@ -160,16 +160,24 @@ def _device_watchdog(timeout_s: float = 180.0):
     remote-TPU tunnel otherwise hangs the first dispatch forever."""
     import threading
 
-    ok = threading.Event()
+    done = threading.Event()
+    err: list = []
 
     def probe():
-        jnp.ones(8).sum().block_until_ready()
-        ok.set()
+        try:
+            jnp.ones(8).sum().block_until_ready()
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            err.append(e)
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
-    if not ok.is_set():
+    done.wait(timeout_s)
+    if err:
+        log(f"device probe failed: {err[0]!r} — aborting bench")
+        sys.exit(3)
+    if not done.is_set():
         log(f"device unreachable after {timeout_s:.0f}s — aborting bench")
         sys.exit(3)
 

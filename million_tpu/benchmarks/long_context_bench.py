@@ -43,7 +43,12 @@ def main():
         pass
 
     from million_tpu.cache.pq_cache import PQCacheConfig, init_state
-    from million_tpu.models.llama import PRESETS, build_tables, decode_step
+    from million_tpu.models.llama import (
+        PRESETS,
+        build_tables,
+        decode_step,
+        init_params,
+    )
     from million_tpu.utils.timing import chained_bench
 
     CTX, bs = args.ctx, args.bs
@@ -58,9 +63,7 @@ def main():
     pq_cfg = PQCacheConfig(
         bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128, N_max=CTX
     )
-    params = __import__("million_tpu.models.llama", fromlist=["init_params"]).init_params(
-        cfg, jax.random.PRNGKey(0)
-    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
     code_bytes = 2 * L * bs * cfg.num_kv_heads * M * CTX
     dense_bytes = 2 * L * bs * cfg.num_kv_heads * CTX * cfg.head_dim * 2
     log(
@@ -71,16 +74,23 @@ def main():
 
     code_shape = (L, bs, cfg.num_kv_heads, M, CTX // 4)
 
-    tile_w = min(1024, CTX // 4)
+    import math
+
+    # tile width must DIVIDE the arena width or the arena comes out short
+    # while n_codes still claims CTX tokens — silently benchmarking a
+    # smaller context
+    tile_w = math.gcd(CTX // 4, 1024)
 
     @jax.jit
     def make_codes(seed):
         tile = jax.random.bits(
             jax.random.PRNGKey(seed), (*code_shape[:-1], tile_w), jnp.uint32
         ).astype(jnp.int32)
-        return jnp.tile(
+        out = jnp.tile(
             tile, (1,) * (len(code_shape) - 1) + (CTX // 4 // tile_w,)
         )
+        assert out.shape == code_shape, (out.shape, code_shape)
+        return out
 
     def make_state():
         cache = init_state(pq_cfg, L)

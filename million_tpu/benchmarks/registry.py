@@ -87,7 +87,10 @@ def load_tokens(
         name, config, split, field = _HF_SPECS[dataset]
         ds = load_dataset(name, config, split=split)
         text = "\n\n".join(r[field] for r in ds)
-        return np.asarray(tokenizer(text)["input_ids"], np.int32)
+        # same out-of-range guard as the .txt path: JAX clamps OOB embedding
+        # gathers silently, so a tokenizer/model vocab mismatch must not
+        # reach the device
+        return np.asarray(tokenizer(text)["input_ids"], np.int32) % vocab_size
     raise ValueError(f"unknown dataset {dataset!r}")
 
 

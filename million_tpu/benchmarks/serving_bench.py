@@ -75,22 +75,44 @@ def main():
         C=256,
         Lt=128,
     )
-    sched = Scheduler(params, cfg, pcfg, tables, SamplingConfig(temperature=0.0))
+    def make_scheduler():
+        return Scheduler(params, cfg, pcfg, tables, SamplingConfig(temperature=0.0))
 
-    total_prompt = 0
-    for rid in range(args.requests):
-        n = int(rng.integers(args.min_prompt, args.max_prompt + 1))
-        n -= n % 4  # word-aligned prompts keep the whole prefix in the arena
-        total_prompt += n
-        sched.submit(
-            Request(
-                rid=rid,
-                prompt=rng.integers(0, cfg.vocab_size, n).astype(np.int32),
-                max_new_tokens=args.max_new,
+    # prompt lengths come from 4 discrete word-aligned buckets —
+    # paged_prefill_seq specializes per prompt length, so unbounded random
+    # lengths would put one compile per request INSIDE the timed window
+    buckets = sorted(
+        {
+            (args.min_prompt + k * (args.max_prompt - args.min_prompt) // 3) // 4 * 4
+            for k in range(4)
+        }
+    )
+
+    def make_requests():
+        reqs, total = [], 0
+        for rid in range(args.requests):
+            n = int(rng.choice(buckets))
+            total += n
+            reqs.append(
+                Request(
+                    rid=rid,
+                    prompt=rng.integers(0, cfg.vocab_size, n).astype(np.int32),
+                    max_new_tokens=args.max_new,
+                )
             )
-        )
+        return reqs, total
 
-    # warm the compiled paths (one admit + one tick), then time the rest
+    # warm every compiled shape (one request per bucket + the decode step)
+    # on a throwaway scheduler, then time a fresh one
+    warm = make_scheduler()
+    for i, n in enumerate(buckets):
+        warm.submit(Request(rid=-1 - i, prompt=np.zeros(n, np.int32), max_new_tokens=2))
+    warm.run_to_completion()
+
+    sched = make_scheduler()
+    reqs, total_prompt = make_requests()
+    for r in reqs:
+        sched.submit(r)
     t0 = time.perf_counter()
     finished = sched.run_to_completion()
     wall = time.perf_counter() - t0

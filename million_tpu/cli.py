@@ -175,6 +175,11 @@ def run_longbench(cfg: Config, mcfg, params, mode: str, cents):
     rows = load_longbench_rows(task, cfg.run.data_path)
     maxgen = dataset2maxlen[task]
     n_max = cfg.cache.N_max
+    if n_max - maxgen - 4 <= 0:
+        raise ValueError(
+            f"cache.N_max={n_max} cannot hold {task}'s generation budget "
+            f"({maxgen} new tokens) plus any prompt; raise cache.N_max"
+        )
     factory = (
         make_dense_cache_factory(cfg, mcfg, n_max=n_max)
         if mode == "dense"

@@ -374,8 +374,10 @@ def decode_step(
     # resolved statically at trace time instead of caught at runtime.
     if mode == "pq_pallas" and jax.default_backend() != "cpu":
         n_arena = cache["key_codes"].shape[-1] * 4
-        sp = mesh.shape.get("sp", 1) if mesh is not None else 1
-        if n_arena // sp < 512:
+        n_seq_shards = 1
+        if mesh is not None:
+            n_seq_shards = mesh.shape.get("sp", 1) * mesh.shape.get("dcn", 1)
+        if n_arena // n_seq_shards < 512:
             mode = "pq"
 
     # Counters evolve IDENTICALLY in every layer (same update rule per

@@ -43,8 +43,6 @@ def make_codes(seed):
 cache = {
     "key_codes": make_codes(1),
     "value_codes": make_codes(2),
-    "key_word_buf": jnp.zeros((Lc, BS, cfg.num_kv_heads, M, 1), jnp.int32),
-    "value_word_buf": jnp.zeros((Lc, BS, cfg.num_kv_heads, M, 1), jnp.int32),
     "key_residual": jnp.zeros((Lc, BS, cfg.num_kv_heads, 128, cfg.head_dim), jnp.bfloat16),
     "value_residual": jnp.zeros((Lc, BS, cfg.num_kv_heads, 128, cfg.head_dim), jnp.bfloat16),
     "n_codes": jnp.full((Lc,), CTX - 512, jnp.int32),
