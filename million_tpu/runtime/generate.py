@@ -29,6 +29,7 @@ class GenerationResult:
     ttft_s: float  # prefill + first token
     tpot_s: float  # mean per subsequent token
     decode_s: float  # total decode-loop wall time
+    selfcheck_max_diff: float = 0.0  # max |pallas - oracle| logit gap seen
 
 
 def generate(
@@ -42,8 +43,17 @@ def generate(
     max_new_tokens: int = 64,
     sampling: SamplingConfig = SamplingConfig(),
     seed: int = 0,
+    selfcheck_every: int = 0,
 ) -> Tuple[GenerationResult, Any]:
-    """Prefill + decode loop. Returns (result, final cache state)."""
+    """Prefill + decode loop. Returns (result, final cache state).
+
+    selfcheck_every=N (mode "pq_pallas" only): every N decode steps, rerun
+    the step through the jnp oracle on the same cache and record the max
+    logit divergence — the reference's embedded runtime numerical
+    self-check (pq_utils.py:330-381, a debug block diffing the kernel
+    against SDPA-on-decoded), made a first-class debug switch. Costs one
+    extra forward per checked step; the sampled token still comes from the
+    kernel path."""
     bs, n_prompt = input_ids.shape
     key = jax.random.PRNGKey(seed)
 
@@ -91,15 +101,31 @@ def generate(
     # Lt the step must run with flush=True (static arg — see decode_step).
     r_host = n_prompt % 4 if mode != "dense" else 0
     lt_host = cache["key_residual"].shape[-2] if mode != "dense" else 0
+    selfcheck_max = 0.0
     for i in range(max_new_tokens - 1):
         pos = jnp.asarray(n_prompt + i, jnp.int32)
         flush = mode != "dense" and r_host >= lt_host
         if flush:
             r_host = 0
         r_host += 1
+        if (
+            selfcheck_every
+            and mode == "pq_pallas"
+            and i % selfcheck_every == 0
+        ):
+            # same inputs, oracle attention; cache update rule is identical
+            # so only the attention math is being diffed
+            ref_logits, _ = llama.decode_step(
+                params, cfg, tok, pos, cache, cents, mode="pq", flush=flush
+            )
+        else:
+            ref_logits = None
         logits, cache = llama.decode_step(
             params, cfg, tok, pos, cache, cents, mode=mode, flush=flush
         )
+        if ref_logits is not None:
+            diff = float(jnp.max(jnp.abs(logits - ref_logits)))
+            selfcheck_max = max(selfcheck_max, diff)
         key, sk = jax.random.split(key)
         tok = sample(logits, sk, sampling)
         toks.append(tok)
@@ -109,4 +135,10 @@ def generate(
     tpot = decode_s / max(max_new_tokens - 1, 1)
 
     tokens = np.stack([np.asarray(t) for t in toks], axis=1)
-    return GenerationResult(tokens=tokens, ttft_s=ttft, tpot_s=tpot, decode_s=decode_s), cache
+    return (
+        GenerationResult(
+            tokens=tokens, ttft_s=ttft, tpot_s=tpot, decode_s=decode_s,
+            selfcheck_max_diff=selfcheck_max,
+        ),
+        cache,
+    )

@@ -177,3 +177,22 @@ def test_pallas_mode_matches_ref_mode_dm4(rng):
         la, cache_a = decode_step(params, CFG, tok_a, pos, cache_a, cents, mode="pq")
         lb, cache_b = decode_step(params, CFG, tok_a, pos, cache_b, tables, mode="pq_pallas")
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=5e-2, atol=5e-2)
+
+
+def test_generate_selfcheck(rng):
+    """selfcheck_every cross-checks kernel steps against the oracle in-flight
+    (reference's embedded runtime self-check, pq_utils.py:330-381)."""
+    from million_tpu.models.llama import build_tables
+    from million_tpu.runtime.generate import generate
+    from million_tpu.runtime.sampling import SamplingConfig
+
+    params, cents, pq_cfg, _ = make_model(rng)
+    tables = build_tables(cents)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 12)), jnp.int32)
+    res, _ = generate(
+        params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
+        mode="pq_pallas", max_new_tokens=6,
+        sampling=SamplingConfig(temperature=0.0), selfcheck_every=2,
+    )
+    # oracle decodes f32 centroids; kernel uses int8 tables — small gap
+    assert 0.0 < res.selfcheck_max_diff < 0.5
