@@ -387,7 +387,10 @@ def decode_step(
     # HBM->SMEM copies (profiled at 3B/32K).
     if mode in ("pq", "pq_pallas"):
         if flush:
-            cache = _flush_windows_stacked(cache, cents)
+            # named scope -> xprof trace attribution (the reference's
+            # per-substep Timer role, modeling_llama.py:378-451)
+            with jax.named_scope("residual_window_flush"):
+                cache = _flush_windows_stacked(cache, cents)
         start_s = cache["n_codes"][0]
         r_s = cache["r"][0]
 
@@ -416,10 +419,13 @@ def decode_step(
                 cache["value_residual"], vd[None], (i, 0, 0, r, 0)
             )
             if mode == "pq_pallas":
-                attn = _pq_pallas_attention_stacked(
-                    q[:, :, 0], cache, cents, i, cfg, mesh,
-                    n_codes=start, r=r + 1,
-                )
+                # named scope -> xprof trace attribution (the reference's
+                # per-substep Timer role, modeling_llama.py:378-451)
+                with jax.named_scope("pq_decode_attention"):
+                    attn = _pq_pallas_attention_stacked(
+                        q[:, :, 0], cache, cents, i, cfg, mesh,
+                        n_codes=start, r=r + 1,
+                    )
             else:
                 from million_tpu.ops.pq_attention_pallas import unpack_codes
 

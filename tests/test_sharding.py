@@ -119,3 +119,14 @@ def test_sharded_stacked_attention_multislice(rng):
     np.testing.assert_allclose(
         np.asarray(got_lse), np.asarray(want_lse), rtol=2e-3, atol=2e-3
     )
+
+
+def test_distributed_initialize_single_process():
+    """Single-process initialize is a no-op; global_mesh builds the same
+    4-axis mesh as make_mesh over the virtual devices."""
+    from million_tpu.parallel.distributed import global_mesh, initialize
+
+    initialize()
+    initialize()  # idempotent
+    mesh = global_mesh(dp=1, tp=2, sp=2, dcn=2)
+    assert mesh.shape == {"dcn": 2, "dp": 1, "tp": 2, "sp": 2}
