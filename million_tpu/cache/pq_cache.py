@@ -63,10 +63,18 @@ class PQCacheConfig:
     Lt: int = 128  # residual window capacity (reference ties this to d)
     N_max: int = 32768  # code arena capacity (quantized tokens)
     dtype: Any = jnp.bfloat16
+    # asymmetric geometry: V-side subspace count (None -> M). V is less
+    # outlier-prone than K, so V can run d_m=4 (half the gathers and code
+    # bytes in the kernel) while K keeps d_m=2 score resolution.
+    M_v: int | None = None
 
     def __post_init__(self):
         if self.N_max % WORD or self.Lt % WORD:
             raise ValueError("N_max and Lt must be multiples of 4 (word packing)")
+
+    @property
+    def m_v(self) -> int:
+        return self.M_v or self.M
 
     @property
     def max_tokens(self) -> int:
@@ -77,7 +85,7 @@ def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
     """One layer's empty cache (reference init_cache, pq_utils.py:115-138)."""
     return {
         "key_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // WORD), jnp.int32),
-        "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // WORD), jnp.int32),
+        "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.m_v, cfg.N_max // WORD), jnp.int32),
         "key_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "value_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "n_codes": jnp.zeros((), jnp.int32),

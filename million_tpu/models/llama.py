@@ -55,12 +55,14 @@ def build_tables(cents):
     cents {"key": (L, M, C, d_m), "value": ...} ->
     {"key": ..., "value": ..., "kpack": (L, d=M*d_m, 128), "vpack": ...}
     """
-    direct = cents["key"].shape[2] <= 128  # C static from the cents shape
-    pack = lambda c: pack_decode_table(c, direct=direct)
+    # per-side direct flags (C static from each cents shape): asymmetric
+    # geometry can give K and V different (M, C)
+    d_k = cents["key"].shape[2] <= 128
+    d_v = cents["value"].shape[2] <= 128
     return {
         **cents,
-        "kpack": jax.vmap(pack)(cents["key"]),
-        "vpack": jax.vmap(pack)(cents["value"]),
+        "kpack": jax.vmap(lambda c: pack_decode_table(c, direct=d_k))(cents["key"]),
+        "vpack": jax.vmap(lambda c: pack_decode_table(c, direct=d_v))(cents["value"]),
     }
 
 Params = Dict[str, Any]
@@ -511,7 +513,10 @@ def _pq_pallas_attention_stacked(
     nh_k = cache["key_codes"].shape[2]
     G = nh // nh_k
     scale = 1.0 / (d**0.5)
-    C = cents["key"].shape[2]
+    # per-side direct flags: asymmetric geometry may give K and V different
+    # codebook sizes (stacked cents are (L, M, C, d_m))
+    d_k = cents["key"].shape[2] <= 128
+    d_v = cents["value"].shape[2] <= 128
 
     qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
@@ -532,13 +537,13 @@ def _pq_pallas_attention_stacked(
         out_c, lse_c = sharded_pq_codes_attention_stacked(
             mesh, q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"], layer_idx, n_codes,
-            interpret=interp, direct=C <= 128,
+            interpret=interp, direct=d_k, v_direct=d_v,
         )
     else:
         out_c, lse_c = pq_codes_attention_stacked(
             q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"],
-            layer_idx, n_codes, direct=C <= 128,
+            layer_idx, n_codes, direct=d_k, v_direct=d_v,
         )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32),
@@ -563,7 +568,8 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
     nh_k = cache_l["key_codes"].shape[1]
     G = nh // nh_k
     scale = 1.0 / (d**0.5)
-    C = cents_l["key"].shape[1]
+    d_k = cents_l["key"].shape[1] <= 128  # per-layer cents are (M, C, d_m)
+    d_v = cents_l["value"].shape[1] <= 128
 
     qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
@@ -582,7 +588,8 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
             cents_l["vpack"],
             cache_l["n_codes"],
             interpret=interp,
-            direct=C <= 128,
+            direct=d_k,
+            v_direct=d_v,
         )
     else:
         out_c, lse_c = pq_codes_attention(
@@ -592,7 +599,8 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
             cents_l["kpack"],
             cents_l["vpack"],
             cache_l["n_codes"],
-            direct=C <= 128,
+            direct=d_k,
+            v_direct=d_v,
         )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32) / 1.0,  # already scaled

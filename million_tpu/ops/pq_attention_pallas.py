@@ -76,8 +76,10 @@ theoretically required for d_m=2 tables (a 7-bit lane index cannot decode
 two independent 8-bit codes), so the only paths below this floor change the
 quantization geometry: the supported d_m=4 layout halves both gathers and
 code bytes at known quality cost (reference results.jsonl:9: M=d/4 ppl
-degenerate at nbits=8); an asymmetric K:d_m=2 / V:d_m=4 split would halve
-only the V side and needs quality validation on real weights.
+degenerate at nbits=8); the ALSO-supported asymmetric K:d_m=2 / V:d_m=4
+split (per-side tables, `v_direct`, PQCacheConfig.M_v) halves only the V
+side — expected ~25% kernel win — and awaits quality validation on real
+weights before becoming a default.
 """
 
 from __future__ import annotations
@@ -336,7 +338,7 @@ def _slot_positions(block: int, tw: int):
 
 
 def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
-                     interpret, direct=False):
+                     interpret, direct=False, v_direct=None):
     """One block of fused PQ attention: per-tile K decode feeding per-tile
     int8 score matmuls, block-level online softmax, then per-tile V decode
     feeding an accumulated two-plane int8 PV matmul.
@@ -348,8 +350,15 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
     the scratch stores+reloads plus the extra epilogue grid step were pure
     overhead.
 
-    q8 (G, 4M) int8 (prepare_q), ss (G, 1) f32 score scale, vo (G, 4M) f32
-    per-row PV output scale (zero at filler rows)."""
+    K and V sides are independent: kt/vt may have different subspace counts
+    M_k/M_v and different table layouts (`direct` for K, `v_direct` for V,
+    defaulting to K's) — the asymmetric K:d_m=2 / V:d_m=4 geometry halves
+    only the V-side gather volume.
+
+    q8 (G, 4M_k) int8 (prepare_q), ss (G, 1) f32 score scale, vo (G, 4M_v)
+    f32 per-row PV output scale (zero at filler rows)."""
+    if v_direct is None:
+        v_direct = direct
     G = q8.shape[0]
     slots = _slot_positions(block, tw)  # traced once per kernel body
     LOG127 = float(np.log(127.0))
@@ -388,12 +397,12 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
         p2 = jnp.concatenate(
             [ph_f.astype(jnp.int8), pl_f.astype(jnp.int8)], axis=0
         )  # (2G, block)
-        dd = jnp.zeros((2 * G, 4 * kt.shape[0]), jnp.int32)
+        dd = jnp.zeros((2 * G, 4 * vt.shape[0]), jnp.int32)
         for t in range(n_tiles):
             wsl = slice(t * tw, (t + 1) * tw)
             tsl = slice(t * 4 * tw, (t + 1) * 4 * tw)
             vd = jnp.concatenate(
-                [_decode_words(vt, vw[:, wsl], b, interpret, direct) for b in range(4)],
+                [_decode_words(vt, vw[:, wsl], b, interpret, v_direct) for b in range(4)],
                 axis=1,
             )
             v8 = _expand_i8(vd, interpret)  # (4M, 4tw) i8
@@ -435,15 +444,14 @@ def _block_geometry(block: int, NW: int, interpret: bool):
 
 def _prep_call(q, kpack, vpack):
     """Shared wrapper prep: q (bs, nh_k, G, d) pre-scaled -> int8 q, score
-    scale tile (lane-broadcast for VMEM), PV output scale tile, row select
-    map for the output."""
-    M = kpack.tab.shape[0]
-    _, select_idx = decode_row_maps(M, q.shape[-1] // M)
-    q8, ss = prepare_q(q, kpack)  # (bs, nh_k, G, 4M) i8, (bs, nh_k, G, 1)
+    scale tile (lane-broadcast for VMEM), PV output scale tile."""
+    q8, ss = prepare_q(q, kpack)  # (bs, nh_k, G, 4M_k) i8, (bs, nh_k, G, 1)
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     G = q.shape[2]
-    vo = jnp.broadcast_to(vpack.out_scale, (G, 4 * M)).astype(jnp.float32)
-    return q8, ss_b, vo, select_idx
+    vo = jnp.broadcast_to(
+        vpack.out_scale, (G, vpack.out_scale.shape[0])
+    ).astype(jnp.float32)
+    return q8, ss_b, vo
 
 
 # --------------------------------------------------------------------------
@@ -469,6 +477,7 @@ def _pq_attn_kernel(
     tw: int,
     interpret: bool,
     direct: bool = False,
+    v_direct: bool | None = None,
 ):
     i = pl.program_id(2)
     nb = pl.num_programs(2)
@@ -483,6 +492,7 @@ def _pq_attn_kernel(
     block_step = _make_block_step(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
+        v_direct,
     )
 
     @pl.when(i * block < n_codes)
@@ -496,7 +506,7 @@ def _pq_attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block", "n_bucket", "interpret", "direct"),
+    static_argnames=("block", "n_bucket", "interpret", "direct", "v_direct"),
 )
 def pq_codes_attention(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, PRE-SCALED by 1/sqrt(d)
@@ -510,6 +520,7 @@ def pq_codes_attention(
     n_bucket: int | None = None,
     interpret: bool | None = None,
     direct: bool = False,
+    v_direct: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Partial attention over the quantized code arena.
 
@@ -525,6 +536,7 @@ def pq_codes_attention(
     """
     bs, nh_k, G, d = q.shape
     M, NW = key_codes.shape[2], key_codes.shape[3]
+    M_v = value_codes.shape[2]  # may differ: asymmetric K/V geometry
     N_max = NW * WORD
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -537,13 +549,15 @@ def pq_codes_attention(
     tw = _block_geometry(block, NW, interpret)
     nb = n_bucket // block
 
-    q8, ss_b, vo, select_idx = _prep_call(q, kpack, vpack)
+    q8, ss_b, vo = _prep_call(q, kpack, vpack)
     nc = n_codes.astype(jnp.int32).reshape(1, 1)
     kernel = functools.partial(
         _pq_attn_kernel, block=block, tw=tw, interpret=interpret, direct=direct,
+        v_direct=v_direct,
     )
     bw = block // WORD
     R = 4 * M
+    R_out = 4 * M_v
     out, lse = pl.pallas_call(
         kernel,
         grid=(bs, nh_k, nb),
@@ -557,7 +571,7 @@ def pq_codes_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, M, bw),
+                (1, 1, M_v, bw),
                 lambda b, h, i: (b, h, 0, i),
                 memory_space=pltpu.VMEM,
             ),
@@ -566,21 +580,21 @@ def pq_codes_attention(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, R), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, R_out), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, R), jnp.float32),
+            pltpu.VMEM((G, R_out), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
-    return _select_natural(out, d // M), lse[..., 0]
+    return _select_natural(out, d // M_v), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -607,6 +621,7 @@ def _pq_attn_kernel_stacked(
     tw: int,
     interpret: bool,
     direct: bool = False,
+    v_direct: bool | None = None,
 ):
     i = pl.program_id(2)
     nb = pl.num_programs(2)
@@ -621,6 +636,7 @@ def _pq_attn_kernel_stacked(
     block_step = _make_block_step(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
+        v_direct,
     )
 
     @pl.when(i * block < n_codes)
@@ -633,7 +649,7 @@ def _pq_attn_kernel_stacked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "n_bucket", "interpret", "direct")
+    jax.jit, static_argnames=("block", "n_bucket", "interpret", "direct", "v_direct")
 )
 def pq_codes_attention_stacked(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
@@ -648,6 +664,7 @@ def pq_codes_attention_stacked(
     n_bucket: int | None = None,
     interpret: bool | None = None,
     direct: bool = False,
+    v_direct: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """pq_codes_attention over one layer of a STACKED cache, the layer chosen
     by a scalar-prefetched index. This exists because slicing the layer out
@@ -657,6 +674,7 @@ def pq_codes_attention_stacked(
     (models/llama.py)."""
     bs, nh_k, G, d = q.shape
     L, _, _, M, NW = key_codes.shape
+    M_v = value_codes.shape[3]  # may differ: asymmetric K/V geometry
     N_max = NW * WORD
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -670,6 +688,7 @@ def pq_codes_attention_stacked(
     nb = n_bucket // block
     bw = block // WORD
     R = 4 * M
+    R_out = 4 * M_v
 
     # per-layer slices of the tiny tables/scales (32 KB each): passing the
     # full (L, ...) stacks as pallas operands made XLA copy every stack on
@@ -680,12 +699,11 @@ def pq_codes_attention_stacked(
     vo_l = jax.lax.dynamic_index_in_dim(vpack.out_scale, layer, 0, False)
     q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
-    vo_b = jnp.broadcast_to(vo_l, (G, R)).astype(jnp.float32)
-    _, select_idx = decode_row_maps(M, d // M)
+    vo_b = jnp.broadcast_to(vo_l, (G, R_out)).astype(jnp.float32)
 
     kernel = functools.partial(
         _pq_attn_kernel_stacked, block=block, tw=tw, interpret=interpret,
-        direct=direct,
+        direct=direct, v_direct=v_direct,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -698,7 +716,7 @@ def pq_codes_attention_stacked(
                 lambda b, h, i, li, nc: (li[0], b, h, 0, i),
             ),
             pl.BlockSpec(
-                (1, 1, 1, M, bw),
+                (1, 1, 1, M_v, bw),
                 lambda b, h, i, li, nc: (li[0], b, h, 0, i),
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -706,11 +724,11 @@ def pq_codes_attention_stacked(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, li, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, R), jnp.float32),
+            pltpu.VMEM((G, R_out), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
         ],
@@ -719,7 +737,7 @@ def pq_codes_attention_stacked(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         interpret=interpret,
@@ -728,7 +746,7 @@ def pq_codes_attention_stacked(
         n_codes.astype(jnp.int32).reshape(1),
         q8, ss_b, key_codes, value_codes, kt_l, vt_l, vo_b,
     )
-    return _select_natural(out, d // M), lse[..., 0]
+    return _select_natural(out, d // M_v), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -755,6 +773,7 @@ def _pq_paged_attn_kernel(
     tw: int,
     interpret: bool,
     direct: bool = False,
+    v_direct: bool | None = None,
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
@@ -770,6 +789,7 @@ def _pq_paged_attn_kernel(
     block_step = _make_block_step(
         page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
+        v_direct,
     )
 
     @pl.when(i * page_size < n_codes)
@@ -781,7 +801,7 @@ def _pq_paged_attn_kernel(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "direct"))
+@functools.partial(jax.jit, static_argnames=("interpret", "direct", "v_direct"))
 def pq_paged_attention(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (n_pages, nh_k, M, page_size//4) int32 — ONE layer
@@ -793,6 +813,7 @@ def pq_paged_attention(
     *,
     interpret: bool | None = None,
     direct: bool = False,
+    v_direct: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused decode attention over a PAGED code pool: the grid walks each
     sequence's page table (scalar-prefetched, so the page id feeds the
@@ -802,17 +823,19 @@ def pq_paged_attention(
     per-tile block step as the flat kernel, one page per block."""
     bs, nh_k, G, d = q.shape
     n_pages, _, M, ps_w = key_pool.shape
+    M_v = value_pool.shape[2]  # may differ: asymmetric K/V geometry
     page_size = ps_w * WORD
     P_max = page_table.shape[1]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)
     R = 4 * M
+    R_out = 4 * M_v
 
-    q8, ss_b, vo, select_idx = _prep_call(q, kpack, vpack)
+    q8, ss_b, vo = _prep_call(q, kpack, vpack)
     kernel = functools.partial(
         _pq_paged_attn_kernel, page_size=page_size, tw=tw, interpret=interpret,
-        direct=direct,
+        direct=direct, v_direct=v_direct,
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)  # clamp -1; masked by n_codes
 
@@ -827,7 +850,7 @@ def pq_paged_attention(
                 lambda b, h, i, pt, nc: (pt[b, i], h, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, M, ps_w),
+                (1, 1, M_v, ps_w),
                 lambda b, h, i, pt, nc: (pt[b, i], h, 0, 0),
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -835,11 +858,11 @@ def pq_paged_attention(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, R), lambda b, h, i, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, pt, nc: (b, h, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, R), jnp.float32),
+            pltpu.VMEM((G, R_out), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
         ],
@@ -848,13 +871,13 @@ def pq_paged_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(pt, n_codes.astype(jnp.int32), q8, ss_b, key_pool, value_pool,
       kpack.tab, vpack.tab, vo)
-    return _select_natural(out, d // M), lse[..., 0]
+    return _select_natural(out, d // M_v), lse[..., 0]
 
 
 def _pq_paged_attn_kernel_stacked(
@@ -878,6 +901,7 @@ def _pq_paged_attn_kernel_stacked(
     tw: int,
     interpret: bool,
     direct: bool = False,
+    v_direct: bool | None = None,
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
@@ -893,6 +917,7 @@ def _pq_paged_attn_kernel_stacked(
     block_step = _make_block_step(
         page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
+        v_direct,
     )
 
     @pl.when(i * page_size < n_codes)
@@ -904,7 +929,7 @@ def _pq_paged_attn_kernel_stacked(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "direct"))
+@functools.partial(jax.jit, static_argnames=("interpret", "direct", "v_direct"))
 def pq_paged_attention_stacked(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (L, n_pages+1, nh_k, M, ps_w) int32 — FULL stack
@@ -917,18 +942,21 @@ def pq_paged_attention_stacked(
     *,
     interpret: bool | None = None,
     direct: bool = False,
+    v_direct: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """pq_paged_attention over one layer of the stacked page pools, the layer
     selected via scalar prefetch (same rationale as
     pq_codes_attention_stacked: no layer-slice copies in the decode loop)."""
     bs, nh_k, G, d = q.shape
     L, n_pages_p1, _, M, ps_w = key_pool.shape
+    M_v = value_pool.shape[3]  # may differ: asymmetric K/V geometry
     page_size = ps_w * WORD
     P_max = page_table.shape[1]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)
     R = 4 * M
+    R_out = 4 * M_v
 
     kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
     kt_l = jax.lax.dynamic_index_in_dim(kpack.tab, layer, 0, False)
@@ -936,12 +964,11 @@ def pq_paged_attention_stacked(
     vo_l = jax.lax.dynamic_index_in_dim(vpack.out_scale, layer, 0, False)
     q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
-    vo_b = jnp.broadcast_to(vo_l, (G, R)).astype(jnp.float32)
-    _, select_idx = decode_row_maps(M, d // M)
+    vo_b = jnp.broadcast_to(vo_l, (G, R_out)).astype(jnp.float32)
 
     kernel = functools.partial(
         _pq_paged_attn_kernel_stacked, page_size=page_size, tw=tw,
-        interpret=interpret, direct=direct,
+        interpret=interpret, direct=direct, v_direct=v_direct,
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)
 
@@ -955,19 +982,19 @@ def pq_paged_attention_stacked(
             pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
-            pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
+            pl.BlockSpec((1, 1, 1, M_v, ps_w), codes_map),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
             pl.BlockSpec(
                 (1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, R), jnp.float32),
+            pltpu.VMEM((G, R_out), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
             pltpu.VMEM((G, LANES), jnp.float32),
         ],
@@ -976,7 +1003,7 @@ def pq_paged_attention_stacked(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, R), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
             jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
         ],
         interpret=interpret,
@@ -986,4 +1013,4 @@ def pq_paged_attention_stacked(
         n_codes.astype(jnp.int32),
         q8, ss_b, key_pool, value_pool, kt_l, vt_l, vo_b,
     )
-    return _select_natural(out, d // M), lse[..., 0]
+    return _select_natural(out, d // M_v), lse[..., 0]

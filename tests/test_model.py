@@ -196,3 +196,33 @@ def test_generate_selfcheck(rng):
     )
     # oracle decodes f32 centroids; kernel uses int8 tables — small gap
     assert 0.0 < res.selfcheck_max_diff < 0.5
+
+
+def test_pallas_mode_matches_ref_mode_asymmetric(rng):
+    """Asymmetric geometry: K at d_m=2 (score resolution), V at d_m=4 (half
+    the V-side gathers and code bytes). Kernel path must track the oracle."""
+    from million_tpu.models.llama import build_tables
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    M_k, M_v = CFG.head_dim // 2, CFG.head_dim // 4
+    kc = jnp.asarray(rng.standard_normal((CFG.num_layers, M_k, 32, 2)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((CFG.num_layers, M_v, 32, 4)), jnp.float32)
+    cents = {"key": kc, "value": vc}
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=CFG.num_kv_heads, d=CFG.head_dim, M=M_k, M_v=M_v, C=32,
+        Lt=8, N_max=128, dtype=jnp.float32,
+    )
+    tables = build_tables(cents)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 16)), jnp.int32)
+    cache_a = init_state(pq_cfg, CFG.num_layers)
+    cache_b = init_state(pq_cfg, CFG.num_layers)
+    la, cache_a = prefill(params, CFG, ids, cache_a, cents, mode="pq")
+    lb, cache_b = prefill(params, CFG, ids, cache_b, tables, mode="pq")
+    assert cache_b["value_codes"].shape[3] == M_v
+    toks = rng.integers(0, CFG.vocab_size, 4)
+    for t, tok in enumerate(toks):
+        tok_a = jnp.asarray([tok], jnp.int32)
+        pos = jnp.asarray(16 + t, jnp.int32)
+        la, cache_a = decode_step(params, CFG, tok_a, pos, cache_a, cents, mode="pq")
+        lb, cache_b = decode_step(params, CFG, tok_a, pos, cache_b, tables, mode="pq_pallas")
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=5e-2, atol=5e-2)

@@ -255,3 +255,34 @@ def test_decode_row_maps_dm4():
         for j in range(4):
             assert gidx[4 * m + j] == m + j * 4
             assert sidx[m + j * 4] == 4 * m + j
+
+
+def test_kernel_asymmetric_kv_geometry(rng):
+    """Asymmetric K:d_m=2/C=256 (pair tables) + V:d_m=4/C=128 (direct):
+    scores keep the quality-critical K resolution while the V side runs
+    with half the gathers and code bytes. Parity vs an oracle decoding
+    each side with its own effective codebook."""
+    from million_tpu.ops.pq_attention_pallas import dequantize_table
+
+    bs, nh_k, d, N, n = 1, 2, 32, 256, 200
+    M_k, C_k, M_v, C_v = 16, 256, 8, 128
+    q = rng.standard_normal((bs, nh_k, GROUP_PAD, d)).astype(np.float32)
+    kc = rng.integers(0, C_k, (bs, nh_k, M_k, N)).astype(np.uint8)
+    vc = rng.integers(0, C_v, (bs, nh_k, M_v, N)).astype(np.uint8)
+    kcent = rng.standard_normal((M_k, C_k, d // M_k)).astype(np.float32)
+    vcent = rng.standard_normal((M_v, C_v, d // M_v)).astype(np.float32)
+    scale = 1.0 / d**0.5
+    kp = pack_decode_table(jnp.asarray(kcent), direct=False)
+    vp = pack_decode_table(jnp.asarray(vcent), direct=True)
+    out, lse = pq_codes_attention(
+        jnp.asarray(q * scale, jnp.bfloat16),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        kp, vp, jnp.asarray(n, jnp.int32),
+        block=128, interpret=True, direct=False, v_direct=True,
+    )
+    assert out.shape == (bs, nh_k, GROUP_PAD, d)
+    keff = np.asarray(dequantize_table(kp, C_k, direct=False, d_m=2))
+    veff = np.asarray(dequantize_table(vp, C_v, direct=True, d_m=4))
+    want_out, want_lse = oracle_codes_attention(q, kc, vc, keff, veff, n, scale)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
