@@ -69,21 +69,30 @@ def main():
     q = rng.standard_normal((args.n_queries, d)).astype(np.float32)
     var = float(k.var())
 
+    def roundtrip(x, M, nbits):
+        cents = train_pq(jnp.asarray(x), M=M, nbits=nbits, iters=args.iters,
+                         layout="strided", seed=args.seed)
+        return np.asarray(
+            pq_decode(pq_encode(jnp.asarray(x), cents, "strided"), cents, "strided")
+        )
+
     rows = []
-    for M, nbits in [(d // 2, 8), (d // 2, 6), (d // 2, 4), (d // 4, 8), (d // 4, 10)]:
-        cents_k = train_pq(jnp.asarray(k), M=M, nbits=nbits, iters=args.iters,
-                           layout="strided", seed=args.seed)
-        cents_v = train_pq(jnp.asarray(v), M=M, nbits=nbits, iters=args.iters,
-                           layout="strided", seed=args.seed)
-        khat = np.asarray(pq_decode(pq_encode(jnp.asarray(k), cents_k, "strided"),
-                                    cents_k, "strided"))
-        vhat = np.asarray(pq_decode(pq_encode(jnp.asarray(v), cents_v, "strided"),
-                                    cents_v, "strided"))
+    # symmetric sweep + the asymmetric kernel geometry (K:d_m=2/nbits=8,
+    # V:d_m=4/nbits=7 — the fused kernel's v_direct fast path)
+    combos = [
+        (d // 2, 8, d // 2, 8), (d // 2, 6, d // 2, 6), (d // 2, 4, d // 2, 4),
+        (d // 4, 8, d // 4, 8), (d // 4, 10, d // 4, 10),
+        (d // 2, 8, d // 4, 7),
+    ]
+    for M_k, nb_k, M_v, nb_v in combos:
+        khat = roundtrip(k, M_k, nb_k)
+        vhat = roundtrip(v, M_v, nb_v)
         mse = float(((k - khat) ** 2).mean())
         amae = attention_mae(q, k, v, khat, vhat)
-        bits_per_dim = M * nbits / d
+        bits_per_dim = (M_k * nb_k + M_v * nb_v) / (2 * d)
         row = {
-            "M": M, "nbits": nbits, "bits_per_dim": bits_per_dim,
+            "M": M_k, "nbits": nb_k, "M_v": M_v, "nbits_v": nb_v,
+            "bits_per_dim": bits_per_dim,
             "rel_mse": round(mse / var, 5), "attn_mae": round(amae, 5),
         }
         rows.append(row)

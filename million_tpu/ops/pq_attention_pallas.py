@@ -78,8 +78,11 @@ quantization geometry: the supported d_m=4 layout halves both gathers and
 code bytes at known quality cost (reference results.jsonl:9: M=d/4 ppl
 degenerate at nbits=8); the ALSO-supported asymmetric K:d_m=2 / V:d_m=4
 split (per-side tables, `v_direct`, PQCacheConfig.M_v) halves only the V
-side — expected ~25% kernel win — and awaits quality validation on real
-weights before becoming a default.
+side — expected ~25% kernel win. Caveat: attention output is LINEAR in V
+(errors pass straight through, unlike K errors which the softmax washes
+out), and the synthetic proxy agrees (quality_bench: K8/V7-dm4 attn MAE
+0.164 vs 0.053 symmetric-d_m=2) — strictly experimental until validated
+on real-model perplexity.
 """
 
 from __future__ import annotations
