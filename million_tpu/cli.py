@@ -37,7 +37,8 @@ from million_tpu.utils.ledger import append_result
 
 DEFAULTS = {
     "model": {"preset": "tinyllama-1.1b", "weights": None, "tokenizer": "byte", "seed": 0},
-    "pq": {"M": None, "nbits": 8, "Lt": 128, "train_iters": 25, "sample_target": 32768},
+    "pq": {"M": None, "nbits": 8, "M_v": None, "nbits_v": None, "Lt": 128,
+           "train_iters": 25, "sample_target": 32768},
     "cache": {"N_max": 32768},
     "run": {
         "dataset": "_synthetic",
@@ -81,13 +82,25 @@ def pq_m(cfg: Config, mcfg) -> int:
     return cfg.pq.M or mcfg.head_dim // 2
 
 
+def pq_geometry(cfg: Config, mcfg):
+    """Per-side (M, nbits): V defaults to K's (symmetric, the reference's
+    only mode); pq.M_v / pq.nbits_v opt into the asymmetric kernel geometry
+    (see ops/pq_attention_pallas.py header for the quality caveat)."""
+    M_k, nb_k = pq_m(cfg, mcfg), cfg.pq.nbits
+    M_v = cfg.pq.get("M_v") or M_k
+    nb_v = cfg.pq.get("nbits_v") or nb_k
+    return M_k, nb_k, M_v, nb_v
+
+
 def make_pq_cache_factory(cfg, mcfg, bs=1, n_max=None):
+    M_k, nb_k, M_v, _ = pq_geometry(cfg, mcfg)
     pqc = PQCacheConfig(
         bs=bs,
         nh_k=mcfg.num_kv_heads,
         d=mcfg.head_dim,
-        M=pq_m(cfg, mcfg),
-        C=2**cfg.pq.nbits,
+        M=M_k,
+        M_v=M_v,
+        C=2**nb_k,
         Lt=cfg.pq.Lt,
         N_max=n_max or cfg.cache.N_max,
     )
@@ -101,8 +114,16 @@ def make_dense_cache_factory(cfg, mcfg, bs=1, n_max=None):
     return lambda *_: init_dense_state(dc, mcfg.num_layers)
 
 
+def cents_path(cfg: Config, mcfg) -> Path:
+    M_k, nb_k, M_v, nb_v = pq_geometry(cfg, mcfg)
+    name = f"cents_M{M_k}_nbits{nb_k}"
+    if (M_v, nb_v) != (M_k, nb_k):
+        name += f"_V{M_v}_{nb_v}"
+    return art_dir(cfg) / f"{name}.npz"
+
+
 def load_cents(cfg: Config, mcfg):
-    path = art_dir(cfg) / f"cents_M{pq_m(cfg, mcfg)}_nbits{cfg.pq.nbits}.npz"
+    path = cents_path(cfg, mcfg)
     if path.exists():
         z = np.load(path)
         cents = {"key": jnp.asarray(z["key"]), "value": jnp.asarray(z["value"])}
@@ -110,11 +131,15 @@ def load_cents(cfg: Config, mcfg):
     else:
         # reference _synthetic fallback: random codebooks (main_pq.py:252-255)
         rng = np.random.default_rng(0)
-        M, C, dm = pq_m(cfg, mcfg), 2**cfg.pq.nbits, mcfg.head_dim // pq_m(cfg, mcfg)
-        L = mcfg.num_layers
+        M_k, nb_k, M_v, nb_v = pq_geometry(cfg, mcfg)
+        d, L = mcfg.head_dim, mcfg.num_layers
         cents = {
-            "key": jnp.asarray(rng.standard_normal((L, M, C, dm)), jnp.float32),
-            "value": jnp.asarray(rng.standard_normal((L, M, C, dm)), jnp.float32),
+            "key": jnp.asarray(
+                rng.standard_normal((L, M_k, 2**nb_k, d // M_k)), jnp.float32
+            ),
+            "value": jnp.asarray(
+                rng.standard_normal((L, M_v, 2**nb_v, d // M_v)), jnp.float32
+            ),
         }
         log(f"no trained centroids at {path}; using random codebooks (_synthetic)")
     return llama.build_tables(cents)
@@ -295,17 +320,17 @@ def stage_training(cfg, mcfg, params=None):
     """Per-layer codebook k-means (reference training stage,
     main_pq.py:208-242), strided subspace layout to match the kernel."""
     out = art_dir(cfg)
-    M, nbits = pq_m(cfg, mcfg), cfg.pq.nbits
+    M_k, nb_k, M_v, nb_v = pq_geometry(cfg, mcfg)
     keys, vals = [], []
     for L in range(mcfg.num_layers):
         ks = read_fvecs(out / f"layer{L}.key.fvecs")
         vs = read_fvecs(out / f"layer{L}.value.fvecs")
-        keys.append(np.asarray(train_pq(jnp.asarray(ks), M=M, nbits=nbits,
+        keys.append(np.asarray(train_pq(jnp.asarray(ks), M=M_k, nbits=nb_k,
                                         iters=cfg.pq.train_iters, layout="strided")))
-        vals.append(np.asarray(train_pq(jnp.asarray(vs), M=M, nbits=nbits,
+        vals.append(np.asarray(train_pq(jnp.asarray(vs), M=M_v, nbits=nb_v,
                                         iters=cfg.pq.train_iters, layout="strided")))
         log(f"training: layer {L} codebooks done ({len(ks)} samples)")
-    path = out / f"cents_M{M}_nbits{nbits}.npz"
+    path = cents_path(cfg, mcfg)
     np.savez(path, key=np.stack(keys), value=np.stack(vals))
     log(f"saved centroids to {path}")
 

@@ -103,3 +103,25 @@ def test_lm_eval_pipeline(tmp_path):
     res = read_results(tmp_path / "mc_res.jsonl")[0]["result"]
     assert res["n"] == 2
     assert 0.0 <= res["acc"] <= 1.0
+
+
+def test_asymmetric_geometry_pipeline(tmp_path):
+    """pq.M_v / pq.nbits_v opt into the asymmetric kernel geometry through
+    the full pipeline (training trains per-side codebooks; evaluation runs
+    the v_direct kernel path)."""
+    os.chdir(tmp_path)
+    main([
+        "-f", "/root/repo/configs/test-tiny.json",
+        "-p", "sampling", "training", "evaluation",
+        "-o", "pq.M_v=4",
+        "-o", "pq.nbits_v=5",
+        "-o", f"run.results={tmp_path}/asym.jsonl",
+        "-o", f"run.artifacts={tmp_path}/artifacts",
+        "-o", "run.prefill_lengths=[64]",
+        "-o", "run.decode_length=8",
+    ])
+    rows = read_results(tmp_path / "asym.jsonl")
+    assert rows[0]["result"]["results"][0]["tpot_s"] > 0
+    z = np.load(tmp_path / "artifacts/test-tiny/_synthetic/cents_M8_nbits5_V4_5.npz")
+    assert z["key"].shape == (2, 8, 32, 2)   # K: d_m=2
+    assert z["value"].shape == (2, 4, 32, 4)  # V: d_m=4
