@@ -50,6 +50,13 @@ class PagedPQCacheConfig:
     max_seqs: int = 8
     pages_per_seq: int = 64
     dtype: Any = jnp.bfloat16
+    # asymmetric geometry: V-side subspace count (None -> M); see
+    # ops/pq_attention_pallas.py header for the quality caveat
+    M_v: int | None = None
+
+    @property
+    def m_v(self) -> int:
+        return self.M_v or self.M
 
     @property
     def tokens_capacity(self) -> int:
@@ -67,7 +74,7 @@ def init_paged_state(cfg: PagedPQCacheConfig) -> PagedState:
             (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size // WORD), jnp.int32
         ),
         "value_pool": jnp.zeros(
-            (L, cfg.n_pages + 1, cfg.nh_k, cfg.M, cfg.page_size // WORD), jnp.int32
+            (L, cfg.n_pages + 1, cfg.nh_k, cfg.m_v, cfg.page_size // WORD), jnp.int32
         ),
         "used": jnp.zeros((cfg.n_pages,), jnp.int32),  # 0 free, 1 used
         "page_table": jnp.full((cfg.max_seqs, cfg.pages_per_seq), -1, jnp.int32),
@@ -78,7 +85,7 @@ def init_paged_state(cfg: PagedPQCacheConfig) -> PagedState:
             (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
         ),
         "value_residual_codes": jnp.zeros(
-            (L, cfg.max_seqs, cfg.nh_k, cfg.M, cfg.Lt // WORD), jnp.int32
+            (L, cfg.max_seqs, cfg.nh_k, cfg.m_v, cfg.Lt // WORD), jnp.int32
         ),
         # exact residual windows per sequence
         "key_residual": jnp.zeros(

@@ -90,3 +90,29 @@ def test_scheduler_interleaves_different_lengths(rng):
     assert sorted(f.rid for f in done) == [0, 1]
     lens = {f.rid: len(f.tokens) for f in done}
     assert lens[0] == 20 and lens[1] == 6
+
+
+def test_scheduler_asymmetric_geometry(rng):
+    """Continuous batching with K:d_m=2 / V:d_m=4 page pools (M_v) — the
+    asymmetric kernel geometry through the full serving path."""
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    M_k, M_v = 16, 8
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((2, M_k, 64, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((2, M_v, 64, 4)), jnp.float32),
+    }
+    tables = build_tables(cents)
+    pcfg = PagedPQCacheConfig(
+        num_layers=2, nh_k=2, d=32, M=M_k, M_v=M_v, C=64, Lt=8,
+        page_size=128, n_pages=8, max_seqs=2, pages_per_seq=4,
+        dtype=jnp.float32,
+    )
+    sched = Scheduler(params, CFG, pcfg, tables)
+    assert sched.state["value_pool"].shape[3] == M_v
+    for i in range(3):
+        sched.submit(Request(rid=i, prompt=rng.integers(0, 300, 12).astype(np.int32),
+                             max_new_tokens=8))
+    done = sched.run_to_completion(max_ticks=100)
+    assert sorted(f.rid for f in done) == [0, 1, 2]
+    for f in done:
+        assert np.isfinite(f.tokens).all()
