@@ -27,6 +27,7 @@ def speedtest(
     prefill_lengths: List[int] = (1024, 4096),
     decode_length: int = 64,
     seed: int = 0,
+    breakdown: bool = False,
 ) -> Dict[str, Any]:
     rng = np.random.default_rng(seed)
     rows = []
@@ -36,13 +37,25 @@ def speedtest(
             params, cfg, ids, make_cache(pl), cents,
             mode=mode, max_new_tokens=decode_length, sampling=SamplingConfig(),
         )
-        rows.append(
-            {
-                "prefill_length": pl,
-                "decode_length": decode_length,
-                "ttft_s": res.ttft_s,
-                "tpot_s": res.tpot_s,
-                "tokens_per_s": 1.0 / res.tpot_s if res.tpot_s > 0 else None,
-            }
-        )
+        row = {
+            "prefill_length": pl,
+            "decode_length": decode_length,
+            "ttft_s": res.ttft_s,
+            "tpot_s": res.tpot_s,
+            "tokens_per_s": 1.0 / res.tpot_s if res.tpot_s > 0 else None,
+        }
+        if breakdown:
+            # device-op attribution of a SECOND generate over the same
+            # shapes (compiled paths warm) — the reference's --breakdown
+            # per-substep Timer harvest, via the hardware profile
+            from million_tpu.utils.profiling import trace_op_breakdown
+
+            row["breakdown_ms"] = trace_op_breakdown(
+                lambda: generate(
+                    params, cfg, ids, make_cache(pl), cents,
+                    mode=mode, max_new_tokens=decode_length,
+                    sampling=SamplingConfig(),
+                )[0].tokens
+            )
+        rows.append(row)
     return {"mode": mode, "results": rows}

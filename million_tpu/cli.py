@@ -49,6 +49,7 @@ DEFAULTS = {
         "prefill_lengths": [1024, 4096],
         "decode_length": 64,
         "mode": "pq_pallas",
+        "breakdown": False,
         "results": "results.jsonl",
         "artifacts": "artifacts",
     },
@@ -163,6 +164,7 @@ def run_benchmark(cfg: Config, mcfg, params, mode: str, cents):
             mode=mode,
             prefill_lengths=list(cfg.run.prefill_lengths),
             decode_length=cfg.run.decode_length,
+            breakdown=bool(cfg.run.get("breakdown")),
         )
     if kind == "perplexity":
         tokens = load_tokens(

@@ -107,3 +107,60 @@ def device_memory_report() -> Optional[Dict[str, float]]:
         if k in stats:
             out[k] = stats[k]
     return out or None
+
+
+def trace_op_breakdown(
+    fn,
+    *,
+    log_dir: str = "/tmp/million_tpu_breakdown",
+    top: int = 12,
+) -> Dict[str, float]:
+    """Run `fn()` under a jax.profiler trace and return total device-op time
+    per op-name family (ms) — the role of the reference's `--breakdown`
+    Timer harvest (speedtest.py:110-117 + main_pq.py:50), attributed by the
+    hardware profile instead of host timers around synchronize().
+
+    Families group XLA op instances by name with fusion counters stripped
+    ("iota_reduce_fusion.42" -> "iota_reduce_fusion"); named_scope
+    annotations (e.g. "pq_decode_attention") appear inside the op names the
+    trace records. Requires the tensorflow-bundled xplane proto; returns {}
+    with a "breakdown_error" key when unavailable.
+    """
+    import glob
+    import re
+    import shutil
+    from collections import defaultdict
+
+    shutil.rmtree(log_dir, ignore_errors=True)
+    with jax.profiler.trace(log_dir):
+        out = fn()
+        _force(out)
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    except ImportError as e:  # pragma: no cover - env without tensorflow
+        return {"breakdown_error": f"xplane proto unavailable: {e}"}
+    files = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.xplane.pb"))
+    if not files:
+        return {"breakdown_error": "no xplane trace produced"}
+    xs = xplane_pb2.XSpace()
+    with open(files[-1], "rb") as fh:
+        xs.ParseFromString(fh.read())
+    tot: Dict[str, float] = defaultdict(float)
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "CPU" not in plane.name:
+            continue
+        md = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = md[ev.metadata_id].name
+                fam = re.sub(r"[.\d]+$", "", name.split(" = ")[0].lstrip("%"))
+                tot[fam] += ev.duration_ps / 1e9  # -> ms
+    if not tot:
+        return {
+            "breakdown_error": "no XLA Ops line in trace "
+            "(per-op attribution requires a TPU profile)"
+        }
+    rows = sorted(tot.items(), key=lambda kv: -kv[1])[:top]
+    return {name: round(ms, 3) for name, ms in rows}

@@ -102,3 +102,35 @@ def test_step_timer_and_ticker():
     assert len(tk.intervals) == 3
     d = tk.tpot_ttft()
     assert np.isfinite(d["ttft_s"]) and np.isfinite(d["tpot_s"])
+
+
+def test_speedtest_breakdown(rng):
+    """run.breakdown=true attaches a device-op time breakdown to each
+    speedtest row (the reference's --breakdown Timer harvest,
+    speedtest.py:110-117, via the hardware profile)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from million_tpu.benchmarks.speedtest import speedtest
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+    from million_tpu.models.llama import PRESETS, init_params, build_tables
+    import numpy as np
+
+    cfg = PRESETS["test-tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M = cfg.head_dim // 2
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+    }
+    tables = build_tables(cents)
+    pqc = PQCacheConfig(bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=32,
+                        Lt=16, N_max=256, dtype=jnp.float32)
+    res = speedtest(
+        params, cfg, lambda *_: init_state(pqc, cfg.num_layers), tables,
+        prefill_lengths=[32], decode_length=4, breakdown=True,
+    )
+    bd = res["results"][0]["breakdown_ms"]
+    assert isinstance(bd, dict) and bd
+    # on CPU the profile has no per-op line; on TPU real families appear
+    if "breakdown_error" not in bd:
+        assert all(v >= 0 for v in bd.values())
