@@ -38,7 +38,8 @@ from million_tpu.utils.ledger import append_result
 DEFAULTS = {
     "model": {"preset": "tinyllama-1.1b", "weights": None, "tokenizer": "byte", "seed": 0},
     "pq": {"M": None, "nbits": 8, "M_v": None, "nbits_v": None, "Lt": 128,
-           "opq": False, "train_iters": 25, "sample_target": 32768},
+           "opq": False, "native_trainer": False, "train_iters": 25,
+           "sample_target": 32768},
     "cache": {"N_max": 32768},
     "run": {
         "dataset": "_synthetic",
@@ -329,6 +330,23 @@ def stage_training(cfg, mcfg, params=None):
     out = art_dir(cfg)
     M_k, nb_k, M_v, nb_v = pq_geometry(cfg, mcfg)
     opq = bool(cfg.pq.get("opq"))
+    native = bool(cfg.pq.get("native_trainer"))
+    if native and opq:
+        raise ValueError("pq.native_trainer covers plain PQ only (no OPQ)")
+    if native:
+        # multithreaded C++ host trainer (native/pqlib.cpp) — keeps the
+        # accelerator free during the offline stage, the role faiss-cpu
+        # plays in the reference (pq_utils.py:586-609)
+        from million_tpu.native import train_pq_native
+
+        train_k = lambda x, M, nb: train_pq_native(
+            np.asarray(x), M=M, nbits=nb, iters=cfg.pq.train_iters, layout="strided"
+        )
+    else:
+        train_k = lambda x, M, nb: np.asarray(
+            train_pq(jnp.asarray(x), M=M, nbits=nb,
+                     iters=cfg.pq.train_iters, layout="strided")
+        )
     keys, vals, rks, rvs = [], [], [], []
     for L in range(mcfg.num_layers):
         ks = read_fvecs(out / f"layer{L}.key.fvecs")
@@ -349,10 +367,8 @@ def stage_training(cfg, mcfg, params=None):
             keys.append(np.asarray(ck))
             vals.append(np.asarray(cv))
         else:
-            keys.append(np.asarray(train_pq(jnp.asarray(ks), M=M_k, nbits=nb_k,
-                                            iters=cfg.pq.train_iters, layout="strided")))
-            vals.append(np.asarray(train_pq(jnp.asarray(vs), M=M_v, nbits=nb_v,
-                                            iters=cfg.pq.train_iters, layout="strided")))
+            keys.append(train_k(ks, M_k, nb_k))
+            vals.append(train_k(vs, M_v, nb_v))
         log(f"training: layer {L} codebooks done ({len(ks)} samples)")
     path = cents_path(cfg, mcfg)
     arrays = {"key": np.stack(keys), "value": np.stack(vals)}

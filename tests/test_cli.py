@@ -148,3 +148,28 @@ def test_opq_pipeline(tmp_path):
     assert z["Rk"].shape == (2, 16, 16)
     # rotations orthogonal
     np.testing.assert_allclose(z["Rk"][0] @ z["Rk"][0].T, np.eye(16), atol=1e-4)
+
+
+def test_native_trainer_pipeline(tmp_path):
+    """pq.native_trainer=true trains codebooks in the C++ host library
+    (native/pqlib.cpp) instead of the JAX trainer."""
+    from million_tpu.native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    os.chdir(tmp_path)
+    main([
+        "-f", "/root/repo/configs/test-tiny.json",
+        "-p", "sampling", "training", "evaluation",
+        "-o", "pq.native_trainer=true",
+        "-o", f"run.results={tmp_path}/nat.jsonl",
+        "-o", f"run.artifacts={tmp_path}/artifacts",
+        "-o", "run.prefill_lengths=[64]",
+        "-o", "run.decode_length=8",
+    ])
+    rows = read_results(tmp_path / "nat.jsonl")
+    assert rows[0]["result"]["results"][0]["tpot_s"] > 0
+    z = np.load(tmp_path / "artifacts/test-tiny/_synthetic/cents_M8_nbits5.npz")
+    assert np.isfinite(z["key"]).all()
