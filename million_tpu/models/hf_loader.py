@@ -83,6 +83,7 @@ def config_from_hf(model_dir: str) -> ModelConfig:
     with open(Path(model_dir) / "config.json") as f:
         c = json.load(f)
     rs = c.get("rope_scaling") or {}
+    rope_type = rs.get("rope_type") or rs.get("type")
     return ModelConfig(
         vocab_size=c["vocab_size"],
         hidden_size=c["hidden_size"],
@@ -94,9 +95,15 @@ def config_from_hf(model_dir: str) -> ModelConfig:
         rope_theta=c.get("rope_theta", 10000.0),
         rms_eps=c.get("rms_norm_eps", 1e-5),
         tie_word_embeddings=c.get("tie_word_embeddings", False),
-        rope_scaling="llama3" if rs.get("rope_type") == "llama3" else None,
+        rope_scaling=rope_type if rope_type in ("llama3", "yarn") else None,
         rope_scaling_factor=rs.get("factor", 8.0),
         rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
         rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
-        rope_original_max_position=rs.get("original_max_position_embeddings", 8192),
+        rope_original_max_position=rs.get(
+            "original_max_position_embeddings",
+            c.get("max_position_embeddings", 8192) if rope_type == "yarn" else 8192,
+        ),
+        rope_beta_fast=rs.get("beta_fast") or 32.0,
+        rope_beta_slow=rs.get("beta_slow") or 1.0,
+        rope_attention_factor=rs.get("attention_factor"),
     )

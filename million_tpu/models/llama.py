@@ -85,11 +85,14 @@ class ModelConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     tie_word_embeddings: bool = False
-    rope_scaling: Optional[str] = None  # None | "llama3"
+    rope_scaling: Optional[str] = None  # None | "llama3" | "yarn"
     rope_scaling_factor: float = 8.0
-    rope_low_freq_factor: float = 1.0
-    rope_high_freq_factor: float = 4.0
+    rope_low_freq_factor: float = 1.0  # llama3 scaling
+    rope_high_freq_factor: float = 4.0  # llama3 scaling
     rope_original_max_position: int = 8192
+    rope_beta_fast: float = 32.0  # yarn scaling (paper defaults)
+    rope_beta_slow: float = 1.0
+    rope_attention_factor: Optional[float] = None  # yarn; None -> mscale(factor)
     dtype: Any = jnp.bfloat16
 
 
@@ -119,6 +122,13 @@ PRESETS: Dict[str, ModelConfig] = {
         rope_scaling="llama3",
         rope_scaling_factor=32.0,
         tie_word_embeddings=True,
+    ),
+    # the reference's 128K long-context model (configs/yarn-llama-2-7b.json:
+    # NousResearch Yarn-Llama-2-7b-128k — llama-2-7b with YaRN x32)
+    "yarn-llama-2-7b-128k": ModelConfig(
+        rope_scaling="yarn",
+        rope_scaling_factor=32.0,
+        rope_original_max_position=4096,
     ),
     "tinyllama-1.1b": ModelConfig(
         vocab_size=32000,
@@ -186,9 +196,34 @@ def _rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
 
 
 def _rope_freqs(cfg: ModelConfig) -> jax.Array:
-    """Inverse frequencies, with llama-3 rescaling when configured."""
+    """Inverse frequencies, with llama-3 or YaRN rescaling when configured.
+
+    YaRN (the reference's 128K long-context model, configs/
+    yarn-llama-2-7b.json): per-dim blend of extrapolated and
+    position-interpolated frequencies over a linear ramp between the
+    beta_fast/beta_slow correction dims — matches HF
+    _compute_yarn_parameters (validated against transformers in
+    tests/test_hf_loader.py)."""
+    import math
+
     dh = cfg.head_dim
     inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    if cfg.rope_scaling == "yarn":
+        def corr_dim(n_rot):
+            return (
+                dh
+                * math.log(cfg.rope_original_max_position / (n_rot * 2 * math.pi))
+            ) / (2 * math.log(cfg.rope_theta))
+
+        low = max(math.floor(corr_dim(cfg.rope_beta_fast)), 0)
+        high = min(math.ceil(corr_dim(cfg.rope_beta_slow)), dh - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip(
+            (jnp.arange(dh // 2, dtype=jnp.float32) - low) / (high - low), 0, 1
+        )
+        extrap_factor = 1.0 - ramp
+        return inv / cfg.rope_scaling_factor * (1 - extrap_factor) + inv * extrap_factor
     if cfg.rope_scaling == "llama3":
         # HF Llama3 rope scaling (transformers modeling_rope_utils).
         low = cfg.rope_original_max_position / cfg.rope_low_freq_factor
@@ -204,11 +239,27 @@ def _rope_freqs(cfg: ModelConfig) -> jax.Array:
     return inv
 
 
-def _apply_rope(x: jax.Array, pos: jax.Array, inv_freq: jax.Array) -> jax.Array:
-    """x (bs, nh, n, dh), pos (n,) -> rotated x. HF half-split convention."""
+def _rope_mscale(cfg: ModelConfig) -> float:
+    """YaRN attention factor multiplying cos/sin (HF attention_scaling);
+    1.0 for every other rope mode."""
+    import math
+
+    if cfg.rope_scaling != "yarn":
+        return 1.0
+    if cfg.rope_attention_factor is not None:
+        return cfg.rope_attention_factor
+    f = cfg.rope_scaling_factor
+    return 1.0 if f <= 1 else 0.1 * math.log(f) + 1.0
+
+
+def _apply_rope(
+    x: jax.Array, pos: jax.Array, inv_freq: jax.Array, mscale: float = 1.0
+) -> jax.Array:
+    """x (bs, nh, n, dh), pos (n,) -> rotated x. HF half-split convention;
+    mscale is YaRN's attention factor on cos/sin."""
     ang = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (n, dh/2)
-    cos = jnp.cos(ang)[None, None]
-    sin = jnp.sin(ang)[None, None]
+    cos = jnp.cos(ang)[None, None] * mscale
+    sin = jnp.sin(ang)[None, None] * mscale
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
@@ -222,8 +273,9 @@ def _qkv(x: jax.Array, lp: Params, cfg: ModelConfig, pos: jax.Array):
     k = jnp.einsum("bnd,fd->bnf", x, lp["wk"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
     v = jnp.einsum("bnd,fd->bnf", x, lp["wv"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
     inv_freq = _rope_freqs(cfg)
-    q = _apply_rope(q, pos, inv_freq)
-    k = _apply_rope(k, pos, inv_freq)
+    ms = _rope_mscale(cfg)
+    q = _apply_rope(q, pos, inv_freq, ms)
+    k = _apply_rope(k, pos, inv_freq, ms)
     return q, k, v
 
 

@@ -27,6 +27,7 @@ from million_tpu.models.llama import (
     _qkv,
     _rms_norm,
     _rope_freqs,
+    _rope_mscale,
 )
 from million_tpu.ops.pq_attention_ref import causal_attention
 from million_tpu.ops.pq_attention_pallas import (
@@ -38,11 +39,13 @@ from million_tpu.ops.pq_attention_ref import masked_partial_attention, merge_two
 from million_tpu.pq.ops import pq_encode, pq_encode_chunked
 
 
-def _rope_per_seq(x: jax.Array, pos: jax.Array, inv_freq: jax.Array) -> jax.Array:
+def _rope_per_seq(
+    x: jax.Array, pos: jax.Array, inv_freq: jax.Array, mscale: float = 1.0
+) -> jax.Array:
     """x (S, nh, 1, dh), pos (S,) — per-sequence rotary positions."""
     ang = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (S, dh/2)
-    cos = jnp.cos(ang)[:, None, None, :]
-    sin = jnp.sin(ang)[:, None, None, :]
+    cos = jnp.cos(ang)[:, None, None, :] * mscale
+    sin = jnp.sin(ang)[:, None, None, :] * mscale
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
@@ -69,6 +72,7 @@ def paged_decode_step(
     scale = 1.0 / (dh**0.5)
     C = tables["key"].shape[2]
     inv_freq = _rope_freqs(cfg)
+    rope_ms = _rope_mscale(cfg)
     active = state["seq_active"] > 0  # (S,)
     r = state["seq_r"]  # (S,)
 
@@ -93,8 +97,8 @@ def paged_decode_step(
         q = jnp.einsum("bnd,fd->bnf", h, lp["wq"]).reshape(S, 1, nh, dh).transpose(0, 2, 1, 3)
         k = jnp.einsum("bnd,fd->bnf", h, lp["wk"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
         v = jnp.einsum("bnd,fd->bnf", h, lp["wv"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
-        q = _rope_per_seq(q, positions, inv_freq)
-        k = _rope_per_seq(k, positions, inv_freq)
+        q = _rope_per_seq(q, positions, inv_freq, rope_ms)
+        k = _rope_per_seq(k, positions, inv_freq, rope_ms)
 
         # append the new token to the residual window at r_eff (per slot),
         # and encode just this one token into the window-code buffers

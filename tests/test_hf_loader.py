@@ -74,3 +74,49 @@ def test_logits_match_transformers(hf_checkpoint):
     )
     got = np.asarray(logits)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_yarn_rope_matches_transformers(tmp_path):
+    """YaRN RoPE (the reference's 128K model family,
+    configs/yarn-llama-2-7b.json): our frequencies + attention factor must
+    reproduce transformers' logits on a yarn-configured checkpoint."""
+    import dataclasses
+
+    d = tmp_path / "hf_yarn"
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        rope_scaling={
+            "rope_type": "yarn",
+            "factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(1)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    ids = np.array([[5, 80, 33, 2, 61, 17, 9, 44, 71, 20]], np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()
+
+    cfg = config_from_hf(str(d))
+    assert cfg.rope_scaling == "yarn"
+    assert cfg.rope_original_max_position == 64
+    cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+    params = load_hf_weights(str(d), cfg, dtype=jnp.float32)
+    dc = DenseCacheConfig(bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=32,
+                          dtype=jnp.float32)
+    cache = init_dense_state(dc, cfg.num_layers)
+    logits, _ = llama.prefill(
+        params, cfg, jnp.asarray(ids.astype(np.int32)), cache, None, mode="dense"
+    )
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=3e-4, atol=3e-4)
