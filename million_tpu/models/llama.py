@@ -293,7 +293,27 @@ def _logits(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent", "last_logit_only"))
+def _prefill_causal_attention(q, k, v, mesh):
+    """Prefill attention, optionally shard_mapped over (dp, tp): attention
+    is embarrassingly parallel across heads and batch, so each device runs
+    the (single-chip) flash kernel on its local shard — without this, a
+    Pallas custom call under plain SPMD has no partitioning rule and XLA
+    would gather the full tensors onto every chip."""
+    if mesh is None:
+        return causal_attention(q, k, v)
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        causal_attention,
+        mesh=mesh,
+        in_specs=(P("dp", "tp", None, None),) * 3,
+        out_specs=P("dp", "tp", None, None),
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent", "last_logit_only", "mesh"))
 def prefill(
     params: Params,
     cfg: ModelConfig,
@@ -304,6 +324,7 @@ def prefill(
     mode: str = "pq",
     distort_recent: bool = False,
     last_logit_only: bool = False,
+    mesh=None,  # jax.sharding.Mesh -> shard_map attention over (dp, tp)
 ) -> Tuple[jax.Array, PQCacheLayerState]:
     """Full prefill. Returns (logits (bs, n, V) f32, updated cache);
     with last_logit_only=True, logits are (bs, 1, V) — the full-sequence
@@ -379,7 +400,7 @@ def prefill(
                     # attention below runs in the original space
                     k = _rotate(k, jax.lax.dynamic_index_in_dim(cents["Rk"], i, 0, False).T)
                     v = _rotate(v, jax.lax.dynamic_index_in_dim(cents["Rv"], i, 0, False).T)
-            attn = causal_attention(q, k, v)
+            attn = _prefill_causal_attention(q, k, v, mesh)
         else:
             start = cache["length"][i]
             cache["k"] = jax.lax.dynamic_update_slice(
@@ -389,7 +410,7 @@ def prefill(
                 cache["v"], v.astype(cache["v"].dtype)[None], (i, 0, 0, start, 0)
             )
             cache["length"] = cache["length"].at[i].add(n)
-            attn = causal_attention(q, k, v)
+            attn = _prefill_causal_attention(q, k, v, mesh)
         attn = attn.transpose(0, 2, 1, 3).reshape(bs, n, -1)
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)

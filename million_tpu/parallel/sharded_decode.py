@@ -72,6 +72,7 @@ def sharded_pq_codes_attention(
     block: int = 16384,
     interpret: bool | None = None,
     direct: bool = False,
+    v_direct: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out, lse) exactly like pq_codes_attention, but computed with
     the code arena sequence-sharded across the mesh's "sp" axis (and batch /
@@ -93,6 +94,7 @@ def sharded_pq_codes_attention(
         out, lse = pq_codes_attention(
             q, kc, vc, kp, vp, local_valid,
             block=min(block, n_local), interpret=interpret, direct=direct,
+            v_direct=v_direct,
         )
         merged, lse_m = _merge_over(out, lse, seq_axes)
         return merged, lse_m
@@ -127,6 +129,7 @@ def sharded_pq_codes_attention_stacked(
     block: int = 16384,
     interpret: bool | None = None,
     direct: bool = False,
+    v_direct: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Stacked-arena version of sharded_pq_codes_attention: one layer of the
     (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards."""
@@ -146,6 +149,7 @@ def sharded_pq_codes_attention_stacked(
         out, lse = pq_codes_attention_stacked(
             q, kc, vc, kp, vp, li[0], local_valid,
             block=min(block, n_local), interpret=interpret, direct=direct,
+            v_direct=v_direct,
         )
         return _merge_over(out, lse, seq_axes)
 
