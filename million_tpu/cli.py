@@ -148,6 +148,15 @@ def load_cents(cfg: Config, mcfg):
                 rng.standard_normal((L, M_v, 2**nb_v, d // M_v)), jnp.float32
             ),
         }
+        if cfg.pq.get("opq"):
+            # random ORTHOGONAL rotations so the synthetic run exercises the
+            # same rotated-cache code path the trained artifact would
+            cents["Rk"] = jnp.asarray(
+                np.linalg.qr(rng.standard_normal((L, d, d)))[0], jnp.float32
+            )
+            cents["Rv"] = jnp.asarray(
+                np.linalg.qr(rng.standard_normal((L, d, d)))[0], jnp.float32
+            )
         log(f"no trained centroids at {path}; using random codebooks (_synthetic)")
     return llama.build_tables(cents)
 

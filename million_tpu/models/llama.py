@@ -54,16 +54,21 @@ def _rotate(x: jax.Array, R: jax.Array) -> jax.Array:
     return jnp.einsum("...d,de->...e", x.astype(jnp.float32), R).astype(x.dtype)
 
 
+def direct_flags(cents):
+    """Per-side direct-table flags from cents shapes (works for stacked
+    (L, M, C, d_m) and per-layer (M, C, d_m): C is always axis -2). Static
+    at trace time. SINGLE source of truth — a call site re-deriving only
+    one side's flag once decoded V tables with the wrong layout."""
+    return cents["key"].shape[-2] <= 128, cents["value"].shape[-2] <= 128
+
+
 def build_tables(cents):
     """Precompute per-layer Pallas decode tables from stacked centroids.
 
     cents {"key": (L, M, C, d_m), "value": ...} ->
     {"key": ..., "value": ..., "kpack": (L, d=M*d_m, 128), "vpack": ...}
     """
-    # per-side direct flags (C static from each cents shape): asymmetric
-    # geometry can give K and V different (M, C)
-    d_k = cents["key"].shape[2] <= 128
-    d_v = cents["value"].shape[2] <= 128
+    d_k, d_v = direct_flags(cents)
     return {
         **cents,
         "kpack": jax.vmap(lambda c: pack_decode_table(c, direct=d_k))(cents["key"]),
@@ -618,10 +623,7 @@ def _pq_pallas_attention_stacked(
     nh_k = cache["key_codes"].shape[2]
     G = nh // nh_k
     scale = 1.0 / (d**0.5)
-    # per-side direct flags: asymmetric geometry may give K and V different
-    # codebook sizes (stacked cents are (L, M, C, d_m))
-    d_k = cents["key"].shape[2] <= 128
-    d_v = cents["value"].shape[2] <= 128
+    d_k, d_v = direct_flags(cents)
 
     qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
@@ -673,8 +675,7 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
     nh_k = cache_l["key_codes"].shape[1]
     G = nh // nh_k
     scale = 1.0 / (d**0.5)
-    d_k = cents_l["key"].shape[1] <= 128  # per-layer cents are (M, C, d_m)
-    d_v = cents_l["value"].shape[1] <= 128
+    d_k, d_v = direct_flags(cents_l)
 
     qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)

@@ -29,6 +29,7 @@ from million_tpu.models.llama import (
     _rope_freqs,
     _rope_mscale,
 )
+from million_tpu.models.llama import direct_flags
 from million_tpu.ops.pq_attention_ref import causal_attention
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
@@ -51,6 +52,16 @@ def _rope_per_seq(
     return out.astype(x.dtype)
 
 
+def _reject_opq(tables):
+    if "Rk" in tables:
+        raise NotImplementedError(
+            "OPQ rotations are not wired into the paged serving path yet — "
+            "the pools would hold unrotated codes against rotated-space "
+            "codebooks (silent quality collapse). Use the flat pipeline "
+            "(runtime.generate) for OPQ, or train without pq.opq."
+        )
+
+
 @partial(jax.jit, static_argnames=("cfg", "pcfg"))
 def paged_decode_step(
     params: Params,
@@ -66,6 +77,7 @@ def paged_decode_step(
     Inactive slots (seq_active == 0) still compute (lockstep batch) but
     their cache writes are masked out.
     """
+    _reject_opq(tables)
     S = tokens.shape[0]
     nh, nh_k, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     G = nh // nh_k
@@ -172,6 +184,7 @@ def paged_decode_step(
         )
 
         # --- attention: paged codes partial + residual partial, LSE merge
+        d_k, d_v = direct_flags(tables)
         qg = (q[:, :, 0].astype(jnp.float32) * scale).reshape(S, nh_k, G, dh)
         q_pad = jnp.zeros((S, nh_k, GROUP_PAD, dh), jnp.bfloat16)
         q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
@@ -179,7 +192,7 @@ def paged_decode_step(
             q_pad, st["key_pool"], st["value_pool"],
             tables["kpack"], tables["vpack"], li,
             state["page_table"], n_codes_eff,
-            direct=tables["key"].shape[2] <= 128,
+            direct=d_k, v_direct=d_v,
         )
         # valid residual entries per slot: [0, r_eff] (token just appended)
         rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, r_eff, -1)[:, None]
@@ -226,6 +239,7 @@ def paged_prefill_seq(
     and leaves the residual empty (pq_utils.py:222-247); same here."""
     from million_tpu.ops.pq_attention_pallas import pack_codes
 
+    _reject_opq(tables)
     n = input_ids.shape[1]
     n4 = (n // 4) * 4
     tail = n - n4

@@ -36,15 +36,21 @@ def initialize(
 ) -> None:
     """Idempotent jax.distributed.initialize.
 
-    Single-process runs (num_processes in (None-with-no-cluster, 1)) skip
-    the barrier entirely so local scripts and tests need no special-casing.
+    Bare initialize() attempts cluster AUTO-DETECTION (the TPU-pod case:
+    jax reads the TPU environment) and quietly degrades to single-process
+    when no cluster environment exists — so local scripts and tests need no
+    special-casing. Explicit arguments are forwarded verbatim and must be
+    passed BEFORE any JAX computation runs (jax requirement; nothing here
+    touches the backend first).
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
-    if num_processes in (None, 1) and coordinator_address is None:
-        # no cluster requested/detectable -> single-process mode
+    if coordinator_address is None and num_processes is None and process_id is None:
+        try:
+            jax.distributed.initialize(**kw)  # auto-detect (TPU pod env)
+        except Exception:  # noqa: BLE001 — no cluster environment
+            pass
         _initialized = True
         return
     jax.distributed.initialize(

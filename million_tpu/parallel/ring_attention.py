@@ -74,8 +74,7 @@ def ring_causal_attention(
         acc0 = jnp.zeros((bs, nh, n_loc, d), jnp.float32)
         perm = [(j, (j + 1) % Pn) for j in range(Pn)]
 
-        def step(s, carry):
-            kb, vb, m, l, acc = carry
+        def fold(s, kb, vb, m, l, acc):
             src = (i - s) % Pn  # owner of the visiting block
             sc = jnp.einsum("bhqd,bhkd->bhqk", qf, kb)
             mask = q_pos >= (src * n_loc + k_off)  # (n_loc, n_loc) global causal
@@ -89,11 +88,21 @@ def ring_causal_attention(
             alpha = jnp.exp(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+            return m_new, l, acc
+
+        def step(s, carry):
+            kb, vb, m, l, acc = carry
+            m, l, acc = fold(s, kb, vb, m, l, acc)
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
-            return (kb, vb, m_new, l, acc)
+            return (kb, vb, m, l, acc)
 
-        _, _, m, l, acc = jax.lax.fori_loop(0, Pn, step, (kf, vf, m0, l0, acc0))
+        # the LAST block folds without a trailing permute — rotating it
+        # back would ship a full K/V block over ICI just to drop it
+        kb, vb, m, l, acc = jax.lax.fori_loop(
+            0, Pn - 1, step, (kf, vf, m0, l0, acc0)
+        )
+        m, l, acc = fold(Pn - 1, kb, vb, m, l, acc)
         return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
     shmap = jax.shard_map(

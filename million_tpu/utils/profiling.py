@@ -112,7 +112,7 @@ def device_memory_report() -> Optional[Dict[str, float]]:
 def trace_op_breakdown(
     fn,
     *,
-    log_dir: str = "/tmp/million_tpu_breakdown",
+    log_dir: Optional[str] = None,
     top: int = 12,
 ) -> Dict[str, float]:
     """Run `fn()` under a jax.profiler trace and return total device-op time
@@ -128,10 +128,13 @@ def trace_op_breakdown(
     """
     import glob
     import re
-    import shutil
+    import tempfile
     from collections import defaultdict
 
-    shutil.rmtree(log_dir, ignore_errors=True)
+    if log_dir is None:
+        # fresh dir per call: a shared path lets concurrent runs clobber
+        # each other's in-flight traces
+        log_dir = tempfile.mkdtemp(prefix="million_tpu_breakdown_")
     with jax.profiler.trace(log_dir):
         out = fn()
         _force(out)

@@ -93,26 +93,40 @@ def test_scheduler_interleaves_different_lengths(rng):
 
 
 def test_scheduler_asymmetric_geometry(rng):
-    """Continuous batching with K:d_m=2 / V:d_m=4 page pools (M_v) — the
-    asymmetric kernel geometry through the full serving path."""
+    """Continuous batching with K:d_m=2/C=256 (pair tables) and
+    V:d_m=4/C=128 (direct tables) page pools — MIXED table layouts, the
+    combination that exposes any call site deriving only one side's
+    direct flag (regression: paged_decode passed only K's)."""
     params = init_params(CFG, jax.random.PRNGKey(0))
     M_k, M_v = 16, 8
     cents = {
-        "key": jnp.asarray(rng.standard_normal((2, M_k, 64, 2)), jnp.float32),
-        "value": jnp.asarray(rng.standard_normal((2, M_v, 64, 4)), jnp.float32),
+        "key": jnp.asarray(rng.standard_normal((2, M_k, 256, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((2, M_v, 128, 4)), jnp.float32),
     }
     tables = build_tables(cents)
     pcfg = PagedPQCacheConfig(
-        num_layers=2, nh_k=2, d=32, M=M_k, M_v=M_v, C=64, Lt=8,
+        num_layers=2, nh_k=2, d=32, M=M_k, M_v=M_v, C=256, Lt=8,
         page_size=128, n_pages=8, max_seqs=2, pages_per_seq=4,
         dtype=jnp.float32,
     )
     sched = Scheduler(params, CFG, pcfg, tables)
     assert sched.state["value_pool"].shape[3] == M_v
-    for i in range(3):
-        sched.submit(Request(rid=i, prompt=rng.integers(0, 300, 12).astype(np.int32),
-                             max_new_tokens=8))
+    prompt = rng.integers(0, 300, 12).astype(np.int32)
+    sched.submit(Request(rid=0, prompt=prompt, max_new_tokens=10))
     done = sched.run_to_completion(max_ticks=100)
-    assert sorted(f.rid for f in done) == [0, 1, 2]
-    for f in done:
-        assert np.isfinite(f.tokens).all()
+    got = done[0].tokens
+    assert np.isfinite(got).all()
+    # CORRECTNESS, not just liveness: the flat pq_pallas pipeline with the
+    # same geometry must produce the same greedy tokens — a mis-decoded V
+    # table (e.g. one side's direct flag applied to both) diverges here
+    flat_cfg = PQCacheConfig(
+        bs=1, nh_k=2, d=32, M=M_k, M_v=M_v, C=256, Lt=8, N_max=256,
+        dtype=jnp.float32,
+    )
+    res, _ = generate(
+        params, CFG, jnp.asarray(prompt[None]), init_state(flat_cfg, 2), tables,
+        mode="pq_pallas", max_new_tokens=10,
+    )
+    want = res.tokens[0]
+    agree = (got == want).mean()
+    assert agree >= 0.9, f"paged vs flat token agreement {agree}: {got} vs {want}"
