@@ -44,6 +44,7 @@ def generate(
     sampling: SamplingConfig = SamplingConfig(),
     seed: int = 0,
     selfcheck_every: int = 0,
+    mesh=None,  # jax.sharding.Mesh -> sharded prefill/decode attention
 ) -> Tuple[GenerationResult, Any]:
     """Prefill + decode loop. Returns (result, final cache state).
 
@@ -88,7 +89,8 @@ def generate(
     t0 = time.perf_counter()
     prefill_mode = "dense" if mode == "dense" else "pq"
     logits, cache = llama.prefill(
-        params, cfg, input_ids, cache, cents, mode=prefill_mode, last_logit_only=True
+        params, cfg, input_ids, cache, cents, mode=prefill_mode,
+        last_logit_only=True, mesh=mesh,
     )
     key, sk = jax.random.split(key)
     tok = sample(logits[:, -1], sk, sampling)
@@ -125,7 +127,8 @@ def generate(
         else:
             ref_logits = None
         logits, cache = llama.decode_step(
-            params, cfg, tok, pos, cache, cents, mode=mode, flush=flush
+            params, cfg, tok, pos, cache, cents, mode=mode, flush=flush,
+            mesh=mesh,
         )
         if ref_logits is not None:
             diff = jnp.max(jnp.abs(logits - ref_logits)).astype(jnp.float32)
