@@ -39,6 +39,76 @@ def _gqa_expand(x: jax.Array, nh: int) -> jax.Array:
     return jnp.repeat(x, nh // nk, axis=1)
 
 
+def ring_causal_local(
+    q: jax.Array,  # (bs, nh, n_loc, d) — THIS shard's query block
+    k: jax.Array,  # (bs, nh_k, n_loc, d)
+    v: jax.Array,
+    axis,  # mesh axis name or tuple of names the ring runs over
+    n_shards: int,
+    scale: float,
+) -> jax.Array:
+    """The per-shard ring body, for callers ALREADY inside a shard_map
+    (e.g. the sequence-parallel prefill): fold the local K/V block, then
+    rotate blocks around `axis` n_shards-1 times with ppermute."""
+    bs, nh, n_loc, d = q.shape
+    Pn = n_shards
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    i = jnp.asarray(0, jnp.int32)
+    for a in axes:
+        i = i * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+
+    kf = _gqa_expand(k, nh).astype(jnp.float32)
+    vf = _gqa_expand(v, nh).astype(jnp.float32)
+    qf = q.astype(jnp.float32) * scale
+    q_pos = i * n_loc + jax.lax.broadcasted_iota(jnp.int32, (n_loc, n_loc), 0)
+    k_off = jax.lax.broadcasted_iota(jnp.int32, (n_loc, n_loc), 1)
+
+    m0 = jnp.full((bs, nh, n_loc, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bs, nh, n_loc, 1), jnp.float32)
+    acc0 = jnp.zeros((bs, nh, n_loc, d), jnp.float32)
+    # ring over the LINEARIZED multi-axis order (axis-major, matching the
+    # linear shard index above): neighbor = linear index + 1
+    if len(axes) == 1:
+        perm_axis = axes[0]
+        perm = [(j, (j + 1) % Pn) for j in range(Pn)]
+    else:
+        # multi-axis rings permute over the minor axis within a major step;
+        # for simplicity rotate over the full linear order via ppermute on
+        # each axis in sequence is NOT equivalent — restrict to single axis
+        raise NotImplementedError(
+            "ring over multiple mesh axes not supported; pass one axis"
+        )
+
+    def fold(s, kb, vb, m, l, acc):
+        src = (i - s) % Pn  # owner of the visiting block
+        sc = jnp.einsum("bhqd,bhkd->bhqk", qf, kb)
+        mask = q_pos >= (src * n_loc + k_off)  # (n_loc, n_loc) global causal
+        sc = jnp.where(mask[None, None], sc, NEG_INF)
+        # step 0 visits the DIAGONAL block (src == i), where every query
+        # row attends at least its own position — so m is finite after
+        # step 0 and later fully-masked blocks contribute exp(NEG_INF -
+        # finite) == 0 cleanly. No extra guard needed.
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+        return m_new, l, acc
+
+    def step(s, carry):
+        kb, vb, m, l, acc = carry
+        m, l, acc = fold(s, kb, vb, m, l, acc)
+        kb = jax.lax.ppermute(kb, perm_axis, perm)
+        vb = jax.lax.ppermute(vb, perm_axis, perm)
+        return (kb, vb, m, l, acc)
+
+    # the LAST block folds without a trailing permute — rotating it
+    # back would ship a full K/V block over ICI just to drop it
+    kb, vb, m, l, acc = jax.lax.fori_loop(0, Pn - 1, step, (kf, vf, m0, l0, acc0))
+    m, l, acc = fold(Pn - 1, kb, vb, m, l, acc)
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
 def ring_causal_attention(
     mesh: Mesh,
     q: jax.Array,  # (bs, nh, n, d) — n sharded over `axis`
@@ -62,48 +132,7 @@ def ring_causal_attention(
     n_loc = n // Pn
 
     def local_fn(q, k, v):
-        i = jax.lax.axis_index(axis)
-        kf = _gqa_expand(k, nh).astype(jnp.float32)
-        vf = _gqa_expand(v, nh).astype(jnp.float32)
-        qf = q.astype(jnp.float32) * scale
-        q_pos = i * n_loc + jax.lax.broadcasted_iota(jnp.int32, (n_loc, n_loc), 0)
-        k_off = jax.lax.broadcasted_iota(jnp.int32, (n_loc, n_loc), 1)
-
-        m0 = jnp.full((bs, nh, n_loc, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bs, nh, n_loc, 1), jnp.float32)
-        acc0 = jnp.zeros((bs, nh, n_loc, d), jnp.float32)
-        perm = [(j, (j + 1) % Pn) for j in range(Pn)]
-
-        def fold(s, kb, vb, m, l, acc):
-            src = (i - s) % Pn  # owner of the visiting block
-            sc = jnp.einsum("bhqd,bhkd->bhqk", qf, kb)
-            mask = q_pos >= (src * n_loc + k_off)  # (n_loc, n_loc) global causal
-            sc = jnp.where(mask[None, None], sc, NEG_INF)
-            # step 0 visits the DIAGONAL block (src == i), where every query
-            # row attends at least its own position — so m is finite after
-            # step 0 and later fully-masked blocks contribute exp(NEG_INF -
-            # finite) == 0 cleanly. No extra guard needed.
-            m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
-            p = jnp.exp(sc - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, vb)
-            return m_new, l, acc
-
-        def step(s, carry):
-            kb, vb, m, l, acc = carry
-            m, l, acc = fold(s, kb, vb, m, l, acc)
-            kb = jax.lax.ppermute(kb, axis, perm)
-            vb = jax.lax.ppermute(vb, axis, perm)
-            return (kb, vb, m, l, acc)
-
-        # the LAST block folds without a trailing permute — rotating it
-        # back would ship a full K/V block over ICI just to drop it
-        kb, vb, m, l, acc = jax.lax.fori_loop(
-            0, Pn - 1, step, (kf, vf, m0, l0, acc0)
-        )
-        m, l, acc = fold(Pn - 1, kb, vb, m, l, acc)
-        return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+        return ring_causal_local(q, k, v, axis, Pn, scale)
 
     shmap = jax.shard_map(
         local_fn,
