@@ -43,19 +43,18 @@ def ring_causal_local(
     q: jax.Array,  # (bs, nh, n_loc, d) — THIS shard's query block
     k: jax.Array,  # (bs, nh_k, n_loc, d)
     v: jax.Array,
-    axis,  # mesh axis name or tuple of names the ring runs over
+    axis: str,  # mesh axis name the ring runs over (single axis)
     n_shards: int,
     scale: float,
 ) -> jax.Array:
     """The per-shard ring body, for callers ALREADY inside a shard_map
     (e.g. the sequence-parallel prefill): fold the local K/V block, then
     rotate blocks around `axis` n_shards-1 times with ppermute."""
+    if not isinstance(axis, str):
+        raise NotImplementedError("ring runs over ONE mesh axis; got a tuple")
     bs, nh, n_loc, d = q.shape
     Pn = n_shards
-    axes = (axis,) if isinstance(axis, str) else tuple(axis)
-    i = jnp.asarray(0, jnp.int32)
-    for a in axes:
-        i = i * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+    i = jax.lax.axis_index(axis)
 
     kf = _gqa_expand(k, nh).astype(jnp.float32)
     vf = _gqa_expand(v, nh).astype(jnp.float32)
@@ -66,18 +65,8 @@ def ring_causal_local(
     m0 = jnp.full((bs, nh, n_loc, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bs, nh, n_loc, 1), jnp.float32)
     acc0 = jnp.zeros((bs, nh, n_loc, d), jnp.float32)
-    # ring over the LINEARIZED multi-axis order (axis-major, matching the
-    # linear shard index above): neighbor = linear index + 1
-    if len(axes) == 1:
-        perm_axis = axes[0]
-        perm = [(j, (j + 1) % Pn) for j in range(Pn)]
-    else:
-        # multi-axis rings permute over the minor axis within a major step;
-        # for simplicity rotate over the full linear order via ppermute on
-        # each axis in sequence is NOT equivalent — restrict to single axis
-        raise NotImplementedError(
-            "ring over multiple mesh axes not supported; pass one axis"
-        )
+    perm_axis = axis
+    perm = [(j, (j + 1) % Pn) for j in range(Pn)]
 
     def fold(s, kb, vb, m, l, acc):
         src = (i - s) % Pn  # owner of the visiting block

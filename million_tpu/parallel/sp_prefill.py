@@ -2,17 +2,19 @@
 
 The 128K multi-host prefill (SURVEY.md §7.7's last mile): each `sp` shard
 embeds and projects only its own contiguous token block, attention runs as
-a ring (`ring_causal_local`), and each shard PQ-encodes its block straight
-into ITS OWN slice of the code arena — the arena sharding
-(pq_cache_shardings: codes over "sp" on the word axis) aligns exactly with
-the token blocks, so no cross-chip code movement happens at all. Per layer
-the only communication is the ring's K/V block rotation on ICI.
+a ring (`ring_causal_local`), and each shard PQ-encodes its own block. The
+packed codes leave the shard_map sequence-sharded and are written into the
+arena with ONE global dynamic_update_slice outside — XLA reshards them onto
+the arena's own (dcn, sp) layout with ICI collectives, so the result is
+decode-compatible for ANY prompt length <= N_max (writing at per-shard
+local offsets instead would only coincide with the flat layout when the
+prompt exactly fills the arena).
 
-Scope (explicit, enforced): mode "pq", weights REPLICATED (sequence memory,
-not weight memory, is the long-context constraint this solves), bs x heads
-unsharded inside the shard_map (combine with tp/dp OUTSIDE via the flat
-prefill when weight sharding matters more than context length), prompt
-length divisible by 4 * sp (whole words per shard, no ragged tail).
+Scope (explicit, enforced): mode "pq", FRESH cache (n_codes == 0 — this is
+the admission prefill, not a chunked continuation), weights REPLICATED
+(sequence memory, not weight memory, is the long-context constraint this
+solves), single-slice mesh (the ring runs over one axis; a multi-slice
+linearized ring is future work), prompt length divisible by 4 * sp.
 
 Returns last-token logits (the generation entry; teacher-forced ppl keeps
 using the flat prefill) and the updated cache, decode-ready: n_codes = n,
@@ -25,18 +27,17 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from million_tpu.models.llama import (
     ModelConfig,
     Params,
     SUBSPACE_LAYOUT,
-    _mlp,
-    _rms_norm,
-    _rope_freqs,
-    _rope_mscale,
-    _apply_rope,
     _logits,
+    _mlp,
+    _qkv,
+    _rms_norm,
 )
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 from million_tpu.parallel.ring_attention import ring_causal_local
@@ -47,7 +48,7 @@ def prefill_sp(
     params: Params,
     cfg: ModelConfig,
     input_ids: jax.Array,  # (bs, n) — n divisible by 4 * sp
-    cache: Dict[str, jax.Array],  # stacked PQ cache, arena sharded over "sp"
+    cache: Dict[str, jax.Array],  # stacked PQ cache (fresh), any sharding
     cents: Dict[str, jax.Array],
     mesh: Mesh,
     axis: str = "sp",
@@ -56,76 +57,83 @@ def prefill_sp(
     decode-ready cache)."""
     if "Rk" in cents:
         raise NotImplementedError("OPQ not wired into prefill_sp yet")
+    if mesh.shape.get("dcn", 1) > 1:
+        raise NotImplementedError(
+            "prefill_sp rings over one mesh axis; run it per-slice "
+            "(multi-slice linearized ring is future work)"
+        )
     bs, n = input_ids.shape
     Pn = mesh.shape[axis]
     if n % (WORD * Pn):
         raise ValueError(f"prompt length {n} must divide 4*{axis}={WORD * Pn}")
+    if n > cache["key_codes"].shape[-1] * WORD:
+        raise ValueError("prompt longer than the code arena")
+    # fresh-cache contract (checkable only outside jit; inside a jit trace
+    # the caller owns the invariant)
+    try:
+        if int(np.asarray(cache["n_codes"][0])) != 0:
+            raise ValueError(
+                "prefill_sp requires a FRESH cache (n_codes == 0); it is the "
+                "admission prefill, not a chunked continuation"
+            )
+    except jax.errors.TracerArrayConversionError:
+        pass
     n_loc = n // Pn
-    L = cfg.num_layers
-    nh, nk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    inv_freq = _rope_freqs(cfg)
-    rope_ms = _rope_mscale(cfg)
-    scale = 1.0 / (dh**0.5)
+    scale = 1.0 / (cfg.head_dim**0.5)
 
-    def local_fn(ids, params, cache, cents):
+    def local_fn(ids, params, cents):
         i = jax.lax.axis_index(axis)
         pos = i * n_loc + jnp.arange(n_loc)
         x = params["embed"][ids]  # (bs, n_loc, D)
 
         def layer(carry, lp):
-            x, cache, li = carry
+            x, li = carry
             h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = jnp.einsum("bnd,fd->bnf", h, lp["wq"]).reshape(bs, n_loc, nh, dh).transpose(0, 2, 1, 3)
-            k = jnp.einsum("bnd,fd->bnf", h, lp["wk"]).reshape(bs, n_loc, nk, dh).transpose(0, 2, 1, 3)
-            v = jnp.einsum("bnd,fd->bnf", h, lp["wv"]).reshape(bs, n_loc, nk, dh).transpose(0, 2, 1, 3)
-            q = _apply_rope(q, pos, inv_freq, rope_ms)
-            k = _apply_rope(k, pos, inv_freq, rope_ms)
+            q, k, v = _qkv(h, lp, cfg, pos)
 
             kcent = jax.lax.dynamic_index_in_dim(cents["key"], li, 0, False)
             vcent = jax.lax.dynamic_index_in_dim(cents["value"], li, 0, False)
-            # encode THIS shard's block into THIS shard's arena slice —
-            # sharded identically, so local offset 0 == global block start
-            kc = jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2)
-            vc = jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2)
-            cache = dict(cache)
-            cache["key_codes"] = jax.lax.dynamic_update_slice(
-                cache["key_codes"], pack_codes(kc)[None], (li, 0, 0, 0, 0)
-            )
-            cache["value_codes"] = jax.lax.dynamic_update_slice(
-                cache["value_codes"], pack_codes(vc)[None], (li, 0, 0, 0, 0)
-            )
+            kc = pack_codes(jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2))
+            vc = pack_codes(jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2))
 
             attn = ring_causal_local(q, k, v, axis, Pn, scale)
             attn = attn.transpose(0, 2, 1, 3).reshape(bs, n_loc, -1)
             x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
             h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
             x = x + _mlp(h2, lp).astype(x.dtype)
-            return (x, cache, li + 1), None
+            return (x, li + 1), (kc, vc)
 
-        (x, cache, _), _ = jax.lax.scan(
-            layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
+        (x, _), (kc_all, vc_all) = jax.lax.scan(
+            layer, (x, jnp.asarray(0, jnp.int32)), params["layers"]
         )
-        cache = dict(cache)
-        cache["n_codes"] = jnp.full_like(cache["n_codes"], n)
-        cache["r"] = jnp.zeros_like(cache["r"])
         # only the LAST shard owns the final token; psum-select its hidden
-        last_h = jnp.where(i == Pn - 1, x[:, -1], 0.0)
-        last_h = jax.lax.psum(last_h, axis)  # (bs, D), replicated
-        return _logits(params, cfg, last_h[:, None])[:, 0], cache
+        i_last = jnp.where(i == Pn - 1, 1.0, 0.0)
+        last_h = jax.lax.psum(x[:, -1] * i_last, axis)  # (bs, D), replicated
+        return _logits(params, cfg, last_h[:, None])[:, 0], kc_all, vc_all
 
-    arena_spec = {
-        "key_codes": P(None, None, None, None, axis),
-        "value_codes": P(None, None, None, None, axis),
-        "key_residual": P(),
-        "value_residual": P(),
-        "n_codes": P(),
-        "r": P(),
-    }
     shmap = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, axis), P(), arena_spec, P()),
-        out_specs=(P(), arena_spec),
+        in_specs=(P(None, axis), P(), P()),
+        out_specs=(
+            P(),
+            P(None, None, None, None, axis),  # (L, bs, nh_k, M, n/4) codes
+            P(None, None, None, None, axis),
+        ),
         check_vma=False,
     )
-    return shmap(input_ids, params, cache, cents)
+    logits, kc_all, vc_all = shmap(input_ids, params, cents)
+
+    # ONE global write at word offset 0: XLA reshards the sequence-sharded
+    # codes onto the arena's own layout (ICI collectives), keeping the
+    # flat-prefill arena contract for any n <= N_max
+    new = dict(cache)
+    new["key_codes"] = jax.lax.dynamic_update_slice(
+        cache["key_codes"], kc_all, (0, 0, 0, 0, 0)
+    )
+    new["value_codes"] = jax.lax.dynamic_update_slice(
+        cache["value_codes"], vc_all, (0, 0, 0, 0, 0)
+    )
+    new["n_codes"] = jnp.full_like(cache["n_codes"], n)
+    new["r"] = jnp.zeros_like(cache["r"])
+    return logits, new

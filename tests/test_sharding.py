@@ -236,9 +236,12 @@ def test_sp_prefill_matches_flat_prefill(rng):
     }
     n = 64  # divisible by 4 * sp
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, n)), jnp.int32)
+    # N_max DELIBERATELY larger than the prompt: the sp layout must match
+    # the flat arena for prompts that do NOT fill the arena (regression:
+    # per-shard local-offset writes only coincided at n == N_max)
     pq_cfg = PQCacheConfig(
         bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=32, Lt=8,
-        N_max=n, dtype=jnp.float32,
+        N_max=4 * n, dtype=jnp.float32,
     )
 
     # flat single-device reference
@@ -260,3 +263,17 @@ def test_sp_prefill_matches_flat_prefill(rng):
         np.asarray(cs["value_codes"]), np.asarray(cf["value_codes"])
     )
     assert int(cs["n_codes"][0]) == n and int(cs["r"][0]) == 0
+
+    # decode CONTINUES from the sp-prefilled cache identically to the
+    # flat-prefilled one (the decode-ready claim, actually decoded)
+    from million_tpu.models.llama import decode_step
+
+    tok = jnp.asarray([3], jnp.int32)
+    l1, _ = decode_step(params, cfg, tok, jnp.asarray(n, jnp.int32), cf, cents, mode="pq")
+    l2, _ = decode_step(params, cfg, tok, jnp.asarray(n, jnp.int32), cs, cents, mode="pq")
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=2e-4)
+
+    # fresh-cache contract enforced
+    import pytest
+    with pytest.raises(ValueError, match="FRESH"):
+        prefill_sp(params, cfg, ids, cs, cents, mesh)
