@@ -1,0 +1,225 @@
+"""Chunked PQ prefill: long prompts in bounded-memory chunks.
+
+A 128K-token one-shot prefill materializes activations (and flash-attention
+workspace) for the whole prompt at once; chunking bounds that to
+`chunk` tokens. Each chunk runs the normal transformer stack, but its
+attention is the LSE-merge of two partials (the reference's split +
+residual + reduce decomposition, Kernel.cuh:11-166/1038-1270, applied at
+prefill time):
+
+  * causal attention WITHIN the chunk (exact);
+  * full attention against the QUANTIZED history — the code arena the
+    earlier chunks already wrote, decoded blockwise (one `hist_block` of
+    K/V is reconstructed at a time, so the dense history KV is never
+    materialized — the whole point of the compressed cache).
+
+Attending to quantized history is the PQ-native choice: it is the same
+approximation the decode path makes for every generated token, and matches
+the reference's ppl protocol (`distort_recent`, pq_utils.py:243-247) where
+all history is quantized. The reference itself has no chunked prefill (one
+HF forward over the full prompt).
+
+Contract: mode "pq", fresh cache at the first chunk, chunk % 4 == 0 (whole
+words per chunk; the ragged tail of the LAST chunk goes to the residual
+window exactly like the flat prefill).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from million_tpu.models.llama import (
+    ModelConfig,
+    Params,
+    SUBSPACE_LAYOUT,
+    _logits,
+    _mlp,
+    _qkv,
+    _rms_norm,
+)
+from million_tpu.ops.pq_attention_pallas import WORD, pack_codes, unpack_codes
+from million_tpu.ops.pq_attention_ref import _gqa_expand, merge_two_partials
+from million_tpu.pq.ops import pq_decode, pq_encode_chunked
+
+from functools import partial
+
+
+def _causal_partial(q, k, v, scale):
+    """Causal SDPA within the chunk, returning (out, lse) for LSE-merging.
+
+    q (bs, nh, nc, d); k/v (bs, nh_k, nc, d) -> out (bs, nh, nc, d) f32,
+    lse (bs, nh, nc) f32.
+    """
+    bs, nh, nc, d = q.shape
+    kf = _gqa_expand(k, nh).astype(jnp.float32)
+    vf = _gqa_expand(v, nh).astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale, kf)
+    mask = jnp.tril(jnp.ones((nc, nc), bool))
+    s = jnp.where(mask[None, None], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p / l, vf)
+    return out, (m + jnp.log(l))[..., 0]
+
+
+def _history_partial(q, key_codes, value_codes, kcent, vcent, n_prev, scale,
+                     nb, hist_block):
+    """Full attention of the chunk's queries against the first n_prev
+    quantized tokens, decoded one hist_block at a time (bounded memory).
+
+    key_codes/value_codes: (bs, nh_k, M, NW) packed arena words. nb (static)
+    blocks of hist_block tokens are scanned; positions >= n_prev mask out.
+    Returns (out (bs, nh, nc, d) f32 normalized, lse (bs, nh, nc) f32).
+    """
+    bs, nh_k = key_codes.shape[0], key_codes.shape[1]
+    nh, nc, d = q.shape[1], q.shape[2], q.shape[3]
+    qf = q.astype(jnp.float32) * scale
+    bw = hist_block // WORD
+
+    m0 = jnp.full((bs, nh, nc, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((bs, nh, nc, 1), jnp.float32)
+    acc0 = jnp.zeros((bs, nh, nc, d), jnp.float32)
+
+    def body(carry, bi):
+        m, l, acc = carry
+        kw = jax.lax.dynamic_slice_in_dim(key_codes, bi * bw, bw, axis=3)
+        vw = jax.lax.dynamic_slice_in_dim(value_codes, bi * bw, bw, axis=3)
+        khat = pq_decode(
+            jnp.swapaxes(unpack_codes(kw), -1, -2), kcent, SUBSPACE_LAYOUT
+        )  # (bs, nh_k, hist_block, d) f32
+        vhat = pq_decode(
+            jnp.swapaxes(unpack_codes(vw), -1, -2), vcent, SUBSPACE_LAYOUT
+        )
+        kf = _gqa_expand(khat, nh)
+        vf = _gqa_expand(vhat, nh)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+        kpos = bi * hist_block + jnp.arange(hist_block)
+        s = jnp.where((kpos < n_prev)[None, None, None], s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+        return (m_new, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(nb))
+    safe_l = jnp.maximum(l, 1e-30)
+    lse = jnp.where(l[..., 0] > 0, m[..., 0] + jnp.log(safe_l[..., 0]), -1e30)
+    return acc / safe_l, lse
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk"))
+def _prefill_one_chunk(
+    params: Params,
+    cfg: ModelConfig,
+    ids: jax.Array,  # (bs, nc)
+    cache: Dict[str, jax.Array],
+    cents: Dict[str, jax.Array],
+    pos_offset: jax.Array,  # () int32 — global position of ids[:, 0]
+    nb: int,  # static: history blocks to scan (ceil(prev_tokens/hist_block))
+    hist_block: int,
+    last_chunk: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    bs, nc = ids.shape
+    scale = 1.0 / (cfg.head_dim**0.5)
+    n4 = (nc // WORD) * WORD if last_chunk else nc
+    tail = nc - n4
+    x = params["embed"][ids]
+    pos = pos_offset + jnp.arange(nc)
+
+    def layer(carry, lp):
+        x, cache, li = carry
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, pos)
+        kcent = jax.lax.dynamic_index_in_dim(cents["key"], li, 0, False)
+        vcent = jax.lax.dynamic_index_in_dim(cents["value"], li, 0, False)
+
+        cache = dict(cache)
+        kc = jnp.swapaxes(pq_encode_chunked(k[:, :, :n4], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(pq_encode_chunked(v[:, :, :n4], vcent, SUBSPACE_LAYOUT), -1, -2)
+        if n4:
+            start_w = cache["n_codes"][li] // WORD
+            cache["key_codes"] = jax.lax.dynamic_update_slice(
+                cache["key_codes"], pack_codes(kc)[None], (li, 0, 0, 0, start_w)
+            )
+            cache["value_codes"] = jax.lax.dynamic_update_slice(
+                cache["value_codes"], pack_codes(vc)[None], (li, 0, 0, 0, start_w)
+            )
+        if tail:
+            r0 = cache["r"][li]
+            cache["key_residual"] = jax.lax.dynamic_update_slice(
+                cache["key_residual"],
+                k[:, :, n4:].astype(cache["key_residual"].dtype)[None],
+                (li, 0, 0, r0, 0),
+            )
+            cache["value_residual"] = jax.lax.dynamic_update_slice(
+                cache["value_residual"],
+                v[:, :, n4:].astype(cache["value_residual"].dtype)[None],
+                (li, 0, 0, r0, 0),
+            )
+
+        out_c, lse_c = _causal_partial(q, k, v, scale)
+        if nb:
+            out_h, lse_h = _history_partial(
+                q,
+                jax.lax.dynamic_index_in_dim(cache["key_codes"], li, 0, False),
+                jax.lax.dynamic_index_in_dim(cache["value_codes"], li, 0, False),
+                kcent, vcent, cache["n_codes"][li], scale, nb, hist_block,
+            )
+            attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
+        else:
+            attn = out_c
+        if n4:
+            cache["n_codes"] = cache["n_codes"].at[li].add(n4)
+        if tail:
+            cache["r"] = cache["r"].at[li].add(tail)
+
+        attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(bs, nc, -1)
+        x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
+        h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + _mlp(h2, lp).astype(x.dtype)
+        return (x, cache, li + 1), None
+
+    (x, cache, _), _ = jax.lax.scan(
+        layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
+    )
+    return _logits(params, cfg, x[:, -1:])[:, 0], cache
+
+
+def chunked_prefill(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # (bs, n)
+    cache: Dict[str, jax.Array],  # fresh stacked PQ cache
+    cents: Dict[str, jax.Array],
+    *,
+    chunk: int = 4096,
+    hist_block: int = 4096,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Prefill `input_ids` in `chunk`-token pieces (host-scheduled loop).
+
+    Returns (last-token logits (bs, V) f32, decode-ready cache). The first
+    chunk must start on a fresh cache; chunks except the last are
+    word-aligned by construction (chunk % 4 == 0).
+    """
+    if "Rk" in cents:
+        raise NotImplementedError("OPQ not wired into chunked_prefill yet")
+    if chunk % WORD:
+        raise ValueError("chunk must be a multiple of 4")
+    bs, n = input_ids.shape
+    if n > cache["key_codes"].shape[-1] * WORD + cache["key_residual"].shape[-2]:
+        raise ValueError("prompt longer than arena + residual window")
+    logits = None
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        nb = -(-s // hist_block)  # history blocks so far (static per chunk)
+        logits, cache = _prefill_one_chunk(
+            params, cfg, input_ids[:, s:e], cache, cents,
+            jnp.asarray(s, jnp.int32), nb=nb, hist_block=hist_block,
+            last_chunk=(e == n),
+        )
+    return logits, cache

@@ -1,0 +1,92 @@
+"""Chunked prefill: bounded-memory long-prompt admission.
+
+Criteria: (a) a single chunk reproduces the flat prefill bit-for-bit;
+(b) the blockwise quantized-history partial matches a dense oracle over
+decoded codes exactly; (c) multi-chunk caches track the exact one-shot
+prefill through decode (quantized-history error is the only divergence)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from million_tpu.models.llama import PRESETS, init_params, prefill, decode_step
+from million_tpu.models.chunked_prefill import chunked_prefill, _history_partial
+from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+from million_tpu.ops.pq_attention_pallas import pack_codes
+from million_tpu.pq.ops import pq_decode
+
+CFG = PRESETS["test-tiny"]
+
+
+@pytest.fixture
+def setup(rng):
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    M = CFG.head_dim // 2
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((CFG.num_layers, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((CFG.num_layers, M, 32, 2)), jnp.float32),
+    }
+    pq_cfg = PQCacheConfig(bs=1, nh_k=CFG.num_kv_heads, d=CFG.head_dim, M=M,
+                           C=32, Lt=8, N_max=128, dtype=jnp.float32)
+    return params, M, cents, pq_cfg
+
+
+def test_single_chunk_matches_flat_prefill(rng, setup):
+    params, M, cents, pq_cfg = setup
+    n = 50
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, n)), jnp.int32)
+    l1, c1 = chunked_prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
+                             cents, chunk=128)
+    lf, cf = prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
+                     cents, mode="pq", last_logit_only=True)
+    np.testing.assert_array_equal(np.asarray(c1["key_codes"]), np.asarray(cf["key_codes"]))
+    np.testing.assert_array_equal(np.asarray(c1["key_residual"]), np.asarray(cf["key_residual"]))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lf[:, -1]), rtol=1e-5, atol=1e-5)
+
+
+def test_history_partial_matches_oracle(rng, setup):
+    params, M, cents, pq_cfg = setup
+    bs, nh_k, d = 1, CFG.num_kv_heads, CFG.head_dim
+    nh, nc, NW = CFG.num_heads, 8, 16
+    kc = rng.integers(0, 32, (bs, nh_k, M, NW * 4)).astype(np.uint8)
+    vc = rng.integers(0, 32, (bs, nh_k, M, NW * 4)).astype(np.uint8)
+    kw, vw = pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc))
+    q = jnp.asarray(rng.standard_normal((bs, nh, nc, d)), jnp.float32)
+    n_prev = 37
+    out, lse = _history_partial(q, kw, vw, cents["key"][0], cents["value"][0],
+                                jnp.asarray(n_prev), 1.0 / d**0.5,
+                                nb=4, hist_block=16)
+    khat = np.asarray(pq_decode(
+        jnp.asarray(np.swapaxes(kc, -1, -2)[:, :, :n_prev]), cents["key"][0], "strided"))
+    vhat = np.asarray(pq_decode(
+        jnp.asarray(np.swapaxes(vc, -1, -2)[:, :, :n_prev]), cents["value"][0], "strided"))
+    G = nh // nh_k
+    khat_e, vhat_e = np.repeat(khat, G, 1), np.repeat(vhat, G, 1)
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q) / d**0.5, khat_e)
+    m = s.max(-1, keepdims=True)
+    p = np.exp(s - m)
+    l = p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p / l, vhat_e)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse), (m + np.log(l))[..., 0], rtol=1e-5, atol=1e-5)
+
+
+def test_multi_chunk_tracks_flat_through_decode(rng, setup):
+    params, M, cents, pq_cfg = setup
+    n = 50
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, n)), jnp.int32)
+    lf, cf = prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
+                     cents, mode="pq", last_logit_only=True)
+    lc, cc = chunked_prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
+                             cents, chunk=16, hist_block=16)
+    assert int(cc["n_codes"][0]) == 48 and int(cc["r"][0]) == 2
+    tok = jnp.asarray([3], jnp.int32)
+    agree = 0
+    for t in range(6):
+        pos = jnp.asarray(n + t, jnp.int32)
+        la, cf = decode_step(params, CFG, tok, pos, cf, cents, mode="pq")
+        lb, cc = decode_step(params, CFG, tok, pos, cc, cents, mode="pq")
+        agree += int(np.argmax(np.asarray(la)[0]) == np.argmax(np.asarray(lb)[0]))
+        tok = jnp.asarray([int(np.argmax(np.asarray(la)[0]))], jnp.int32)
+    assert agree >= 4, f"decode top-1 agreement {agree}/6"
