@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--block", type=int, default=16384)
+    ap.add_argument("--ttft-chunk", type=int, default=0,
+                    help="also measure TTFT via chunked prefill with this "
+                    "chunk size (0 = skip; one-shot prefill at 128K would "
+                    "blow activation memory)")
     args = ap.parse_args()
 
     try:
@@ -111,6 +115,26 @@ def main():
 
     dt = chained_bench(lambda st: step(params, tables, st), make_state, iters=args.iters)
     log(f"TPOT {dt*1e3:.2f} ms at ctx={CTX} bs={bs}")
+
+    ttft = None
+    if args.ttft_chunk:
+        import time
+
+        from million_tpu.models.chunked_prefill import chunked_prefill
+
+        ids = jnp.asarray(
+            np.random.default_rng(1).integers(0, cfg.vocab_size, (bs, CTX - 512)),
+            jnp.int32,
+        )
+        t0 = time.perf_counter()
+        logits, _ = chunked_prefill(
+            params, cfg, ids, init_state(pq_cfg, L), cents,
+            chunk=args.ttft_chunk,
+        )
+        np.asarray(logits[0, :4])  # force through any async tunnel
+        ttft = time.perf_counter() - t0
+        log(f"chunked-prefill TTFT {ttft:.2f} s (chunk={args.ttft_chunk}, "
+            f"includes per-chunk compiles on first run)")
     print(
         json.dumps(
             {
@@ -119,6 +143,7 @@ def main():
                 "value": round(dt * 1e3, 2),
                 "unit": "ms/token",
                 "tokens_per_s": round(bs / dt, 2),
+                **({"ttft_s": round(ttft, 2)} if ttft is not None else {}),
             }
         )
     )

@@ -211,8 +211,14 @@ def chunked_prefill(
     if chunk % WORD:
         raise ValueError("chunk must be a multiple of 4")
     bs, n = input_ids.shape
-    if n > cache["key_codes"].shape[-1] * WORD + cache["key_residual"].shape[-2]:
+    n_max = cache["key_codes"].shape[-1] * WORD
+    if n > n_max + cache["key_residual"].shape[-2]:
         raise ValueError("prompt longer than arena + residual window")
+    hist_block = min(hist_block, n_max)
+    if n_max % hist_block:
+        raise ValueError(
+            f"hist_block {hist_block} must divide the arena N_max {n_max}"
+        )
     logits = None
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
