@@ -45,6 +45,7 @@ def generate(
     seed: int = 0,
     selfcheck_every: int = 0,
     mesh=None,  # jax.sharding.Mesh -> sharded prefill/decode attention
+    prefill_chunk: int = 0,  # >0: admit the prompt in bounded-memory chunks
 ) -> Tuple[GenerationResult, Any]:
     """Prefill + decode loop. Returns (result, final cache state).
 
@@ -88,10 +89,18 @@ def generate(
 
     t0 = time.perf_counter()
     prefill_mode = "dense" if mode == "dense" else "pq"
-    logits, cache = llama.prefill(
-        params, cfg, input_ids, cache, cents, mode=prefill_mode,
-        last_logit_only=True, mesh=mesh,
-    )
+    if prefill_chunk and mode != "dense":
+        from million_tpu.models.chunked_prefill import chunked_prefill
+
+        last_logits, cache = chunked_prefill(
+            params, cfg, input_ids, cache, cents, chunk=prefill_chunk
+        )
+        logits = last_logits[:, None]  # (bs, 1, V) like last_logit_only
+    else:
+        logits, cache = llama.prefill(
+            params, cfg, input_ids, cache, cents, mode=prefill_mode,
+            last_logit_only=True, mesh=mesh,
+        )
     key, sk = jax.random.split(key)
     tok = sample(logits[:, -1], sk, sampling)
     tok.block_until_ready()
