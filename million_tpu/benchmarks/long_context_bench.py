@@ -126,6 +126,13 @@ def main():
             np.random.default_rng(1).integers(0, cfg.vocab_size, (bs, CTX - 512)),
             jnp.int32,
         )
+        # warmup: compile every per-chunk graph on a throwaway cache so the
+        # reported number is prefill compute, not XLA compile time
+        logits, _ = chunked_prefill(
+            params, cfg, ids, init_state(pq_cfg, L), cents,
+            chunk=args.ttft_chunk,
+        )
+        np.asarray(logits[0, :4])
         t0 = time.perf_counter()
         logits, _ = chunked_prefill(
             params, cfg, ids, init_state(pq_cfg, L), cents,
@@ -133,8 +140,7 @@ def main():
         )
         np.asarray(logits[0, :4])  # force through any async tunnel
         ttft = time.perf_counter() - t0
-        log(f"chunked-prefill TTFT {ttft:.2f} s (chunk={args.ttft_chunk}, "
-            f"includes per-chunk compiles on first run)")
+        log(f"chunked-prefill TTFT {ttft:.2f} s (chunk={args.ttft_chunk}, warmed)")
     print(
         json.dumps(
             {

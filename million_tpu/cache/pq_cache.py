@@ -219,3 +219,47 @@ def cache_memory_bytes(cfg: PQCacheConfig, num_layers: int) -> Dict[str, int]:
         "dense_equivalent": dense_bytes,
         "compression": dense_bytes / max(code_bytes + res_bytes, 1),
     }
+
+
+def stacked_prefix_write(
+    cache: PQCacheLayerState,
+    li: jax.Array,  # () int32 — layer index into the stacked (L, ...) cache
+    kc_t: jax.Array,  # (bs, nh_k, M_k, n4) uint8 transposed codes (n4 % 4 == 0)
+    vc_t: jax.Array,
+    k_tail: jax.Array | None,  # (bs, nh_k, tail, d) exact tail or None
+    v_tail: jax.Array | None,
+) -> PQCacheLayerState:
+    """Append one layer's prefill chunk into the STACKED cache: packed codes
+    at word offset n_codes[li]//4, ragged tail into the residual window at
+    r[li], counters advanced. Single source of truth for the write layout —
+    used by llama.prefill and models/chunked_prefill (single-layer analogue:
+    prefill_update above)."""
+    cache = dict(cache)
+    n4 = kc_t.shape[-1]
+    if n4:
+        start_w = cache["n_codes"][li] // WORD
+        cache["key_codes"] = jax.lax.dynamic_update_slice(
+            cache["key_codes"], pack_codes(kc_t)[None], (li, 0, 0, 0, start_w)
+        )
+        cache["value_codes"] = jax.lax.dynamic_update_slice(
+            cache["value_codes"], pack_codes(vc_t)[None], (li, 0, 0, 0, start_w)
+        )
+    if k_tail is not None and k_tail.shape[2]:
+        r0 = cache["r"][li]
+        cache["key_residual"] = jax.lax.dynamic_update_slice(
+            cache["key_residual"],
+            k_tail.astype(cache["key_residual"].dtype)[None],
+            (li, 0, 0, r0, 0),
+        )
+        cache["value_residual"] = jax.lax.dynamic_update_slice(
+            cache["value_residual"],
+            v_tail.astype(cache["value_residual"].dtype)[None],
+            (li, 0, 0, r0, 0),
+        )
+    # counters advance AFTER both writes so the offsets above read the
+    # pre-chunk values
+    if n4:
+        cache["n_codes"] = cache["n_codes"].at[li].add(n4)
+    if k_tail is not None and k_tail.shape[2]:
+        cache["r"] = cache["r"].at[li].add(k_tail.shape[2])
+    return cache

@@ -40,6 +40,7 @@ from million_tpu.models.llama import (
     _qkv,
     _rms_norm,
 )
+from million_tpu.cache.pq_cache import stacked_prefix_write
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes, unpack_codes
 from million_tpu.ops.pq_attention_ref import _gqa_expand, merge_two_partials
 from million_tpu.pq.ops import pq_decode, pq_encode_chunked
@@ -47,23 +48,46 @@ from million_tpu.pq.ops import pq_decode, pq_encode_chunked
 from functools import partial
 
 
-def _causal_partial(q, k, v, scale):
+def _causal_partial(q, k, v, scale, block: int = 1024):
     """Causal SDPA within the chunk, returning (out, lse) for LSE-merging.
+
+    Blockwise over the KEY axis so the score transient is (nc, block), not
+    (nc, nc) — the module exists to bound prefill memory, so the in-chunk
+    partial must not be quadratic in the chunk either.
 
     q (bs, nh, nc, d); k/v (bs, nh_k, nc, d) -> out (bs, nh, nc, d) f32,
     lse (bs, nh, nc) f32.
     """
     bs, nh, nc, d = q.shape
+    block = min(block, nc)
+    if nc % block:
+        block = nc  # odd chunk sizes fall back to one block
     kf = _gqa_expand(k, nh).astype(jnp.float32)
     vf = _gqa_expand(v, nh).astype(jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale, kf)
-    mask = jnp.tril(jnp.ones((nc, nc), bool))
-    s = jnp.where(mask[None, None], s, -1e30)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p / l, vf)
-    return out, (m + jnp.log(l))[..., 0]
+    qf = q.astype(jnp.float32) * scale
+    qpos = jnp.arange(nc)[:, None]
+
+    m0 = jnp.full((bs, nh, nc, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((bs, nh, nc, 1), jnp.float32)
+    acc0 = jnp.zeros((bs, nh, nc, d), jnp.float32)
+
+    def body(carry, bi):
+        m, l, acc = carry
+        kb = jax.lax.dynamic_slice_in_dim(kf, bi * block, block, axis=2)
+        vb = jax.lax.dynamic_slice_in_dim(vf, bi * block, block, axis=2)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", qf, kb)
+        kpos = bi * block + jnp.arange(block)[None, :]
+        sc = jnp.where((qpos >= kpos)[None, None], sc, -1e30)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+        return (m_new, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(nc // block))
+    safe_l = jnp.maximum(l, 1e-30)
+    return acc / safe_l, (m + jnp.log(safe_l))[..., 0]
 
 
 def _history_partial(q, key_codes, value_codes, kcent, vcent, n_prev, scale,
@@ -138,29 +162,14 @@ def _prefill_one_chunk(
         kcent = jax.lax.dynamic_index_in_dim(cents["key"], li, 0, False)
         vcent = jax.lax.dynamic_index_in_dim(cents["value"], li, 0, False)
 
-        cache = dict(cache)
         kc = jnp.swapaxes(pq_encode_chunked(k[:, :, :n4], kcent, SUBSPACE_LAYOUT), -1, -2)
         vc = jnp.swapaxes(pq_encode_chunked(v[:, :, :n4], vcent, SUBSPACE_LAYOUT), -1, -2)
-        if n4:
-            start_w = cache["n_codes"][li] // WORD
-            cache["key_codes"] = jax.lax.dynamic_update_slice(
-                cache["key_codes"], pack_codes(kc)[None], (li, 0, 0, 0, start_w)
-            )
-            cache["value_codes"] = jax.lax.dynamic_update_slice(
-                cache["value_codes"], pack_codes(vc)[None], (li, 0, 0, 0, start_w)
-            )
-        if tail:
-            r0 = cache["r"][li]
-            cache["key_residual"] = jax.lax.dynamic_update_slice(
-                cache["key_residual"],
-                k[:, :, n4:].astype(cache["key_residual"].dtype)[None],
-                (li, 0, 0, r0, 0),
-            )
-            cache["value_residual"] = jax.lax.dynamic_update_slice(
-                cache["value_residual"],
-                v[:, :, n4:].astype(cache["value_residual"].dtype)[None],
-                (li, 0, 0, r0, 0),
-            )
+        n_prev = cache["n_codes"][li]  # history BEFORE this chunk's write
+        cache = stacked_prefix_write(
+            cache, li, kc, vc,
+            k[:, :, n4:] if tail else None,
+            v[:, :, n4:] if tail else None,
+        )
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
         if nb:
@@ -168,15 +177,11 @@ def _prefill_one_chunk(
                 q,
                 jax.lax.dynamic_index_in_dim(cache["key_codes"], li, 0, False),
                 jax.lax.dynamic_index_in_dim(cache["value_codes"], li, 0, False),
-                kcent, vcent, cache["n_codes"][li], scale, nb, hist_block,
+                kcent, vcent, n_prev, scale, nb, hist_block,
             )
             attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
         else:
             attn = out_c
-        if n4:
-            cache["n_codes"] = cache["n_codes"].at[li].add(n4)
-        if tail:
-            cache["r"] = cache["r"].at[li].add(tail)
 
         attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(bs, nc, -1)
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
@@ -187,6 +192,9 @@ def _prefill_one_chunk(
     (x, cache, _), _ = jax.lax.scan(
         layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
     )
+    if not last_chunk:
+        # only the final chunk's logits are consumed; skip the lm head
+        return jnp.zeros((bs, cfg.vocab_size), jnp.float32), cache
     return _logits(params, cfg, x[:, -1:])[:, 0], cache
 
 
@@ -206,23 +214,51 @@ def chunked_prefill(
     chunk must start on a fresh cache; chunks except the last are
     word-aligned by construction (chunk % 4 == 0).
     """
+    import numpy as np
+
     if "Rk" in cents:
         raise NotImplementedError("OPQ not wired into chunked_prefill yet")
     if chunk % WORD:
         raise ValueError("chunk must be a multiple of 4")
     bs, n = input_ids.shape
     n_max = cache["key_codes"].shape[-1] * WORD
-    if n > n_max + cache["key_residual"].shape[-2]:
-        raise ValueError("prompt longer than arena + residual window")
-    hist_block = min(hist_block, n_max)
-    if n_max % hist_block:
+    # the ENCODED prefix must fit the arena: inside jit an out-of-range
+    # dynamic_update_slice CLAMPS and silently overwrites the newest codes
+    # (the generate.py capacity-guard hazard)
+    if n - n % WORD > n_max:
         raise ValueError(
-            f"hist_block {hist_block} must divide the arena N_max {n_max}"
+            f"aligned prompt prefix {n - n % WORD} exceeds arena N_max {n_max}"
         )
+    try:  # fresh-cache contract (checkable only with a concrete cache)
+        if int(np.asarray(cache["n_codes"][0])) != 0:
+            raise ValueError(
+                "chunked_prefill requires a FRESH cache (n_codes == 0): "
+                "positions and history bookkeeping start at 0"
+            )
+    except jax.errors.TracerArrayConversionError:
+        pass
+    # largest WORD-multiple divisor of N_max not exceeding the request, so
+    # any arena size works without caller tuning
+    hb = min(hist_block, n_max)
+    hb -= hb % WORD
+    while hb > WORD and n_max % hb:
+        hb -= WORD
+    hist_block = max(hb, WORD)
+
+    def bucket_pow2(k: int) -> int:
+        b = 1
+        while b < k:
+            b *= 2
+        return b
+
     logits = None
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
-        nb = -(-s // hist_block)  # history blocks so far (static per chunk)
+        # static nb re-specializes the graph; bucket to powers of two so a
+        # 128K prompt costs ~6 compiles instead of 32 (masked blocks past
+        # n_prev contribute nothing)
+        nb_exact = -(-s // hist_block)
+        nb = min(bucket_pow2(nb_exact), n_max // hist_block) if nb_exact else 0
         logits, cache = _prefill_one_chunk(
             params, cfg, input_ids[:, s:e], cache, cents,
             jnp.asarray(s, jnp.int32), nb=nb, hist_block=hist_block,

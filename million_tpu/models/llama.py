@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from million_tpu.cache.pq_cache import PQCacheLayerState
+from million_tpu.cache.pq_cache import PQCacheLayerState, stacked_prefix_write
 from million_tpu.cache.dense_cache import dense_prefill_update
 from million_tpu.ops.pq_attention_ref import (
     causal_attention,
@@ -371,28 +371,11 @@ def prefill(
             tail = n - n4
             kc = jnp.swapaxes(pq_encode_chunked(k_st, kcent, SUBSPACE_LAYOUT), -1, -2)
             vc = jnp.swapaxes(pq_encode_chunked(v_st, vcent, SUBSPACE_LAYOUT), -1, -2)
-            if n4:
-                start_w = cache["n_codes"][i] // WORD
-                cache["key_codes"] = jax.lax.dynamic_update_slice(
-                    cache["key_codes"], pack_codes(kc[..., :n4])[None],
-                    (i, 0, 0, 0, start_w),
-                )
-                cache["value_codes"] = jax.lax.dynamic_update_slice(
-                    cache["value_codes"], pack_codes(vc[..., :n4])[None],
-                    (i, 0, 0, 0, start_w),
-                )
-                cache["n_codes"] = cache["n_codes"].at[i].add(n4)
-            if tail:
-                r0 = cache["r"][i]
-                kt = k_st[:, :, n4:].astype(cache["key_residual"].dtype)
-                vt = v_st[:, :, n4:].astype(cache["value_residual"].dtype)
-                cache["key_residual"] = jax.lax.dynamic_update_slice(
-                    cache["key_residual"], kt[None], (i, 0, 0, r0, 0)
-                )
-                cache["value_residual"] = jax.lax.dynamic_update_slice(
-                    cache["value_residual"], vt[None], (i, 0, 0, r0, 0)
-                )
-                cache["r"] = cache["r"].at[i].add(tail)
+            cache = stacked_prefix_write(
+                cache, i, kc[..., :n4], vc[..., :n4],
+                k_st[:, :, n4:] if tail else None,
+                v_st[:, :, n4:] if tail else None,
+            )
             if distort_recent:
                 k = pq_decode(
                     jnp.swapaxes(kc, -1, -2), kcent, SUBSPACE_LAYOUT

@@ -46,6 +46,7 @@ def generate(
     selfcheck_every: int = 0,
     mesh=None,  # jax.sharding.Mesh -> sharded prefill/decode attention
     prefill_chunk: int = 0,  # >0: admit the prompt in bounded-memory chunks
+    prefill_hist_block: int = 4096,  # history block for chunked admission
 ) -> Tuple[GenerationResult, Any]:
     """Prefill + decode loop. Returns (result, final cache state).
 
@@ -89,11 +90,19 @@ def generate(
 
     t0 = time.perf_counter()
     prefill_mode = "dense" if mode == "dense" else "pq"
-    if prefill_chunk and mode != "dense":
+    if prefill_chunk and mode == "dense":
+        raise ValueError("prefill_chunk requires a PQ mode (quantized history)")
+    if prefill_chunk:
+        if mesh is not None:
+            raise NotImplementedError(
+                "chunked prefill has no sharded path yet; drop prefill_chunk "
+                "or use the flat prefill / parallel.sp_prefill on a mesh"
+            )
         from million_tpu.models.chunked_prefill import chunked_prefill
 
         last_logits, cache = chunked_prefill(
-            params, cfg, input_ids, cache, cents, chunk=prefill_chunk
+            params, cfg, input_ids, cache, cents, chunk=prefill_chunk,
+            hist_block=prefill_hist_block,
         )
         logits = last_logits[:, None]  # (bs, 1, V) like last_logit_only
     else:

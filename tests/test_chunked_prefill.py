@@ -41,8 +41,13 @@ def test_single_chunk_matches_flat_prefill(rng, setup):
     lf, cf = prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
                      cents, mode="pq", last_logit_only=True)
     np.testing.assert_array_equal(np.asarray(c1["key_codes"]), np.asarray(cf["key_codes"]))
-    np.testing.assert_array_equal(np.asarray(c1["key_residual"]), np.asarray(cf["key_residual"]))
-    np.testing.assert_allclose(np.asarray(l1), np.asarray(lf[:, -1]), rtol=1e-5, atol=1e-5)
+    # residuals are exact activations; the blockwise in-chunk partial
+    # accumulates in a different order than the flat softmax -> float noise
+    np.testing.assert_allclose(
+        np.asarray(c1["key_residual"]), np.asarray(cf["key_residual"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lf[:, -1]), rtol=1e-4, atol=1e-4)
 
 
 def test_history_partial_matches_oracle(rng, setup):
