@@ -43,18 +43,19 @@ def ring_causal_local(
     q: jax.Array,  # (bs, nh, n_loc, d) — THIS shard's query block
     k: jax.Array,  # (bs, nh_k, n_loc, d)
     v: jax.Array,
-    axis: str,  # mesh axis name the ring runs over (single axis)
+    axis,  # mesh axis name or tuple (e.g. ("dcn", "sp")) the ring runs over
     n_shards: int,
     scale: float,
 ) -> jax.Array:
     """The per-shard ring body, for callers ALREADY inside a shard_map
     (e.g. the sequence-parallel prefill): fold the local K/V block, then
-    rotate blocks around `axis` n_shards-1 times with ppermute."""
-    if not isinstance(axis, str):
-        raise NotImplementedError("ring runs over ONE mesh axis; got a tuple")
+    rotate blocks around `axis` n_shards-1 times with ppermute. A tuple
+    axis linearizes (axis-major): jax collectives accept multi-axis names,
+    so a ("dcn", "sp") ring hops DCN only at slice boundaries — 1 of every
+    sp steps — while the rest ride ICI."""
     bs, nh, n_loc, d = q.shape
     Pn = n_shards
-    i = jax.lax.axis_index(axis)
+    i = jax.lax.axis_index(axis)  # linearized over tuple axes
 
     kf = _gqa_expand(k, nh).astype(jnp.float32)
     vf = _gqa_expand(v, nh).astype(jnp.float32)

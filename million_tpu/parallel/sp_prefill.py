@@ -13,8 +13,9 @@ prompt exactly fills the arena).
 Scope (explicit, enforced): mode "pq", FRESH cache (n_codes == 0 — this is
 the admission prefill, not a chunked continuation), weights REPLICATED
 (sequence memory, not weight memory, is the long-context constraint this
-solves), single-slice mesh (the ring runs over one axis; a multi-slice
-linearized ring is future work), prompt length divisible by 4 * sp.
+solves), prompt length divisible by 4 * (total sequence shards). On a
+multi-slice mesh the ring linearizes over ("dcn", "sp") slice-major, so
+only 1 in every sp hops crosses the data-center network.
 
 Returns last-token logits (the generation entry; teacher-forced ppl keeps
 using the flat prefill) and the updated cache, decode-ready: n_codes = n,
@@ -57,13 +58,14 @@ def prefill_sp(
     decode-ready cache)."""
     if "Rk" in cents:
         raise NotImplementedError("OPQ not wired into prefill_sp yet")
-    if mesh.shape.get("dcn", 1) > 1:
-        raise NotImplementedError(
-            "prefill_sp rings over one mesh axis; run it per-slice "
-            "(multi-slice linearized ring is future work)"
-        )
     bs, n = input_ids.shape
-    Pn = mesh.shape[axis]
+    # multi-slice meshes ring over the linearized ("dcn", axis) order:
+    # slice-major blocks, so only 1 in every `sp` ring hops crosses DCN
+    if mesh.shape.get("dcn", 1) > 1:
+        axis = ("dcn", axis)
+        Pn = mesh.shape["dcn"] * mesh.shape[axis[1]]
+    else:
+        Pn = mesh.shape[axis]
     if n % (WORD * Pn):
         raise ValueError(f"prompt length {n} must divide 4*{axis}={WORD * Pn}")
     if n > cache["key_codes"].shape[-1] * WORD:
@@ -82,7 +84,7 @@ def prefill_sp(
     scale = 1.0 / (cfg.head_dim**0.5)
 
     def local_fn(ids, params, cents):
-        i = jax.lax.axis_index(axis)
+        i = jax.lax.axis_index(axis)  # linearized over tuple axes
         pos = i * n_loc + jnp.arange(n_loc)
         x = params["embed"][ids]  # (bs, n_loc, D)
 
@@ -108,7 +110,7 @@ def prefill_sp(
         )
         # only the LAST shard owns the final token; psum-select its hidden
         i_last = jnp.where(i == Pn - 1, 1.0, 0.0)
-        last_h = jax.lax.psum(x[:, -1] * i_last, axis)  # (bs, D), replicated
+        last_h = jax.lax.psum(x[:, -1] * i_last, axis)  # (bs, D), replicated over axis
         return _logits(params, cfg, last_h[:, None])[:, 0], kc_all, vc_all
 
     shmap = jax.shard_map(

@@ -277,3 +277,35 @@ def test_sp_prefill_matches_flat_prefill(rng):
     import pytest
     with pytest.raises(ValueError, match="FRESH"):
         prefill_sp(params, cfg, ids, cs, cents, mesh)
+
+
+def test_sp_prefill_multislice(rng):
+    """Sequence-parallel prefill over a 2-slice mesh: the ring linearizes
+    over ("dcn", "sp"); cache and logits must match the flat prefill."""
+    import dataclasses
+
+    from million_tpu.models.llama import PRESETS, init_params, prefill
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+    from million_tpu.parallel.mesh import pq_cache_shardings, shard_pytree
+    from million_tpu.parallel.sp_prefill import prefill_sp
+
+    mesh = make_mesh(dp=1, tp=1, sp=4, dcn=2)
+    cfg = dataclasses.replace(PRESETS["test-tiny"], dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M = cfg.head_dim // 2
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+    }
+    n = 64  # divisible by 4 * 8 shards
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, n)), jnp.int32)
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=32, Lt=8,
+        N_max=2 * n, dtype=jnp.float32,
+    )
+    lf, cf = prefill(params, cfg, ids, init_state(pq_cfg, cfg.num_layers),
+                     cents, mode="pq", last_logit_only=True)
+    cache = shard_pytree(init_state(pq_cfg, cfg.num_layers), pq_cache_shardings(mesh))
+    ls, cs = prefill_sp(params, cfg, ids, cache, cents, mesh)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lf[:, -1]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cs["key_codes"]), np.asarray(cf["key_codes"]))
