@@ -270,3 +270,43 @@ def test_opq_rotated_cache_matches_unrotated_exactly_in_residual(rng):
         lc, cc = decode_step(params, CFG, tok, pos, cc, tables_rot, mode="pq_pallas", flush=flush)
         np.testing.assert_allclose(np.asarray(lb), np.asarray(lc), rtol=5e-2, atol=5e-2)
     assert np.isfinite(np.asarray(lc)).all()
+
+
+def test_generate_edge_probes(rng):
+    """Edge probes from the verification recipe: max_new_tokens=1,
+    generation across the Lt flush boundary, temperature+top_k sampling,
+    and the load-bearing cache-overflow guard (inside jit the write would
+    CLAMP and silently corrupt the newest codes)."""
+    import pytest
+
+    from million_tpu.models.llama import build_tables
+    from million_tpu.runtime.generate import generate
+    from million_tpu.runtime.sampling import SamplingConfig
+
+    params, cents, pq_cfg, _ = make_model(rng)
+    tables = build_tables(cents)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 12)), jnp.int32)
+
+    # max_new_tokens=1: prefill-only sampling
+    res, _ = generate(
+        params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
+        mode="pq_pallas", max_new_tokens=1,
+    )
+    assert res.tokens.shape == (1, 1)
+
+    # crosses the Lt=8 residual flush with temperature+top_k sampling
+    res, _ = generate(
+        params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
+        mode="pq_pallas", max_new_tokens=20,
+        sampling=SamplingConfig(temperature=0.8, top_k=5),
+    )
+    assert res.tokens.shape == (1, 20)
+    assert np.isfinite(res.tokens).all()
+
+    # overflow guard: prompt + flushed windows exceeding N_max must raise
+    # BEFORE any device work
+    with pytest.raises(ValueError, match="N_max"):
+        generate(
+            params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
+            mode="pq_pallas", max_new_tokens=4 * pq_cfg.N_max,
+        )
