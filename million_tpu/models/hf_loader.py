@@ -73,6 +73,14 @@ def load_hf_weights(model_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> Par
             "w_down": stack("model.layers.{i}.mlp.down_proj.weight"),
         },
     }
+    if cfg.attn_bias:
+        for ours, theirs in (("bq", "q_proj"), ("bk", "k_proj"), ("bv", "v_proj")):
+            params["layers"][ours] = jnp.asarray(
+                np.stack(
+                    [get(f"model.layers.{i}.self_attn.{theirs}.bias") for i in range(L)]
+                ),
+                dtype,
+            )
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     return params
@@ -84,6 +92,9 @@ def config_from_hf(model_dir: str) -> ModelConfig:
         c = json.load(f)
     rs = c.get("rope_scaling") or {}
     rope_type = rs.get("rope_type") or rs.get("type")
+    # qwen2 always carries q/k/v biases; llama-family configs may set
+    # attention_bias explicitly
+    attn_bias = c.get("model_type") == "qwen2" or bool(c.get("attention_bias"))
     return ModelConfig(
         vocab_size=c["vocab_size"],
         hidden_size=c["hidden_size"],
@@ -106,4 +117,5 @@ def config_from_hf(model_dir: str) -> ModelConfig:
         rope_beta_fast=rs.get("beta_fast") or 32.0,
         rope_beta_slow=rs.get("beta_slow") or 1.0,
         rope_attention_factor=rs.get("attention_factor"),
+        attn_bias=attn_bias,
     )

@@ -98,6 +98,7 @@ class ModelConfig:
     rope_beta_fast: float = 32.0  # yarn scaling (paper defaults)
     rope_beta_slow: float = 1.0
     rope_attention_factor: Optional[float] = None  # yarn; None -> mscale(factor)
+    attn_bias: bool = False  # q/k/v projection biases (qwen2 family)
     dtype: Any = jnp.bfloat16
 
 
@@ -127,6 +128,19 @@ PRESETS: Dict[str, ModelConfig] = {
         rope_scaling="llama3",
         rope_scaling_factor=32.0,
         tie_word_embeddings=True,
+    ),
+    # qwen2 family: llama architecture + q/k/v biases (beyond the
+    # reference's llama-only ModelContext registry)
+    "qwen2-7b": ModelConfig(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1000000.0,
+        attn_bias=True,
     ),
     # the reference's 128K long-context model (configs/yarn-llama-2-7b.json:
     # NousResearch Yarn-Llama-2-7b-128k — llama-2-7b with YaRN x32)
@@ -188,6 +202,10 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
             "w_down": w(ks[7], L, I, D),
         },
     }
+    if cfg.attn_bias:
+        params["layers"]["bq"] = w(ks[9], L, nh * dh)
+        params["layers"]["bk"] = w(ks[9], L, nk * dh)
+        params["layers"]["bv"] = w(ks[9], L, nk * dh)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(ks[8], D, cfg.vocab_size)
     return params
@@ -274,9 +292,16 @@ def _qkv(x: jax.Array, lp: Params, cfg: ModelConfig, pos: jax.Array):
     """Project + reshape + RoPE. x (bs, n, D) -> q (bs,nh,n,dh), k/v (bs,nk,n,dh)."""
     bs, n, _ = x.shape
     nh, nk, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = jnp.einsum("bnd,fd->bnf", x, lp["wq"]).reshape(bs, n, nh, dh).transpose(0, 2, 1, 3)
-    k = jnp.einsum("bnd,fd->bnf", x, lp["wk"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
-    v = jnp.einsum("bnd,fd->bnf", x, lp["wv"]).reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
+    qf = jnp.einsum("bnd,fd->bnf", x, lp["wq"])
+    kf = jnp.einsum("bnd,fd->bnf", x, lp["wk"])
+    vf = jnp.einsum("bnd,fd->bnf", x, lp["wv"])
+    if "bq" in lp:  # qwen2-family q/k/v biases
+        qf = qf + lp["bq"]
+        kf = kf + lp["bk"]
+        vf = vf + lp["bv"]
+    q = qf.reshape(bs, n, nh, dh).transpose(0, 2, 1, 3)
+    k = kf.reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
+    v = vf.reshape(bs, n, nk, dh).transpose(0, 2, 1, 3)
     inv_freq = _rope_freqs(cfg)
     ms = _rope_mscale(cfg)
     q = _apply_rope(q, pos, inv_freq, ms)

@@ -106,9 +106,16 @@ def paged_decode_step(
         vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
 
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        q = jnp.einsum("bnd,fd->bnf", h, lp["wq"]).reshape(S, 1, nh, dh).transpose(0, 2, 1, 3)
-        k = jnp.einsum("bnd,fd->bnf", h, lp["wk"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
-        v = jnp.einsum("bnd,fd->bnf", h, lp["wv"]).reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
+        qf = jnp.einsum("bnd,fd->bnf", h, lp["wq"])
+        kf = jnp.einsum("bnd,fd->bnf", h, lp["wk"])
+        vf = jnp.einsum("bnd,fd->bnf", h, lp["wv"])
+        if "bq" in lp:  # qwen2-family q/k/v biases
+            qf = qf + lp["bq"]
+            kf = kf + lp["bk"]
+            vf = vf + lp["bv"]
+        q = qf.reshape(S, 1, nh, dh).transpose(0, 2, 1, 3)
+        k = kf.reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
+        v = vf.reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
         q = _rope_per_seq(q, positions, inv_freq, rope_ms)
         k = _rope_per_seq(k, positions, inv_freq, rope_ms)
 

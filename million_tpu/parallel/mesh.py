@@ -43,14 +43,21 @@ def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, dcn: int = 1, devices=None)
     return Mesh(arr, ("dcn", "dp", "tp", "sp"))
 
 
-def param_shardings(mesh: Mesh) -> Dict[str, Any]:
-    """NamedShardings for the stacked-layer Llama params (Megatron TP).
+def param_shardings(mesh: Mesh, attn_bias: bool = False) -> Dict[str, Any]:
+    """NamedShardings for the stacked-layer Llama-family params (Megatron
+    TP).
 
     wq/wk/wv column-parallel (heads split over tp), wo row-parallel;
     w_gate/w_up column-parallel, w_down row-parallel; embeddings and norms
-    replicated (vocab-parallel embedding is a later refinement).
+    replicated (vocab-parallel embedding is a later refinement). attn_bias
+    adds the qwen2-family q/k/v bias rows, sharded with their columns.
     """
     s = lambda *spec: NamedSharding(mesh, P(*spec))
+    extra = (
+        {"bq": s(None, "tp"), "bk": s(None, "tp"), "bv": s(None, "tp")}
+        if attn_bias
+        else {}
+    )
     return {
         "embed": s(None, None),
         "final_norm": s(None),
@@ -65,6 +72,7 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
             "w_gate": s(None, None, "tp"),
             "w_up": s(None, None, "tp"),
             "w_down": s(None, "tp", None),
+            **extra,
         },
     }
 

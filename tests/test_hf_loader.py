@@ -120,3 +120,43 @@ def test_yarn_rope_matches_transformers(tmp_path):
         params, cfg, jnp.asarray(ids.astype(np.int32)), cache, None, mode="dense"
     )
     np.testing.assert_allclose(np.asarray(logits), want, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen2_logits_match_transformers(tmp_path):
+    """Qwen2 family (q/k/v biases): loader + functional model reproduce
+    transformers' logits — the second model family beyond llama."""
+    import dataclasses
+
+    d = tmp_path / "hf_qwen2"
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=96,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(2)
+    model = transformers.Qwen2ForCausalLM(hf_cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    ids = np.array([[8, 21, 90, 4, 33, 57, 2, 75]], np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()
+
+    cfg = config_from_hf(str(d))
+    assert cfg.attn_bias
+    cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+    params = load_hf_weights(str(d), cfg, dtype=jnp.float32)
+    assert "bq" in params["layers"]
+    dc = DenseCacheConfig(bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=32,
+                          dtype=jnp.float32)
+    cache = init_dense_state(dc, cfg.num_layers)
+    logits, _ = llama.prefill(
+        params, cfg, jnp.asarray(ids.astype(np.int32)), cache, None, mode="dense"
+    )
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=3e-4, atol=3e-4)

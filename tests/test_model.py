@@ -310,3 +310,31 @@ def test_generate_edge_probes(rng):
             params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
             mode="pq_pallas", max_new_tokens=4 * pq_cfg.N_max,
         )
+
+
+def test_qwen2_style_bias_generation(rng):
+    """attn_bias models generate through the full PQ stack (flat decode)."""
+    import dataclasses
+
+    from million_tpu.models.llama import build_tables
+    from million_tpu.runtime.generate import generate
+    from million_tpu.runtime.sampling import SamplingConfig
+
+    cfg = dataclasses.replace(CFG, attn_bias=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    assert "bq" in params["layers"]
+    M = cfg.head_dim // 2
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+    }
+    pq_cfg = PQCacheConfig(bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M,
+                           C=32, Lt=8, N_max=128, dtype=jnp.float32)
+    tables = build_tables(cents)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)), jnp.int32)
+    res, _ = generate(
+        params, cfg, ids, init_state(pq_cfg, cfg.num_layers), tables,
+        mode="pq_pallas", max_new_tokens=10,
+        sampling=SamplingConfig(temperature=0.0),
+    )
+    assert np.isfinite(res.tokens).all()
