@@ -39,6 +39,7 @@ from million_tpu.models.llama import (
     _mlp,
     _qkv,
     _rms_norm,
+    _rotate,
 )
 from million_tpu.cache.pq_cache import stacked_prefix_write
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes, unpack_codes
@@ -161,24 +162,40 @@ def _prefill_one_chunk(
         q, k, v = _qkv(h, lp, cfg, pos)
         kcent = jax.lax.dynamic_index_in_dim(cents["key"], li, 0, False)
         vcent = jax.lax.dynamic_index_in_dim(cents["value"], li, 0, False)
+        # OPQ: the stored cache lives in rotated space. In-chunk attention
+        # is exact in the original space; the HISTORY partial runs entirely
+        # in rotated space (q rotates by Rk — orthogonal invariance keeps
+        # the scores identical) and its output, which is in rotated-V
+        # space, unrotates once per layer — O(nc*d^2), independent of
+        # history length (unrotating each decoded history block would
+        # scale with n_prev).
+        if "Rk" in cents:
+            Rk_i = jax.lax.dynamic_index_in_dim(cents["Rk"], li, 0, False)
+            Rv_i = jax.lax.dynamic_index_in_dim(cents["Rv"], li, 0, False)
+            k_st, v_st, q_h = _rotate(k, Rk_i), _rotate(v, Rv_i), _rotate(q, Rk_i)
+        else:
+            Rv_i = None
+            k_st, v_st, q_h = k, v, q
 
-        kc = jnp.swapaxes(pq_encode_chunked(k[:, :, :n4], kcent, SUBSPACE_LAYOUT), -1, -2)
-        vc = jnp.swapaxes(pq_encode_chunked(v[:, :, :n4], vcent, SUBSPACE_LAYOUT), -1, -2)
+        kc = jnp.swapaxes(pq_encode_chunked(k_st[:, :, :n4], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(pq_encode_chunked(v_st[:, :, :n4], vcent, SUBSPACE_LAYOUT), -1, -2)
         n_prev = cache["n_codes"][li]  # history BEFORE this chunk's write
         cache = stacked_prefix_write(
             cache, li, kc, vc,
-            k[:, :, n4:] if tail else None,
-            v[:, :, n4:] if tail else None,
+            k_st[:, :, n4:] if tail else None,
+            v_st[:, :, n4:] if tail else None,
         )
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
         if nb:
             out_h, lse_h = _history_partial(
-                q,
+                q_h,
                 jax.lax.dynamic_index_in_dim(cache["key_codes"], li, 0, False),
                 jax.lax.dynamic_index_in_dim(cache["value_codes"], li, 0, False),
                 kcent, vcent, n_prev, scale, nb, hist_block,
             )
+            if Rv_i is not None:
+                out_h = _rotate(out_h, Rv_i.T)
             attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
         else:
             attn = out_c
@@ -216,8 +233,6 @@ def chunked_prefill(
     """
     import numpy as np
 
-    if "Rk" in cents:
-        raise NotImplementedError("OPQ not wired into chunked_prefill yet")
     if chunk % WORD:
         raise ValueError("chunk must be a multiple of 4")
     bs, n = input_ids.shape

@@ -28,6 +28,7 @@ from million_tpu.models.llama import (
     _rms_norm,
     _rope_freqs,
     _rope_mscale,
+    _rotate,
 )
 from million_tpu.models.llama import direct_flags
 from million_tpu.ops.pq_attention_ref import causal_attention
@@ -52,14 +53,17 @@ def _rope_per_seq(
     return out.astype(x.dtype)
 
 
-def _reject_opq(tables):
-    if "Rk" in tables:
-        raise NotImplementedError(
-            "OPQ rotations are not wired into the paged serving path yet — "
-            "the pools would hold unrotated codes against rotated-space "
-            "codebooks (silent quality collapse). Use the flat pipeline "
-            "(runtime.generate) for OPQ, or train without pq.opq."
-        )
+def _layer_rots(tables, li):
+    """Per-layer OPQ rotations (or None, None): codebooks trained with
+    pq.opq=true live in rotated space, so the pools/residuals store rotated
+    k/v, q rotates by Rk for attention, and the attention output (which is
+    in rotated-V space) unrotates by Rv^T — same contract as the flat decode
+    path (models/llama.py decode_step)."""
+    if "Rk" not in tables:
+        return None, None
+    Rk_i = jax.lax.dynamic_index_in_dim(tables["Rk"], li, 0, False)
+    Rv_i = jax.lax.dynamic_index_in_dim(tables["Rv"], li, 0, False)
+    return Rk_i, Rv_i
 
 
 @partial(jax.jit, static_argnames=("cfg", "pcfg"))
@@ -77,7 +81,6 @@ def paged_decode_step(
     Inactive slots (seq_active == 0) still compute (lockstep batch) but
     their cache writes are masked out.
     """
-    _reject_opq(tables)
     S = tokens.shape[0]
     nh, nh_k, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     G = nh // nh_k
@@ -118,6 +121,13 @@ def paged_decode_step(
         v = vf.reshape(S, 1, nh_k, dh).transpose(0, 2, 1, 3)
         q = _rope_per_seq(q, positions, inv_freq, rope_ms)
         k = _rope_per_seq(k, positions, inv_freq, rope_ms)
+        Rk_i, Rv_i = _layer_rots(tables, li)
+        if Rk_i is not None:
+            k = _rotate(k, Rk_i)
+            v = _rotate(v, Rv_i)
+            q_att = _rotate(q, Rk_i)
+        else:
+            q_att = q
 
         # append the new token to the residual window at r_eff (per slot),
         # and encode just this one token into the window-code buffers
@@ -192,7 +202,7 @@ def paged_decode_step(
 
         # --- attention: paged codes partial + residual partial, LSE merge
         d_k, d_v = direct_flags(tables)
-        qg = (q[:, :, 0].astype(jnp.float32) * scale).reshape(S, nh_k, G, dh)
+        qg = (q_att[:, :, 0].astype(jnp.float32) * scale).reshape(S, nh_k, G, dh)
         q_pad = jnp.zeros((S, nh_k, GROUP_PAD, dh), jnp.bfloat16)
         q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
         out_c, lse_c = pq_paged_attention_stacked(
@@ -211,6 +221,8 @@ def paged_decode_step(
             scale=1.0,
         )
         merged, _ = merge_two_partials(out_c, lse_c, out_r, lse_r)
+        if Rv_i is not None:
+            merged = _rotate(merged, Rv_i.T)
         attn = merged[:, :, :G].reshape(S, 1, nh * dh)
 
         x_out = x + jnp.einsum("bnf,df->bnd", attn.astype(x.dtype), lp["wo"]).astype(x.dtype)
@@ -246,7 +258,6 @@ def paged_prefill_seq(
     and leaves the residual empty (pq_utils.py:222-247); same here."""
     from million_tpu.ops.pq_attention_pallas import pack_codes
 
-    _reject_opq(tables)
     n = input_ids.shape[1]
     n4 = (n // 4) * 4
     tail = n - n4
@@ -265,8 +276,16 @@ def paged_prefill_seq(
         vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg, pos)
-        kc = jnp.swapaxes(pq_encode_chunked(k[0], kcent, SUBSPACE_LAYOUT), -1, -2)
-        vc = jnp.swapaxes(pq_encode_chunked(v[0], vcent, SUBSPACE_LAYOUT), -1, -2)
+        # OPQ: the stored cache (pages + residual) lives in rotated space;
+        # the exact prefill attention below stays in the original space.
+        Rk_i, Rv_i = _layer_rots(tables, li)
+        if Rk_i is not None:
+            k_st = _rotate(k, Rk_i)
+            v_st = _rotate(v, Rv_i)
+        else:
+            k_st, v_st = k, v
+        kc = jnp.swapaxes(pq_encode_chunked(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(pq_encode_chunked(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
         st = dict(st)
         if n4:
             st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(
@@ -277,8 +296,9 @@ def paged_prefill_seq(
             )
         if tail:
             # ragged tail -> exact residual window + its word-packed codes
-            kt = k[0, :, n4:].astype(st["key_residual"].dtype)  # (nh_k, tail, d)
-            vt = v[0, :, n4:].astype(st["value_residual"].dtype)
+            # (rotated space, matching the pools)
+            kt = k_st[0, :, n4:].astype(st["key_residual"].dtype)  # (nh_k, tail, d)
+            vt = v_st[0, :, n4:].astype(st["value_residual"].dtype)
             st["key_residual"] = st["key_residual"].at[li, seq_id, :, :tail].set(kt)
             st["value_residual"] = st["value_residual"].at[li, seq_id, :, :tail].set(vt)
             pad = jnp.zeros(kc.shape[:-1] + (4 - tail,), kc.dtype)

@@ -13,9 +13,16 @@ prompt exactly fills the arena).
 Scope (explicit, enforced): mode "pq", FRESH cache (n_codes == 0 — this is
 the admission prefill, not a chunked continuation), weights REPLICATED
 (sequence memory, not weight memory, is the long-context constraint this
-solves), prompt length divisible by 4 * (total sequence shards). On a
-multi-slice mesh the ring linearizes over ("dcn", "sp") slice-major, so
-only 1 in every sp hops crosses the data-center network.
+solves), prompt length divisible by 4 (one packed code word; ragged tails
+go through the flat prefill or per-token decode steps). Prompts not
+divisible by 4 * (total sequence shards) are padded internally — pad codes
+land beyond n_codes in the arena and are masked by every consumer, and the
+last-token logit selection targets the last REAL token's (shard, offset).
+On a multi-slice mesh the ring linearizes over ("dcn", "sp") slice-major,
+so only 1 in every sp hops crosses the data-center network. OPQ rotations
+(cents["Rk"]/["Rv"]) are applied per shard: stored codes live in rotated
+space while the ring attention stays in the original space — same contract
+as the flat prefill (models/llama.py).
 
 Returns last-token logits (the generation entry; teacher-forced ppl keeps
 using the flat prefill) and the updated cache, decode-ready: n_codes = n,
@@ -39,6 +46,7 @@ from million_tpu.models.llama import (
     _mlp,
     _qkv,
     _rms_norm,
+    _rotate,
 )
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 from million_tpu.parallel.ring_attention import ring_causal_local
@@ -56,8 +64,6 @@ def prefill_sp(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Sequence-parallel prefill. Returns (last-token logits (bs, V) f32,
     decode-ready cache)."""
-    if "Rk" in cents:
-        raise NotImplementedError("OPQ not wired into prefill_sp yet")
     bs, n = input_ids.shape
     # multi-slice meshes ring over the linearized ("dcn", axis) order:
     # slice-major blocks, so only 1 in every `sp` ring hops crosses DCN
@@ -66,10 +72,27 @@ def prefill_sp(
         Pn = mesh.shape["dcn"] * mesh.shape[axis[1]]
     else:
         Pn = mesh.shape[axis]
-    if n % (WORD * Pn):
-        raise ValueError(f"prompt length {n} must divide 4*{axis}={WORD * Pn}")
+    if n % WORD:
+        raise ValueError(
+            f"prompt length {n} must divide {WORD} (one packed code word); "
+            "ragged tails go through the flat prefill or decode steps"
+        )
     if n > cache["key_codes"].shape[-1] * WORD:
         raise ValueError("prompt longer than the code arena")
+    # pad to a multiple of 4*Pn: pad codes land beyond n_codes (masked by
+    # every consumer) and pad tokens are causally after every real token,
+    # so they influence nothing.
+    n_real = n
+    span = WORD * Pn
+    n_padded = ((n + span - 1) // span) * span
+    if n_padded > cache["key_codes"].shape[-1] * WORD:
+        raise ValueError(
+            f"padded prompt ({n_padded} tokens for {Pn} shards) exceeds the "
+            "code arena; grow N_max or use the flat prefill"
+        )
+    if n_padded != n:
+        input_ids = jnp.pad(input_ids, ((0, 0), (0, n_padded - n)))
+        n = n_padded
     # fresh-cache contract (checkable only outside jit; inside a jit trace
     # the caller owns the invariant)
     try:
@@ -95,8 +118,16 @@ def prefill_sp(
 
             kcent = jax.lax.dynamic_index_in_dim(cents["key"], li, 0, False)
             vcent = jax.lax.dynamic_index_in_dim(cents["value"], li, 0, False)
-            kc = pack_codes(jnp.swapaxes(pq_encode(k, kcent, SUBSPACE_LAYOUT), -1, -2))
-            vc = pack_codes(jnp.swapaxes(pq_encode(v, vcent, SUBSPACE_LAYOUT), -1, -2))
+            # OPQ: the stored codes live in rotated space; the ring
+            # attention below stays in the original space (flat-prefill
+            # contract, models/llama.py prefill)
+            if "Rk" in cents:
+                k_st = _rotate(k, jax.lax.dynamic_index_in_dim(cents["Rk"], li, 0, False))
+                v_st = _rotate(v, jax.lax.dynamic_index_in_dim(cents["Rv"], li, 0, False))
+            else:
+                k_st, v_st = k, v
+            kc = pack_codes(jnp.swapaxes(pq_encode(k_st, kcent, SUBSPACE_LAYOUT), -1, -2))
+            vc = pack_codes(jnp.swapaxes(pq_encode(v_st, vcent, SUBSPACE_LAYOUT), -1, -2))
 
             attn = ring_causal_local(q, k, v, axis, Pn, scale)
             attn = attn.transpose(0, 2, 1, 3).reshape(bs, n_loc, -1)
@@ -108,9 +139,13 @@ def prefill_sp(
         (x, _), (kc_all, vc_all) = jax.lax.scan(
             layer, (x, jnp.asarray(0, jnp.int32)), params["layers"]
         )
-        # only the LAST shard owns the final token; psum-select its hidden
-        i_last = jnp.where(i == Pn - 1, 1.0, 0.0)
-        last_h = jax.lax.psum(x[:, -1] * i_last, axis)  # (bs, D), replicated over axis
+        # psum-select the hidden state of the last REAL token (static
+        # owner shard + local offset — padding may leave trailing shards
+        # holding only pad tokens)
+        owner = (n_real - 1) // n_loc
+        lidx = (n_real - 1) % n_loc
+        i_last = jnp.where(i == owner, 1.0, 0.0)
+        last_h = jax.lax.psum(x[:, lidx] * i_last, axis)  # (bs, D), replicated over axis
         return _logits(params, cfg, last_h[:, None])[:, 0], kc_all, vc_all
 
     shmap = jax.shard_map(
@@ -136,6 +171,6 @@ def prefill_sp(
     new["value_codes"] = jax.lax.dynamic_update_slice(
         cache["value_codes"], vc_all, (0, 0, 0, 0, 0)
     )
-    new["n_codes"] = jnp.full_like(cache["n_codes"], n)
+    new["n_codes"] = jnp.full_like(cache["n_codes"], n_real)
     new["r"] = jnp.zeros_like(cache["r"])
     return logits, new

@@ -125,3 +125,65 @@ def test_generate_with_chunked_prefill(rng, setup):
         sampling=SamplingConfig(temperature=0.0),
     )
     assert res.tokens[0, 0] == res1.tokens[0, 0], (res.tokens, res1.tokens)
+
+
+def test_chunked_prefill_opq_matches_flat(rng, setup):
+    """OPQ through chunked prefill: single chunk must reproduce the flat
+    OPQ prefill (rotated codes + rotated residual tail) bit-for-bit on the
+    arena, and multi-chunk must write the identical rotated codes for the
+    aligned prefix while its history partial (rotated-space scores,
+    unrotated output) keeps logits finite and close to the flat run."""
+    params, M, cents, pq_cfg = setup
+    d = CFG.head_dim
+
+    def rand_rot(seed):
+        g = np.random.default_rng(seed).standard_normal((CFG.num_layers, d, d))
+        return jnp.asarray(np.linalg.qr(g)[0], jnp.float32)
+
+    cents_rot = dict(cents)
+    cents_rot["Rk"] = rand_rot(21)
+    cents_rot["Rv"] = rand_rot(22)
+
+    n = 50
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, n)), jnp.int32)
+    lf, cf = prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
+                     cents_rot, mode="pq", last_logit_only=True)
+
+    # single chunk: near-identical arena (the rotation matmul fuses
+    # differently in the two graphs, so encode argmin flips on ulp-level
+    # near-ties — benign; without rotations the match is bit-exact, see
+    # test_single_chunk_matches_flat_prefill) + matching logits
+    def byte_agreement(a, b):
+        from million_tpu.ops.pq_attention_pallas import unpack_codes
+
+        ua = np.asarray(unpack_codes(jnp.asarray(a)))
+        ub = np.asarray(unpack_codes(jnp.asarray(b)))
+        return (ua == ub).mean()
+
+    l1, c1 = chunked_prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
+                             cents_rot, chunk=128)
+    assert byte_agreement(c1["key_codes"], cf["key_codes"]) >= 0.995
+    np.testing.assert_allclose(
+        np.asarray(c1["key_residual"]), np.asarray(cf["key_residual"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lf[:, -1]), rtol=1e-4, atol=1e-4)
+
+    # multi chunk: layer 0's k/v see no attention history, so its rotated
+    # codes still agree; deeper layers legitimately drift (chunks attend to
+    # QUANTIZED history where the flat prefill attends to exact history —
+    # same contract as the non-OPQ multi-chunk test). Decode logits from
+    # the two caches must stay close.
+    lm, cm = chunked_prefill(params, CFG, ids, init_state(pq_cfg, CFG.num_layers),
+                             cents_rot, chunk=16)
+    assert byte_agreement(cm["key_codes"][0], cf["key_codes"][0]) >= 0.995
+    assert np.isfinite(np.asarray(lm)).all()
+    tok = jnp.asarray([3], jnp.int32)
+    agree = 0
+    for t in range(6):
+        pos = jnp.asarray(n + t, jnp.int32)
+        lda, cf = decode_step(params, CFG, tok, pos, cf, cents_rot, mode="pq")
+        ldb, cm = decode_step(params, CFG, tok, pos, cm, cents_rot, mode="pq")
+        agree += int(np.argmax(np.asarray(lda)[0]) == np.argmax(np.asarray(ldb)[0]))
+        tok = jnp.asarray([int(np.argmax(np.asarray(lda)[0]))], jnp.int32)
+    assert agree >= 4, f"OPQ chunked-vs-flat decode top-1 agreement {agree}/6"

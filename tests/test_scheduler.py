@@ -130,3 +130,41 @@ def test_scheduler_asymmetric_geometry(rng):
     want = res.tokens[0]
     agree = (got == want).mean()
     assert agree >= 0.9, f"paged vs flat token agreement {agree}: {got} vs {want}"
+
+
+def test_scheduler_opq_matches_flat_pipeline(rng):
+    """OPQ on the paged serving path: with per-layer orthogonal rotations
+    attached to the tables, the scheduler must generate the same greedy
+    tokens as the flat pq_pallas pipeline (which has supported OPQ since the
+    flat wiring landed) — pools/residuals in rotated space, q rotated for
+    attention, output unrotated before wo."""
+    params, cents, tables, pcfg = build(rng, n_pages=8, max_seqs=2)
+    d = 32
+
+    def rand_rot(seed):
+        g = np.random.default_rng(seed).standard_normal((2, d, d))
+        return jnp.asarray(np.linalg.qr(g)[0], jnp.float32)
+
+    cents_rot = dict(cents)
+    cents_rot["Rk"] = rand_rot(11)
+    cents_rot["Rv"] = rand_rot(12)
+    tables_rot = build_tables(cents_rot)
+    assert "Rk" in tables_rot
+
+    prompt = rng.integers(0, 300, 14).astype(np.int32)
+    sched = Scheduler(params, CFG, pcfg, tables_rot)
+    sched.submit(Request(rid=0, prompt=prompt, max_new_tokens=12))
+    done = sched.run_to_completion(max_ticks=60)
+    got = done[0].tokens
+    assert np.isfinite(got).all()
+
+    flat_cfg = PQCacheConfig(
+        bs=1, nh_k=2, d=32, M=16, C=64, Lt=8, N_max=256, dtype=jnp.float32
+    )
+    res, _ = generate(
+        params, CFG, jnp.asarray(prompt[None]), init_state(flat_cfg, 2),
+        tables_rot, mode="pq_pallas", max_new_tokens=12,
+    )
+    want = res.tokens[0]
+    agree = (got == want).mean()
+    assert agree >= 0.85, f"OPQ paged vs flat token agreement {agree}: {got} vs {want}"

@@ -309,3 +309,86 @@ def test_sp_prefill_multislice(rng):
     ls, cs = prefill_sp(params, cfg, ids, cache, cents, mesh)
     np.testing.assert_allclose(np.asarray(ls), np.asarray(lf[:, -1]), rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(cs["key_codes"]), np.asarray(cf["key_codes"]))
+
+
+def test_sp_prefill_padded_length(rng):
+    """Prompt lengths divisible by 4 but NOT by 4*shards are padded
+    internally: logits select the last REAL token, the arena's valid prefix
+    matches the flat prefill, and n_codes reflects the real length."""
+    import dataclasses
+
+    from million_tpu.models.llama import PRESETS, decode_step, init_params, prefill
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+    from million_tpu.parallel.mesh import pq_cache_shardings, shard_pytree
+    from million_tpu.parallel.sp_prefill import prefill_sp
+
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    cfg = dataclasses.replace(PRESETS["test-tiny"], dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M = cfg.head_dim // 2
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+    }
+    n = 44  # 44 % 4 == 0, 44 % 16 != 0 -> padded to 48 internally
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, n)), jnp.int32)
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=32, Lt=8,
+        N_max=128, dtype=jnp.float32,
+    )
+    lf, cf = prefill(params, cfg, ids, init_state(pq_cfg, cfg.num_layers),
+                     cents, mode="pq", last_logit_only=True)
+    cache = shard_pytree(init_state(pq_cfg, cfg.num_layers), pq_cache_shardings(mesh))
+    ls, cs = prefill_sp(params, cfg, ids, cache, cents, mesh)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lf[:, -1]), rtol=2e-4, atol=2e-4)
+    nw = n // 4
+    np.testing.assert_array_equal(
+        np.asarray(cs["key_codes"])[..., :nw], np.asarray(cf["key_codes"])[..., :nw]
+    )
+    assert int(cs["n_codes"][0]) == n and int(cs["r"][0]) == 0
+    # decode continues identically (pad codes sit beyond n_codes -> masked)
+    tok = jnp.asarray([3], jnp.int32)
+    l1, _ = decode_step(params, cfg, tok, jnp.asarray(n, jnp.int32), cf, cents, mode="pq")
+    l2, _ = decode_step(params, cfg, tok, jnp.asarray(n, jnp.int32), cs, cents, mode="pq")
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=2e-4)
+
+
+def test_sp_prefill_opq(rng):
+    """OPQ through the sequence-parallel prefill: per-shard rotation before
+    encode keeps the arena identical to the flat OPQ prefill; ring attention
+    stays exact in the original space so logits match too."""
+    import dataclasses
+
+    from million_tpu.models.llama import PRESETS, init_params, prefill
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+    from million_tpu.parallel.mesh import pq_cache_shardings, shard_pytree
+    from million_tpu.parallel.sp_prefill import prefill_sp
+
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    cfg = dataclasses.replace(PRESETS["test-tiny"], dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M, d = cfg.head_dim // 2, cfg.head_dim
+
+    def rand_rot(seed):
+        g = np.random.default_rng(seed).standard_normal((cfg.num_layers, d, d))
+        return jnp.asarray(np.linalg.qr(g)[0], jnp.float32)
+
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+        "Rk": rand_rot(31),
+        "Rv": rand_rot(32),
+    }
+    n = 64
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, n)), jnp.int32)
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=32, Lt=8,
+        N_max=128, dtype=jnp.float32,
+    )
+    lf, cf = prefill(params, cfg, ids, init_state(pq_cfg, cfg.num_layers),
+                     cents, mode="pq", last_logit_only=True)
+    cache = shard_pytree(init_state(pq_cfg, cfg.num_layers), pq_cache_shardings(mesh))
+    ls, cs = prefill_sp(params, cfg, ids, cache, cents, mesh)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lf[:, -1]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cs["key_codes"]), np.asarray(cf["key_codes"]))
+    np.testing.assert_array_equal(np.asarray(cs["value_codes"]), np.asarray(cf["value_codes"]))
