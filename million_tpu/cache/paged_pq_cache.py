@@ -29,6 +29,7 @@ import dataclasses
 from typing import Any, Dict, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from million_tpu.pq.ops import pq_encode
@@ -223,3 +224,59 @@ def paged_prefill(
         new["seq_r"] = new["seq_r"].at[seq_id].set(tail)
     new["seq_active"] = new["seq_active"].at[seq_id].set(1)
     return new
+
+
+def paged_cache_stats(state: PagedState, cfg: PagedPQCacheConfig) -> Dict[str, Any]:
+    """Pool observability — the TPU-native analogue of the reference's
+    get_cache_stats / PageManager.get_stats / memory-size properties
+    (paged_pq_utils.py:898-1078, dynamic_paged_pq_utils.py:303-321,
+    pq_utils.py:383-408). One host readback of the small bookkeeping
+    arrays; the multi-GB pools are never touched.
+
+    Returns a plain dict: pool occupancy, per-sequence pages/codes/residual
+    counts, and the byte accounting that quantifies the compression (code
+    bytes held vs the bf16/f32 KV bytes they replace)."""
+    used = np.asarray(state["used"])
+    active = np.asarray(state["seq_active"])
+    n_codes = np.asarray(state["seq_n_codes"])
+    n_pages_seq = np.asarray(state["seq_n_pages"])
+    seq_r = np.asarray(state["seq_r"])
+    L = state["key_pool"].shape[0]
+
+    pages_used = int(used.sum())
+    # bytes of CODES actually holding live tokens (both sides, all layers)
+    bytes_per_token_codes = L * cfg.nh_k * (cfg.M + cfg.m_v)  # uint8 each
+    dtype_bytes = jnp.dtype(cfg.dtype).itemsize
+    bytes_per_token_dense = L * cfg.nh_k * 2 * cfg.d * dtype_bytes
+    live_tokens = int((n_codes * active).sum())
+    pool_bytes = int(state["key_pool"].nbytes + state["value_pool"].nbytes)
+    residual_bytes = int(
+        state["key_residual"].nbytes + state["value_residual"].nbytes
+    )
+    return {
+        "pages_total": cfg.n_pages,
+        "pages_used": pages_used,
+        "pages_free": cfg.n_pages - pages_used,
+        "pool_utilization": pages_used / max(cfg.n_pages, 1),
+        "tokens_capacity": cfg.tokens_capacity,
+        "active_seqs": int(active.sum()),
+        "per_seq": [
+            {
+                "slot": i,
+                "active": bool(active[i]),
+                "n_codes": int(n_codes[i]),
+                "n_pages": int(n_pages_seq[i]),
+                "residual_len": int(seq_r[i]),
+            }
+            for i in range(cfg.max_seqs)
+        ],
+        "live_code_bytes": live_tokens * bytes_per_token_codes,
+        "dense_kv_bytes_replaced": live_tokens * bytes_per_token_dense,
+        "compression_x": (
+            bytes_per_token_dense / bytes_per_token_codes
+            if bytes_per_token_codes
+            else float("nan")
+        ),
+        "pool_reserved_bytes": pool_bytes,
+        "residual_reserved_bytes": residual_bytes,
+    }

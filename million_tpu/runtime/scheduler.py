@@ -170,6 +170,18 @@ class Scheduler:
         self.slot_codes[slot] = 0
         self.slot_r[slot] = 0
 
+    def stats(self) -> Dict:
+        """Serving observability: pool/slot state plus queue depths — the
+        reference's get_cache_stats/print_performance_summary role
+        (paged_pq_utils.py:898-1078) for the continuous-batching runtime."""
+        from million_tpu.cache.paged_pq_cache import paged_cache_stats
+
+        s = paged_cache_stats(self.state, self.pcfg)
+        s["waiting_requests"] = len(self.waiting)
+        s["finished_requests"] = len(self.finished)
+        s["in_flight"] = sum(r is not None for r in self.slot_req)
+        return s
+
     def run_to_completion(self, max_ticks: int = 100000) -> List[FinishedRequest]:
         ticks = 0
         while (self.waiting or any(r is not None for r in self.slot_req)) and ticks < max_ticks:

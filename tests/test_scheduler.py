@@ -168,3 +168,32 @@ def test_scheduler_opq_matches_flat_pipeline(rng):
     want = res.tokens[0]
     agree = (got == want).mean()
     assert agree >= 0.85, f"OPQ paged vs flat token agreement {agree}: {got} vs {want}"
+
+
+def test_scheduler_stats_observability(rng):
+    """paged_cache_stats / Scheduler.stats: pool occupancy and per-slot
+    counters track admission and retirement; compression accounting is the
+    configured ratio (f32 dense KV vs uint8 codes here: 2*d*4 / (M+M_v))."""
+    params, cents, tables, pcfg = build(rng, n_pages=8, max_seqs=2)
+    sched = Scheduler(params, CFG, pcfg, tables)
+    s0 = sched.stats()
+    assert s0["pages_used"] == 0 and s0["active_seqs"] == 0
+    assert s0["in_flight"] == 0 and s0["waiting_requests"] == 0
+
+    sched.submit(Request(rid=0, prompt=rng.integers(0, 300, 20).astype(np.int32),
+                         max_new_tokens=8))
+    sched.step()
+    s1 = sched.stats()
+    assert s1["active_seqs"] == 1 and s1["in_flight"] == 1
+    assert s1["pages_used"] > 0
+    slot = next(p for p in s1["per_seq"] if p["active"])
+    assert slot["n_codes"] == 20 and slot["n_pages"] == s1["pages_used"]
+    # f32 dense KV: 2 sides * d=32 * 4 bytes = 256 B/token/layer/head vs
+    # codes M+M_v = 32 B -> 8x
+    assert abs(s1["compression_x"] - 8.0) < 1e-9
+    assert s1["live_code_bytes"] == 20 * 2 * 2 * (16 + 16)
+
+    sched.run_to_completion(max_ticks=50)
+    s2 = sched.stats()
+    assert s2["pages_used"] == 0 and s2["in_flight"] == 0
+    assert s2["finished_requests"] == 1
