@@ -26,13 +26,14 @@ kernel block.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np
 import jax.numpy as jnp
 
-from million_tpu.pq.ops import pq_encode
+from million_tpu.pq.ops import RUNTIME_ENCODE_PRECISION, pq_encode
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 
 PagedState = Dict[str, jax.Array]
@@ -200,8 +201,9 @@ def paged_prefill(
     n = k.shape[2]
     n4 = (n // WORD) * WORD
     tail = n - n4
-    kc = jnp.swapaxes(jax.vmap(pq_encode, in_axes=(0, 0, None))(k, key_cents, layout), -1, -2)
-    vc = jnp.swapaxes(jax.vmap(pq_encode, in_axes=(0, 0, None))(v, value_cents, layout), -1, -2)
+    _enc = functools.partial(pq_encode, precision=RUNTIME_ENCODE_PRECISION)
+    kc = jnp.swapaxes(jax.vmap(_enc, in_axes=(0, 0, None))(k, key_cents, layout), -1, -2)
+    vc = jnp.swapaxes(jax.vmap(_enc, in_axes=(0, 0, None))(v, value_cents, layout), -1, -2)
     new = write_codes_to_pages(state, seq_id, kc[..., :n4], vc[..., :n4], cfg)
     if tail:
         kt = k[:, :, n4:].astype(new["key_residual"].dtype)  # (L, nh_k, tail, d)

@@ -44,7 +44,12 @@ from million_tpu.ops.pq_attention_pallas import (
     pack_decode_table,
     pq_codes_attention,
 )
-from million_tpu.pq.ops import pq_encode, pq_encode_chunked, pq_decode
+from million_tpu.pq.ops import (
+    RUNTIME_ENCODE_PRECISION,
+    pq_decode,
+    pq_encode,
+    pq_encode_chunked,
+)
 
 SUBSPACE_LAYOUT = "strided"  # see pq.ops.subspace_view — the TPU-native split
 
@@ -394,8 +399,12 @@ def prefill(
             # aligned prefix -> word arena; ragged tail -> exact residual
             n4 = (n // WORD) * WORD
             tail = n - n4
-            kc = jnp.swapaxes(pq_encode_chunked(k_st, kcent, SUBSPACE_LAYOUT), -1, -2)
-            vc = jnp.swapaxes(pq_encode_chunked(v_st, vcent, SUBSPACE_LAYOUT), -1, -2)
+            kc = jnp.swapaxes(pq_encode_chunked(
+                k_st, kcent, SUBSPACE_LAYOUT, precision=RUNTIME_ENCODE_PRECISION
+            ), -1, -2)
+            vc = jnp.swapaxes(pq_encode_chunked(
+                v_st, vcent, SUBSPACE_LAYOUT, precision=RUNTIME_ENCODE_PRECISION
+            ), -1, -2)
             cache = stacked_prefix_write(
                 cache, i, kc[..., :n4], vc[..., :n4],
                 k_st[:, :, n4:] if tail else None,
@@ -608,7 +617,11 @@ def _flush_windows_stacked(cache, cents):
     for side in ("key", "value"):
         def enc(args):
             res, cen = args  # (bs, nh_k, Lt, d), (M, C, d_m)
-            return jnp.swapaxes(pq_encode(res, cen, SUBSPACE_LAYOUT), -1, -2)
+            return jnp.swapaxes(
+                pq_encode(res, cen, SUBSPACE_LAYOUT,
+                          precision=RUNTIME_ENCODE_PRECISION),
+                -1, -2,
+            )
         codes_t = jax.lax.map(enc, (cache[side + "_residual"], cents[side]))
         cache[side + "_codes"] = jax.lax.dynamic_update_slice(
             cache[side + "_codes"], pack_codes(codes_t), (0, 0, 0, 0, start_w)

@@ -50,7 +50,7 @@ from million_tpu.models.llama import (
 )
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 from million_tpu.parallel.ring_attention import ring_causal_local
-from million_tpu.pq.ops import pq_encode
+from million_tpu.pq.ops import RUNTIME_ENCODE_PRECISION, pq_encode
 
 
 def prefill_sp(
@@ -126,8 +126,12 @@ def prefill_sp(
                 v_st = _rotate(v, jax.lax.dynamic_index_in_dim(cents["Rv"], li, 0, False))
             else:
                 k_st, v_st = k, v
-            kc = pack_codes(jnp.swapaxes(pq_encode(k_st, kcent, SUBSPACE_LAYOUT), -1, -2))
-            vc = pack_codes(jnp.swapaxes(pq_encode(v_st, vcent, SUBSPACE_LAYOUT), -1, -2))
+            kc = pack_codes(jnp.swapaxes(
+                pq_encode(k_st, kcent, SUBSPACE_LAYOUT,
+                          precision=RUNTIME_ENCODE_PRECISION), -1, -2))
+            vc = pack_codes(jnp.swapaxes(
+                pq_encode(v_st, vcent, SUBSPACE_LAYOUT,
+                          precision=RUNTIME_ENCODE_PRECISION), -1, -2))
 
             attn = ring_causal_local(q, k, v, axis, Pn, scale)
             attn = attn.transpose(0, 2, 1, 3).reshape(bs, n_loc, -1)

@@ -144,8 +144,14 @@ def test_paged_prefill_encodes(rng):
     st = paged_prefill(st, sid, k, v, kcent, vcent, CFG)
     assert int(st["seq_n_codes"][1]) == n
     assert int(st["seq_active"][1]) == 1
-    from million_tpu.pq.ops import pq_encode
-    want = np.swapaxes(np.asarray(pq_encode(k[0], kcent[0], "strided")), -1, -2)
+    from million_tpu.pq.ops import RUNTIME_ENCODE_PRECISION, pq_encode
+    # the pool path encodes at the runtime precision; the oracle must too
+    want = np.swapaxes(
+        np.asarray(
+            pq_encode(k[0], kcent[0], "strided", precision=RUNTIME_ENCODE_PRECISION)
+        ),
+        -1, -2,
+    )
     page = int(st["page_table"][1, 0])
     np.testing.assert_array_equal(
         np.asarray(unpack_codes(st["key_pool"]))[0, page], want
