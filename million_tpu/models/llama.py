@@ -449,7 +449,9 @@ def prefill(
     return _logits(params, cfg, x), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "mode", "mesh", "flush"))
+@partial(
+    jax.jit, static_argnames=("cfg", "mode", "mesh", "flush", "n_bucket")
+)
 def decode_step(
     params: Params,
     cfg: ModelConfig,
@@ -460,6 +462,8 @@ def decode_step(
     mode: str = "pq",
     mesh=None,  # jax.sharding.Mesh -> sequence-sharded kernel attention
     flush: bool = False,  # STATIC: encode+flush the full residual window first
+    n_bucket: Optional[int] = None,  # STATIC: arena scan bound (tokens) —
+    # host-picked via ops.pq_attention_pallas.bucket_for_length (l2Ns analogue)
 ) -> Tuple[jax.Array, PQCacheLayerState]:
     """One decode token. Returns (logits (bs, V) f32, updated cache).
 
@@ -551,7 +555,7 @@ def decode_step(
                 with jax.named_scope("pq_decode_attention"):
                     attn = _pq_pallas_attention_stacked(
                         q_att[:, :, 0], cache, cents, i, cfg, mesh,
-                        n_codes=start, r=r + 1,
+                        n_codes=start, r=r + 1, n_bucket=n_bucket,
                     )
             else:
                 from million_tpu.ops.pq_attention_pallas import unpack_codes
@@ -632,7 +636,8 @@ def _flush_windows_stacked(cache, cents):
 
 
 def _pq_pallas_attention_stacked(
-    q, cache, cents, layer_idx, cfg, mesh=None, n_codes=None, r=None
+    q, cache, cents, layer_idx, cfg, mesh=None, n_codes=None, r=None,
+    n_bucket=None,
 ):
     """Fused-kernel decode attention over the STACKED cache: the kernel
     selects its layer through a scalar-prefetched index (no layer-slice
@@ -665,13 +670,13 @@ def _pq_pallas_attention_stacked(
         out_c, lse_c = sharded_pq_codes_attention_stacked(
             mesh, q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"], layer_idx, n_codes,
-            interpret=interp, direct=d_k, v_direct=d_v,
+            interpret=interp, direct=d_k, v_direct=d_v, n_bucket=n_bucket,
         )
     else:
         out_c, lse_c = pq_codes_attention_stacked(
             q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"],
-            layer_idx, n_codes, direct=d_k, v_direct=d_v,
+            layer_idx, n_codes, direct=d_k, v_direct=d_v, n_bucket=n_bucket,
         )
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32),

@@ -129,6 +129,25 @@ def unpack_codes(words: jax.Array) -> jax.Array:
     return bytes_.reshape(*words.shape[:-1], words.shape[-1] * WORD).astype(jnp.uint8)
 
 
+def bucket_for_length(n: int, n_max: int, min_bucket: int = 4096) -> int | None:
+    """Pick a static scan bucket covering `n` quantized tokens — the TPU
+    analogue of the reference's Ns-by-length kernel selection (`l2Ns`,
+    pq_utils.py:8-22): instead of choosing among 240 precompiled CUDA
+    binaries, the host picks a power-of-two token span and XLA specializes
+    the kernel for it (n_bucket is a static arg), so short-context decode
+    stops streaming the whole N_max arena through the grid's BlockSpec DMAs.
+
+    Returns None ("scan the full arena") when the covering power of two
+    reaches n_max, keeping the number of compiled variants at
+    ~log2(n_max / min_bucket) over a sequence's lifetime. Powers of two
+    guarantee the kernels' block/bucket divisibility for any block <= 16384.
+    """
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return None if b >= n_max else b
+
+
 class DecodeTable(NamedTuple):
     """int8-quantized gather table for one codebook (see pack_decode_table).
 

@@ -73,10 +73,16 @@ def sharded_pq_codes_attention(
     interpret: bool | None = None,
     direct: bool = False,
     v_direct: bool | None = None,
+    n_bucket: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out, lse) exactly like pq_codes_attention, but computed with
     the code arena sequence-sharded across the mesh's "sp" axis (and batch /
-    KV heads sharded over "dp" / "tp")."""
+    KV heads sharded over "dp" / "tp").
+
+    `n_bucket` is the GLOBAL scan bound (tokens, host-picked — see
+    bucket_for_length); shards own contiguous token ranges filled in order,
+    so each shard's valid count is at most min(n_bucket, n_local) and the
+    local kernel scans that bound."""
     seq_axes = _seq_axes(mesh)
     n_shards = int(np.prod([mesh.shape[a] for a in seq_axes]))
     N = key_codes.shape[3] * 4  # tokens
@@ -86,6 +92,9 @@ def sharded_pq_codes_attention(
             f"{'x'.join(seq_axes)}={n_shards}"
         )
     n_local = N // n_shards
+    local_bucket = (
+        None if n_bucket is None or n_bucket >= n_local else n_bucket
+    )
 
     def local_fn(q, kc, vc, kp, vp, nc):
         i = _linear_shard_index(mesh, seq_axes)
@@ -94,7 +103,7 @@ def sharded_pq_codes_attention(
         out, lse = pq_codes_attention(
             q, kc, vc, kp, vp, local_valid,
             block=min(block, n_local), interpret=interpret, direct=direct,
-            v_direct=v_direct,
+            v_direct=v_direct, n_bucket=local_bucket,
         )
         merged, lse_m = _merge_over(out, lse, seq_axes)
         return merged, lse_m
@@ -130,9 +139,11 @@ def sharded_pq_codes_attention_stacked(
     interpret: bool | None = None,
     direct: bool = False,
     v_direct: bool | None = None,
+    n_bucket: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Stacked-arena version of sharded_pq_codes_attention: one layer of the
-    (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards."""
+    (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards.
+    `n_bucket` is the GLOBAL scan bound (see sharded_pq_codes_attention)."""
     seq_axes = _seq_axes(mesh)
     n_shards = int(np.prod([mesh.shape[a] for a in seq_axes]))
     N = key_codes.shape[4] * 4  # tokens
@@ -142,6 +153,9 @@ def sharded_pq_codes_attention_stacked(
             f"{'x'.join(seq_axes)}={n_shards}"
         )
     n_local = N // n_shards
+    local_bucket = (
+        None if n_bucket is None or n_bucket >= n_local else n_bucket
+    )
 
     def local_fn(q, kc, vc, kp, vp, li, nc):
         i = _linear_shard_index(mesh, seq_axes)
@@ -149,7 +163,7 @@ def sharded_pq_codes_attention_stacked(
         out, lse = pq_codes_attention_stacked(
             q, kc, vc, kp, vp, li[0], local_valid,
             block=min(block, n_local), interpret=interpret, direct=direct,
-            v_direct=v_direct,
+            v_direct=v_direct, n_bucket=local_bucket,
         )
         return _merge_over(out, lse, seq_axes)
 

@@ -3,12 +3,20 @@
 The 128K multi-host prefill (SURVEY.md §7.7's last mile): each `sp` shard
 embeds and projects only its own contiguous token block, attention runs as
 a ring (`ring_causal_local`), and each shard PQ-encodes its own block. The
-packed codes leave the shard_map sequence-sharded and are written into the
-arena with ONE global dynamic_update_slice outside — XLA reshards them onto
-the arena's own (dcn, sp) layout with ICI collectives, so the result is
-decode-compatible for ANY prompt length <= N_max (writing at per-shard
-local offsets instead would only coincide with the flat layout when the
-prompt exactly fills the arena).
+packed codes are re-laid out from prompt-layout (contiguous n/Pn-token
+spans per shard) to arena-layout (contiguous N_max/Pn-token spans per
+shard) INSIDE the shard_map: slice to the (dp, tp)-local batch/heads, one
+explicit per-layer `all_gather` over the sequence axes, then every shard
+cuts its own arena slab — so the shard_map's code outputs carry EXACTLY the
+cache's sharding and become the new arena with no resharding at all.
+(Round 1 instead emitted prompt-sharded codes and did one global
+dynamic_update_slice outside; the two seq layouts have misaligned shard
+boundaries, so GSPMD could only bridge them by involuntary full
+rematerialization — a flagged replicate-then-repartition of the code
+tensor. The explicit gather moves the same compressed codes once per
+admission over ICI — ~50 MB/layer/chip at 128K x 3B, ~30 ms total against
+a multi-second 128K prefill — and the transient is bounded per layer
+instead of one all-layer remat.)
 
 Scope (explicit, enforced): mode "pq", FRESH cache (n_codes == 0 — this is
 the admission prefill, not a chunked continuation), weights REPLICATED
@@ -105,11 +113,39 @@ def prefill_sp(
         pass
     n_loc = n // Pn
     scale = 1.0 / (cfg.head_dim**0.5)
+    NW = cache["key_codes"].shape[-1]  # arena words
+    if NW % Pn:
+        raise ValueError(
+            f"arena words {NW} not divisible by {Pn} sequence shards"
+        )
+    Aw = NW // Pn  # arena words owned per shard
+    dp_n, tp_n = mesh.shape.get("dp", 1), mesh.shape.get("tp", 1)
+    nh_k = cfg.num_kv_heads
+    if bs % dp_n or nh_k % tp_n:
+        raise ValueError(
+            f"bs {bs} / kv heads {nh_k} must divide the mesh dp={dp_n} / "
+            f"tp={tp_n} axes (the arena shards batch over dp, heads over tp)"
+        )
+    bs_loc, nhk_loc = bs // dp_n, nh_k // tp_n
 
     def local_fn(ids, params, cents):
         i = jax.lax.axis_index(axis)  # linearized over tuple axes
+        dp_i = jax.lax.axis_index("dp")
+        tp_i = jax.lax.axis_index("tp")
         pos = i * n_loc + jnp.arange(n_loc)
         x = params["embed"][ids]  # (bs, n_loc, D)
+
+        def to_arena_slab(codes):
+            """(bs, nh_k, M?, n_loc/4) prompt-sharded packed codes -> this
+            shard's (bs_loc, nhk_loc, M?, Aw) ARENA slab: slice to the
+            dp/tp-local batch & heads (shrinks the gather by dp*tp), gather
+            the full prompt's words over the sequence shards, zero-pad to
+            the arena width, cut the local window."""
+            c = jax.lax.dynamic_slice_in_dim(codes, dp_i * bs_loc, bs_loc, 0)
+            c = jax.lax.dynamic_slice_in_dim(c, tp_i * nhk_loc, nhk_loc, 1)
+            c = jax.lax.all_gather(c, axis, axis=3, tiled=True)  # (.., n/4)
+            c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (0, NW - c.shape[3])))
+            return jax.lax.dynamic_slice_in_dim(c, i * Aw, Aw, 3)
 
         def layer(carry, lp):
             x, li = carry
@@ -126,12 +162,12 @@ def prefill_sp(
                 v_st = _rotate(v, jax.lax.dynamic_index_in_dim(cents["Rv"], li, 0, False))
             else:
                 k_st, v_st = k, v
-            kc = pack_codes(jnp.swapaxes(
+            kc = to_arena_slab(pack_codes(jnp.swapaxes(
                 pq_encode(k_st, kcent, SUBSPACE_LAYOUT,
-                          precision=RUNTIME_ENCODE_PRECISION), -1, -2))
-            vc = pack_codes(jnp.swapaxes(
+                          precision=RUNTIME_ENCODE_PRECISION), -1, -2)))
+            vc = to_arena_slab(pack_codes(jnp.swapaxes(
                 pq_encode(v_st, vcent, SUBSPACE_LAYOUT,
-                          precision=RUNTIME_ENCODE_PRECISION), -1, -2))
+                          precision=RUNTIME_ENCODE_PRECISION), -1, -2)))
 
             attn = ring_causal_local(q, k, v, axis, Pn, scale)
             attn = attn.transpose(0, 2, 1, 3).reshape(bs, n_loc, -1)
@@ -158,23 +194,19 @@ def prefill_sp(
         in_specs=(P(None, axis), P(), P()),
         out_specs=(
             P(),
-            P(None, None, None, None, axis),  # (L, bs, nh_k, M, n/4) codes
-            P(None, None, None, None, axis),
+            # (L, bs, nh_k, M, NW) codes ALREADY in the cache's own arena
+            # sharding (mesh.pq_cache_shardings) — no resharding downstream
+            P(None, "dp", "tp", None, axis),
+            P(None, "dp", "tp", None, axis),
         ),
         check_vma=False,
     )
     logits, kc_all, vc_all = shmap(input_ids, params, cents)
 
-    # ONE global write at word offset 0: XLA reshards the sequence-sharded
-    # codes onto the arena's own layout (ICI collectives), keeping the
-    # flat-prefill arena contract for any n <= N_max
+    # fresh-cache contract: the slabs ARE the arena (zeros past the prompt)
     new = dict(cache)
-    new["key_codes"] = jax.lax.dynamic_update_slice(
-        cache["key_codes"], kc_all, (0, 0, 0, 0, 0)
-    )
-    new["value_codes"] = jax.lax.dynamic_update_slice(
-        cache["value_codes"], vc_all, (0, 0, 0, 0, 0)
-    )
+    new["key_codes"] = kc_all
+    new["value_codes"] = vc_all
     new["n_codes"] = jnp.full_like(cache["n_codes"], n_real)
     new["r"] = jnp.zeros_like(cache["r"])
     return logits, new

@@ -47,6 +47,7 @@ def generate(
     mesh=None,  # jax.sharding.Mesh -> sharded prefill/decode attention
     prefill_chunk: int = 0,  # >0: admit the prompt in bounded-memory chunks
     prefill_hist_block: int = 4096,  # history block for chunked admission
+    auto_bucket: bool = True,  # host-picked arena scan bucket (l2Ns analogue)
 ) -> Tuple[GenerationResult, Any]:
     """Prefill + decode loop. Returns (result, final cache state).
 
@@ -123,6 +124,14 @@ def generate(
     # Lt the step must run with flush=True (static arg — see decode_step).
     r_host = n_prompt % 4 if mode != "dense" else 0
     lt_host = cache["key_residual"].shape[-2] if mode != "dense" else 0
+    # Host mirror of n_codes (the quantized-arena fill level): the aligned
+    # prompt prefix now, +Lt per flush. Drives the static scan bucket — the
+    # reference's l2Ns length->kernel selection (pq_utils.py:8-22) — so
+    # short-context decode stops streaming the whole N_max arena.
+    codes_host = n_prompt - (n_prompt % 4) if mode != "dense" else 0
+    use_bucket = auto_bucket and mode == "pq_pallas"
+    if use_bucket:
+        from million_tpu.ops.pq_attention_pallas import bucket_for_length
     selfcheck_max = jnp.zeros((), jnp.float32)  # accumulated ON DEVICE —
     # a per-step host sync would pollute decode_s/tpot_s (they already
     # include the extra oracle forward on checked steps; see docstring)
@@ -131,7 +140,9 @@ def generate(
         flush = mode != "dense" and r_host >= lt_host
         if flush:
             r_host = 0
+            codes_host += lt_host
         r_host += 1
+        n_bucket = bucket_for_length(codes_host, n_max) if use_bucket else None
         if (
             selfcheck_every
             and mode == "pq_pallas"
@@ -146,7 +157,7 @@ def generate(
             ref_logits = None
         logits, cache = llama.decode_step(
             params, cfg, tok, pos, cache, cents, mode=mode, flush=flush,
-            mesh=mesh,
+            mesh=mesh, n_bucket=n_bucket,
         )
         if ref_logits is not None:
             diff = jnp.max(jnp.abs(logits - ref_logits)).astype(jnp.float32)

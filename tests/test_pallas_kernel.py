@@ -286,3 +286,94 @@ def test_kernel_asymmetric_kv_geometry(rng):
     want_out, want_lse = oracle_codes_attention(q, kc, vc, keff, veff, n, scale)
     np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
     np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
+
+
+def test_bucket_for_length_ladder():
+    """Host bucket ladder (l2Ns analogue, pq_utils.py:8-22): powers of two
+    from min_bucket, None once the arena is covered."""
+    from million_tpu.ops.pq_attention_pallas import bucket_for_length
+
+    assert bucket_for_length(0, 32768) == 4096
+    assert bucket_for_length(4096, 32768) == 4096
+    assert bucket_for_length(4097, 32768) == 8192
+    assert bucket_for_length(9000, 32768) == 16384
+    assert bucket_for_length(17000, 32768) is None  # covering pow2 == N_max
+    assert bucket_for_length(100, 2048) is None  # min_bucket >= N_max
+    # ladder rungs always divide by the kernel block constraint
+    for n in (1, 5000, 12000):
+        b = bucket_for_length(n, 1 << 20)
+        assert b % 4 == 0 and b % min(b, 16384) == 0 and b >= n
+
+
+def test_kernel_bucketed_matches_full(rng):
+    """A bucket covering n_codes returns bit-identical partials to the full
+    arena scan (the skipped blocks are all masked anyway) — the contract
+    that lets generate() shrink the scan by context length."""
+    q, kc, vc, kcent, vcent, n_codes = make_inputs(rng, N=1024, n_codes=300)
+    d = q.shape[-1]
+    scale = 1.0 / d**0.5
+    kp = pack_decode_table(jnp.asarray(kcent))
+    vp = pack_decode_table(jnp.asarray(vcent))
+    args = (
+        jnp.asarray(q * scale, jnp.bfloat16),
+        pack_codes(jnp.asarray(kc)),
+        pack_codes(jnp.asarray(vc)),
+        kp, vp, jnp.asarray(n_codes, jnp.int32),
+    )
+    out_full, lse_full = pq_codes_attention(*args, block=128, interpret=True)
+    out_b, lse_b = pq_codes_attention(
+        *args, block=128, n_bucket=512, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_full))
+    np.testing.assert_array_equal(np.asarray(lse_b), np.asarray(lse_full))
+
+
+def test_decode_step_bucketed_matches_full(rng):
+    """decode_step(n_bucket=...) == decode_step(full scan) token-for-token
+    through the model (the runtime wiring the reference routes through
+    KernelRegistry.get_kernel, pq_utils.py:43-47)."""
+    import dataclasses
+
+    from million_tpu.models.llama import (
+        PRESETS, init_params, build_tables, decode_step,
+    )
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+
+    cfg = dataclasses.replace(
+        PRESETS["test-tiny"], num_layers=2, dtype=jnp.float32
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M = cfg.head_dim // 2
+    cents = {
+        "key": jnp.asarray(
+            rng.standard_normal((cfg.num_layers, M, 256, 2)), jnp.float32
+        ),
+        "value": jnp.asarray(
+            rng.standard_normal((cfg.num_layers, M, 256, 2)), jnp.float32
+        ),
+    }
+    tables = build_tables(cents)
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=256, Lt=16,
+        N_max=1024, dtype=jnp.float32,
+    )
+    cache = dict(init_state(pq_cfg, cfg.num_layers))
+    cache["key_codes"] = jnp.asarray(
+        rng.integers(-(2**31), 2**31, cache["key_codes"].shape), jnp.int32
+    )
+    cache["value_codes"] = jnp.asarray(
+        rng.integers(-(2**31), 2**31, cache["value_codes"].shape), jnp.int32
+    )
+    cache["n_codes"] = jnp.full_like(cache["n_codes"], 200)
+    cache["r"] = jnp.full_like(cache["r"], 2)
+    tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.asarray(202, jnp.int32)
+    lf, cf = decode_step(
+        params, cfg, tok, pos, cache, tables, mode="pq_pallas"
+    )
+    lb, cb = decode_step(
+        params, cfg, tok, pos, cache, tables, mode="pq_pallas", n_bucket=256
+    )
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lb))
+    for k in cf:
+        np.testing.assert_array_equal(np.asarray(cf[k]), np.asarray(cb[k]))
