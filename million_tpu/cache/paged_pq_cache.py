@@ -201,9 +201,20 @@ def paged_prefill(
     n = k.shape[2]
     n4 = (n // WORD) * WORD
     tail = n - n4
-    _enc = functools.partial(pq_encode, precision=RUNTIME_ENCODE_PRECISION)
-    kc = jnp.swapaxes(jax.vmap(_enc, in_axes=(0, 0, None))(k, key_cents, layout), -1, -2)
-    vc = jnp.swapaxes(jax.vmap(_enc, in_axes=(0, 0, None))(v, value_cents, layout), -1, -2)
+    from million_tpu.pq.ops import RUNTIME_FUSED_ENCODE
+
+    if RUNTIME_FUSED_ENCODE:
+        from million_tpu.ops.pq_encode_pallas import pq_encode_fused_stacked
+
+        # one launch over all layer banks; the distance/argmin stays in VMEM
+        kc = jnp.swapaxes(pq_encode_fused_stacked(
+            k, key_cents, layout, precision=RUNTIME_ENCODE_PRECISION), -1, -2)
+        vc = jnp.swapaxes(pq_encode_fused_stacked(
+            v, value_cents, layout, precision=RUNTIME_ENCODE_PRECISION), -1, -2)
+    else:
+        _enc = functools.partial(pq_encode, precision=RUNTIME_ENCODE_PRECISION)
+        kc = jnp.swapaxes(jax.vmap(_enc, in_axes=(0, 0, None))(k, key_cents, layout), -1, -2)
+        vc = jnp.swapaxes(jax.vmap(_enc, in_axes=(0, 0, None))(v, value_cents, layout), -1, -2)
     new = write_codes_to_pages(state, seq_id, kc[..., :n4], vc[..., :n4], cfg)
     if tail:
         kt = k[:, :, n4:].astype(new["key_residual"].dtype)  # (L, nh_k, tail, d)

@@ -47,11 +47,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from million_tpu.pq.ops import (
-    RUNTIME_ENCODE_PRECISION,
-    pq_encode,
-    pq_encode_chunked,
-)
+from million_tpu.pq.ops import runtime_encode
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 
 PQCacheLayerState = Dict[str, jax.Array]
@@ -120,8 +116,7 @@ def flush_window(
     start_w = state["n_codes"] // WORD
     for side, cents in (("key", key_cents), ("value", value_cents)):
         codes_t = jnp.swapaxes(
-            pq_encode(state[side + "_residual"], cents, layout,
-                      precision=RUNTIME_ENCODE_PRECISION), -1, -2
+            runtime_encode(state[side + "_residual"], cents, layout), -1, -2
         )  # (bs, nh_k, M, Lt)
         new[side + "_codes"] = jax.lax.dynamic_update_slice(
             state[side + "_codes"], pack_codes(codes_t), (0, 0, 0, start_w)
@@ -150,12 +145,10 @@ def prefill_update(
     tail = n - n4
     new = dict(state)
     if n4:
-        kc = jnp.swapaxes(pq_encode_chunked(
-            k[:, :, :n4], key_cents, layout, precision=RUNTIME_ENCODE_PRECISION
-        ), -1, -2)
-        vc = jnp.swapaxes(pq_encode_chunked(
-            v[:, :, :n4], value_cents, layout, precision=RUNTIME_ENCODE_PRECISION
-        ), -1, -2)
+        kc = jnp.swapaxes(
+            runtime_encode(k[:, :, :n4], key_cents, layout), -1, -2)
+        vc = jnp.swapaxes(
+            runtime_encode(v[:, :, :n4], value_cents, layout), -1, -2)
         start_w = state["n_codes"] // WORD
         new["key_codes"] = jax.lax.dynamic_update_slice(
             state["key_codes"], pack_codes(kc), (0, 0, 0, start_w)

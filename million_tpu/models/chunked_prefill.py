@@ -44,11 +44,7 @@ from million_tpu.models.llama import (
 from million_tpu.cache.pq_cache import stacked_prefix_write
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes, unpack_codes
 from million_tpu.ops.pq_attention_ref import _gqa_expand, merge_two_partials
-from million_tpu.pq.ops import (
-    RUNTIME_ENCODE_PRECISION,
-    pq_decode,
-    pq_encode_chunked,
-)
+from million_tpu.pq.ops import pq_decode, runtime_encode
 
 from functools import partial
 
@@ -181,14 +177,10 @@ def _prefill_one_chunk(
             Rv_i = None
             k_st, v_st, q_h = k, v, q
 
-        kc = jnp.swapaxes(pq_encode_chunked(
-            k_st[:, :, :n4], kcent, SUBSPACE_LAYOUT,
-            precision=RUNTIME_ENCODE_PRECISION,
-        ), -1, -2)
-        vc = jnp.swapaxes(pq_encode_chunked(
-            v_st[:, :, :n4], vcent, SUBSPACE_LAYOUT,
-            precision=RUNTIME_ENCODE_PRECISION,
-        ), -1, -2)
+        kc = jnp.swapaxes(
+            runtime_encode(k_st[:, :, :n4], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(
+            runtime_encode(v_st[:, :, :n4], vcent, SUBSPACE_LAYOUT), -1, -2)
         n_prev = cache["n_codes"][li]  # history BEFORE this chunk's write
         cache = stacked_prefix_write(
             cache, li, kc, vc,

@@ -48,7 +48,7 @@ from million_tpu.pq.ops import (
     RUNTIME_ENCODE_PRECISION,
     pq_decode,
     pq_encode,
-    pq_encode_chunked,
+    runtime_encode,
 )
 
 SUBSPACE_LAYOUT = "strided"  # see pq.ops.subspace_view — the TPU-native split
@@ -399,12 +399,17 @@ def prefill(
             # aligned prefix -> word arena; ragged tail -> exact residual
             n4 = (n // WORD) * WORD
             tail = n - n4
-            kc = jnp.swapaxes(pq_encode_chunked(
-                k_st, kcent, SUBSPACE_LAYOUT, precision=RUNTIME_ENCODE_PRECISION
-            ), -1, -2)
-            vc = jnp.swapaxes(pq_encode_chunked(
-                v_st, vcent, SUBSPACE_LAYOUT, precision=RUNTIME_ENCODE_PRECISION
-            ), -1, -2)
+            interp = (
+                True
+                if mesh is not None and mesh.devices.flat[0].platform == "cpu"
+                else None
+            )
+            kc = jnp.swapaxes(
+                runtime_encode(k_st, kcent, SUBSPACE_LAYOUT, interp), -1, -2
+            )
+            vc = jnp.swapaxes(
+                runtime_encode(v_st, vcent, SUBSPACE_LAYOUT, interp), -1, -2
+            )
             cache = stacked_prefix_write(
                 cache, i, kc[..., :n4], vc[..., :n4],
                 k_st[:, :, n4:] if tail else None,
@@ -509,7 +514,15 @@ def decode_step(
             # named scope -> xprof trace attribution (the reference's
             # per-substep Timer role, modeling_llama.py:378-451)
             with jax.named_scope("residual_window_flush"):
-                cache = _flush_windows_stacked(cache, cents)
+                cache = _flush_windows_stacked(
+                    cache, cents,
+                    interp=(
+                        True
+                        if mesh is not None
+                        and mesh.devices.flat[0].platform == "cpu"
+                        else None
+                    ),
+                )
         start_s = cache["n_codes"][0]
         r_s = cache["r"][0]
 
@@ -608,25 +621,40 @@ def decode_step(
     return _logits(params, cfg, x)[:, 0], cache
 
 
-def _flush_windows_stacked(cache, cents):
+def _flush_windows_stacked(cache, cents, interp=None):
     """Flush every layer's residual window into the stacked code arenas
     (decode_step's static-flush path; single-layer analogue:
-    cache/pq_cache.py flush_window). One batched encode per side, mapped
-    over layers to bound the argmin distance transient, then ONE contiguous
-    word-slab dynamic_update_slice per side. n_codes is layer-uniform in
-    the decode path, so a single (stack-wide) offset is exact."""
+    cache/pq_cache.py flush_window). One fused-kernel encode per side over
+    ALL layer banks (ops/pq_encode_pallas.py — the distance/argmin never
+    touches HBM, which was the whole 61 ms flush spike of round 1), then
+    ONE contiguous word-slab dynamic_update_slice per side. n_codes is
+    layer-uniform in the decode path, so a single (stack-wide) offset is
+    exact."""
+    from million_tpu.pq.ops import RUNTIME_FUSED_ENCODE
+
     cache = dict(cache)
     Lt = cache["key_residual"].shape[3]
     start_w = cache["n_codes"][0] // WORD
     for side in ("key", "value"):
-        def enc(args):
-            res, cen = args  # (bs, nh_k, Lt, d), (M, C, d_m)
-            return jnp.swapaxes(
-                pq_encode(res, cen, SUBSPACE_LAYOUT,
-                          precision=RUNTIME_ENCODE_PRECISION),
+        if RUNTIME_FUSED_ENCODE:
+            from million_tpu.ops.pq_encode_pallas import pq_encode_fused_stacked
+
+            codes_t = jnp.swapaxes(
+                pq_encode_fused_stacked(
+                    cache[side + "_residual"], cents[side], SUBSPACE_LAYOUT,
+                    precision=RUNTIME_ENCODE_PRECISION, interpret=interp,
+                ),
                 -1, -2,
-            )
-        codes_t = jax.lax.map(enc, (cache[side + "_residual"], cents[side]))
+            )  # (L, bs, nh_k, M, Lt)
+        else:
+            def enc(args):
+                res, cen = args  # (bs, nh_k, Lt, d), (M, C, d_m)
+                return jnp.swapaxes(
+                    pq_encode(res, cen, SUBSPACE_LAYOUT,
+                              precision=RUNTIME_ENCODE_PRECISION),
+                    -1, -2,
+                )
+            codes_t = jax.lax.map(enc, (cache[side + "_residual"], cents[side]))
         cache[side + "_codes"] = jax.lax.dynamic_update_slice(
             cache[side + "_codes"], pack_codes(codes_t), (0, 0, 0, 0, start_w)
         )

@@ -38,11 +38,7 @@ from million_tpu.ops.pq_attention_pallas import (
     pq_paged_attention_stacked,
 )
 from million_tpu.ops.pq_attention_ref import masked_partial_attention, merge_two_partials
-from million_tpu.pq.ops import (
-    RUNTIME_ENCODE_PRECISION,
-    pq_encode,
-    pq_encode_chunked,
-)
+from million_tpu.pq.ops import runtime_encode
 
 
 def _rope_per_seq(
@@ -144,10 +140,8 @@ def paged_decode_step(
         vres_new = vres.at[jnp.arange(S), :, wr].set(
             jnp.where(active[:, None, None], v1, vres[jnp.arange(S), :, wr])
         )
-        kc1 = pq_encode(k1, kcent, SUBSPACE_LAYOUT,
-                        precision=RUNTIME_ENCODE_PRECISION)  # (S, nh_k, M)
-        vc1 = pq_encode(v1, vcent, SUBSPACE_LAYOUT,
-                        precision=RUNTIME_ENCODE_PRECISION)
+        kc1 = runtime_encode(k1, kcent, SUBSPACE_LAYOUT)  # (S, nh_k, M)
+        vc1 = runtime_encode(v1, vcent, SUBSPACE_LAYOUT)
 
         # set byte (wr % 4) of word (wr // 4) in each slot's window words
         def set_slot_byte(words, code):  # words (S, H, M, Ltw); code (S, H, M)
@@ -290,12 +284,10 @@ def paged_prefill_seq(
             v_st = _rotate(v, Rv_i)
         else:
             k_st, v_st = k, v
-        kc = jnp.swapaxes(pq_encode_chunked(
-            k_st[0], kcent, SUBSPACE_LAYOUT, precision=RUNTIME_ENCODE_PRECISION
-        ), -1, -2)
-        vc = jnp.swapaxes(pq_encode_chunked(
-            v_st[0], vcent, SUBSPACE_LAYOUT, precision=RUNTIME_ENCODE_PRECISION
-        ), -1, -2)
+        kc = jnp.swapaxes(
+            runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(
+            runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
         st = dict(st)
         if n4:
             st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(

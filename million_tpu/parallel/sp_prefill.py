@@ -58,7 +58,7 @@ from million_tpu.models.llama import (
 )
 from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 from million_tpu.parallel.ring_attention import ring_causal_local
-from million_tpu.pq.ops import RUNTIME_ENCODE_PRECISION, pq_encode
+from million_tpu.pq.ops import runtime_encode
 
 
 def prefill_sp(
@@ -127,6 +127,9 @@ def prefill_sp(
             f"tp={tp_n} axes (the arena shards batch over dp, heads over tp)"
         )
     bs_loc, nhk_loc = bs // dp_n, nh_k // tp_n
+    # kernel interpret detection must follow the MESH's devices (a CPU mesh
+    # can coexist with an accelerator default backend)
+    interp = True if mesh.devices.flat[0].platform == "cpu" else None
 
     def local_fn(ids, params, cents):
         i = jax.lax.axis_index(axis)  # linearized over tuple axes
@@ -163,11 +166,9 @@ def prefill_sp(
             else:
                 k_st, v_st = k, v
             kc = to_arena_slab(pack_codes(jnp.swapaxes(
-                pq_encode(k_st, kcent, SUBSPACE_LAYOUT,
-                          precision=RUNTIME_ENCODE_PRECISION), -1, -2)))
+                runtime_encode(k_st, kcent, SUBSPACE_LAYOUT, interp), -1, -2)))
             vc = to_arena_slab(pack_codes(jnp.swapaxes(
-                pq_encode(v_st, vcent, SUBSPACE_LAYOUT,
-                          precision=RUNTIME_ENCODE_PRECISION), -1, -2)))
+                runtime_encode(v_st, vcent, SUBSPACE_LAYOUT, interp), -1, -2)))
 
             attn = ring_causal_local(q, k, v, axis, Pn, scale)
             attn = attn.transpose(0, 2, 1, 3).reshape(bs, n_loc, -1)

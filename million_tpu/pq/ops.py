@@ -65,6 +65,40 @@ def merge_subspaces(xs: jax.Array, layout: str = "contiguous") -> jax.Array:
 # the numpy argmin and the reference-semantics contract use it.
 RUNTIME_ENCODE_PRECISION = "fast"
 
+# Runtime encode implementation: the fused Pallas kernel
+# (ops/pq_encode_pallas.py) computes the distance matmul and argmin in one
+# pass with the score tile resident in VMEM — the jnp path below must
+# materialize a (tokens, M, C) f32 distance transient in HBM, which is the
+# entire cost at runtime shapes (~61 ms of flush-window HBM traffic at the
+# 3B/32K bench shape; see the kernel header). False falls back to the jnp
+# path everywhere (A/B switch; golden tests pin both).
+RUNTIME_FUSED_ENCODE = True
+
+
+def runtime_encode(
+    x: jax.Array,
+    cents: jax.Array,
+    layout: str = "contiguous",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Production encode for prefill/flush/admission call sites: fused
+    Pallas kernel at RUNTIME_ENCODE_PRECISION, falling back to the chunked
+    jnp path when RUNTIME_FUSED_ENCODE is off. Same contract as pq_encode:
+    x (..., d), cents (M, C, d_m) -> (..., M) codes. `interpret` overrides
+    the kernel's backend autodetection — pass True when tracing for a CPU
+    mesh while an accelerator owns the default backend (the sharded call
+    sites' pattern, models/llama.py)."""
+    if RUNTIME_FUSED_ENCODE:
+        from million_tpu.ops.pq_encode_pallas import pq_encode_fused
+
+        return pq_encode_fused(
+            x, cents, layout, precision=RUNTIME_ENCODE_PRECISION,
+            interpret=interpret,
+        )
+    return pq_encode_chunked(
+        x, cents, layout, precision=RUNTIME_ENCODE_PRECISION
+    )
+
 
 def pq_encode(
     x: jax.Array,
