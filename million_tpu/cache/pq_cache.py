@@ -53,6 +53,51 @@ from million_tpu.ops.pq_attention_pallas import WORD, pack_codes
 PQCacheLayerState = Dict[str, jax.Array]
 
 
+# ---------------------------------------------------------------------------
+# Arena storage granularity. nbits <= 8 (C <= 256) word-packs 4 uint8 codes
+# per int32 — the fused Pallas kernel's format. nbits 9-12 (C <= 4096) store
+# one int16 code per arena entry and run the jnp attention path only — the
+# same split as the reference, whose CUDA kernel is compiled for nbits=8 and
+# routes nbits != 8 through the pure-torch forward (modeling_llama.py:218-343,
+# nbits2dtype pq_utils.py:542-552). The BASELINE nbits 9-12 ppl sensitivity
+# ladder runs on this path.
+# ---------------------------------------------------------------------------
+
+def wide_codes(C: int) -> bool:
+    if C > 65536:
+        raise ValueError(f"codebook size {C} exceeds int16 code storage")
+    return C > 256
+
+
+def store_codes_t(codes_t: jax.Array, wide: bool) -> jax.Array:
+    """Transposed codes (..., M, n) -> arena representation: packed int32
+    words (n//4 entries) for 8-bit arenas, int16 entries for wide ones.
+    `wide` MUST come from the destination arena's dtype (== int16) so the
+    storage always matches the arena, including asymmetric K/V geometries
+    where only one side's codebook is wide."""
+    if wide:
+        return codes_t.astype(jnp.int16)
+    return pack_codes(codes_t)
+
+
+def load_codes_t(arena: jax.Array) -> jax.Array:
+    """Arena (..., M, entries) -> transposed integer codes (..., M, n)."""
+    from million_tpu.ops.pq_attention_pallas import unpack_codes
+
+    if arena.dtype == jnp.int16:
+        return arena
+    return unpack_codes(arena)
+
+
+def codes_per_entry(C: int) -> int:
+    return 1 if wide_codes(C) else WORD
+
+
+def arena_tokens(arena: jax.Array) -> int:
+    """Token capacity of a code arena, inferred from its storage dtype."""
+    return arena.shape[-1] * (1 if arena.dtype == jnp.int16 else WORD)
+
+
 @dataclasses.dataclass(frozen=True)
 class PQCacheConfig:
     bs: int
@@ -83,9 +128,11 @@ class PQCacheConfig:
 
 def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
     """One layer's empty cache (reference init_cache, pq_utils.py:115-138)."""
+    cpe = codes_per_entry(cfg.C)
+    cdt = jnp.int16 if wide_codes(cfg.C) else jnp.int32
     return {
-        "key_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // WORD), jnp.int32),
-        "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.m_v, cfg.N_max // WORD), jnp.int32),
+        "key_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // cpe), cdt),
+        "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.m_v, cfg.N_max // cpe), cdt),
         "key_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "value_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
         "n_codes": jnp.zeros((), jnp.int32),
@@ -113,13 +160,15 @@ def flush_window(
     """
     Lt = state["key_residual"].shape[2]
     new = dict(state)
-    start_w = state["n_codes"] // WORD
+    wide = state["key_codes"].dtype == jnp.int16
+    start_w = state["n_codes"] // (1 if wide else WORD)
     for side, cents in (("key", key_cents), ("value", value_cents)):
         codes_t = jnp.swapaxes(
             runtime_encode(state[side + "_residual"], cents, layout), -1, -2
         )  # (bs, nh_k, M, Lt)
         new[side + "_codes"] = jax.lax.dynamic_update_slice(
-            state[side + "_codes"], pack_codes(codes_t), (0, 0, 0, start_w)
+            state[side + "_codes"], store_codes_t(codes_t, wide),
+            (0, 0, 0, start_w)
         )
     new["n_codes"] = state["n_codes"] + Lt
     new["r"] = jnp.zeros_like(state["r"])
@@ -149,12 +198,13 @@ def prefill_update(
             runtime_encode(k[:, :, :n4], key_cents, layout), -1, -2)
         vc = jnp.swapaxes(
             runtime_encode(v[:, :, :n4], value_cents, layout), -1, -2)
-        start_w = state["n_codes"] // WORD
+        wide = state["key_codes"].dtype == jnp.int16
+        start_w = state["n_codes"] // (1 if wide else WORD)
         new["key_codes"] = jax.lax.dynamic_update_slice(
-            state["key_codes"], pack_codes(kc), (0, 0, 0, start_w)
+            state["key_codes"], store_codes_t(kc, wide), (0, 0, 0, start_w)
         )
         new["value_codes"] = jax.lax.dynamic_update_slice(
-            state["value_codes"], pack_codes(vc), (0, 0, 0, start_w)
+            state["value_codes"], store_codes_t(vc, wide), (0, 0, 0, start_w)
         )
         new["n_codes"] = state["n_codes"] + n4
     if tail:
@@ -239,12 +289,15 @@ def stacked_prefix_write(
     cache = dict(cache)
     n4 = kc_t.shape[-1]
     if n4:
-        start_w = cache["n_codes"][li] // WORD
+        wide = cache["key_codes"].dtype == jnp.int16
+        start_w = cache["n_codes"][li] // (1 if wide else WORD)
         cache["key_codes"] = jax.lax.dynamic_update_slice(
-            cache["key_codes"], pack_codes(kc_t)[None], (li, 0, 0, 0, start_w)
+            cache["key_codes"], store_codes_t(kc_t, wide)[None],
+            (li, 0, 0, 0, start_w)
         )
         cache["value_codes"] = jax.lax.dynamic_update_slice(
-            cache["value_codes"], pack_codes(vc_t)[None], (li, 0, 0, 0, start_w)
+            cache["value_codes"], store_codes_t(vc_t, wide)[None],
+            (li, 0, 0, 0, start_w)
         )
     if k_tail is not None and k_tail.shape[2]:
         r0 = cache["r"][li]

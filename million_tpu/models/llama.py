@@ -27,7 +27,11 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from million_tpu.cache.pq_cache import PQCacheLayerState, stacked_prefix_write
+from million_tpu.cache.pq_cache import (
+    PQCacheLayerState,
+    stacked_prefix_write,
+    store_codes_t,
+)
 from million_tpu.cache.dense_cache import dense_prefill_update
 from million_tpu.ops.pq_attention_ref import (
     causal_attention,
@@ -73,6 +77,10 @@ def build_tables(cents):
     cents {"key": (L, M, C, d_m), "value": ...} ->
     {"key": ..., "value": ..., "kpack": (L, d=M*d_m, 128), "vpack": ...}
     """
+    if cents["key"].shape[-2] > 256 or cents["value"].shape[-2] > 256:
+        # wide codebooks (nbits > 8): no kernel format — decode_step
+        # auto-demotes to the jnp path, which reads raw cents only
+        return dict(cents)
     d_k, d_v = direct_flags(cents)
     return {
         **cents,
@@ -496,6 +504,10 @@ def decode_step(
     # same math, LSE-identical. This is the TPU-native analogue of the
     # reference's layered kernel fallback chain (paged_pq_utils.py:816-895):
     # resolved statically at trace time instead of caught at runtime.
+    if mode == "pq_pallas" and cache["key_codes"].dtype == jnp.int16:
+        # wide codebooks (nbits > 8) have no kernel format — jnp path (the
+        # reference's pure-torch nbits != 8 route, modeling_llama.py:218-343)
+        mode = "pq"
     if mode == "pq_pallas" and jax.default_backend() != "cpu":
         n_arena = cache["key_codes"].shape[-1] * 4
         n_seq_shards = 1
@@ -571,14 +583,14 @@ def decode_step(
                         n_codes=start, r=r + 1, n_bucket=n_bucket,
                     )
             else:
-                from million_tpu.ops.pq_attention_pallas import unpack_codes
+                from million_tpu.cache.pq_cache import load_codes_t
 
                 attn = pq_decode_attention_ref(
                     q_att[:, :, 0],
-                    unpack_codes(
+                    load_codes_t(
                         jax.lax.dynamic_index_in_dim(cache["key_codes"], i, 0, False)
                     ),
-                    unpack_codes(
+                    load_codes_t(
                         jax.lax.dynamic_index_in_dim(cache["value_codes"], i, 0, False)
                     ),
                     kcent,
@@ -634,7 +646,8 @@ def _flush_windows_stacked(cache, cents, interp=None):
 
     cache = dict(cache)
     Lt = cache["key_residual"].shape[3]
-    start_w = cache["n_codes"][0] // WORD
+    wide = cache["key_codes"].dtype == jnp.int16
+    start_w = cache["n_codes"][0] // (1 if wide else WORD)
     for side in ("key", "value"):
         if RUNTIME_FUSED_ENCODE:
             from million_tpu.ops.pq_encode_pallas import pq_encode_fused_stacked
@@ -656,7 +669,8 @@ def _flush_windows_stacked(cache, cents, interp=None):
                 )
             codes_t = jax.lax.map(enc, (cache[side + "_residual"], cents[side]))
         cache[side + "_codes"] = jax.lax.dynamic_update_slice(
-            cache[side + "_codes"], pack_codes(codes_t), (0, 0, 0, 0, start_w)
+            cache[side + "_codes"], store_codes_t(codes_t, wide),
+            (0, 0, 0, 0, start_w),
         )
     cache["n_codes"] = cache["n_codes"] + Lt
     cache["r"] = jnp.zeros_like(cache["r"])

@@ -53,7 +53,7 @@ LANES = 128
 
 
 def _encode_kernel(x_ref, c_ref, out_ref, *, prec):
-    # x_ref (1, 1, K, TB); c_ref (1, 1, C, K); out_ref (1, 1, TB) int32
+    # x_ref (1, 1, K, TB); c_ref (1, 1, C, K); out_ref (1, 1, 1, 1, TB) i32
     scores = jax.lax.dot_general(
         c_ref[0, 0],
         x_ref[0, 0],
@@ -65,7 +65,7 @@ def _encode_kernel(x_ref, c_ref, out_ref, *, prec):
     mx = jnp.max(scores, axis=0, keepdims=True)
     iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
     idx = jnp.min(jnp.where(scores >= mx, iota, C), axis=0, keepdims=True)
-    out_ref[0] = idx
+    out_ref[0, 0, 0] = idx
 
 
 @functools.partial(
@@ -131,7 +131,11 @@ def pq_encode_fused_stacked(
     c_aug = c_aug.at[:, :, :, d_m].set(hi)
     c_aug = c_aug.at[:, :, :, d_m + 1].set(lo)
 
-    grid = (S, Bp // tb, M)
+    nB = Bp // tb
+    grid = (S, nB, M)
+    # out is (S, M, nB, 1, tb): the explicit singleton sublane dim lets the
+    # compiled BlockSpec carry a (1, tb) row block (the last-two-dims rule
+    # requires block dims divisible by (8, 128) or equal to the array dims)
     out = pl.pallas_call(
         functools.partial(_encode_kernel, prec=prec),
         grid=grid,
@@ -139,11 +143,14 @@ def pq_encode_fused_stacked(
             pl.BlockSpec((1, 1, K, tb), lambda s, b, m: (s, m, 0, b)),
             pl.BlockSpec((1, 1, C, K), lambda s, b, m: (s, m, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tb), lambda s, b, m: (s, m, b)),
-        out_shape=jax.ShapeDtypeStruct((S, M, Bp), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1, tb), lambda s, b, m: (s, m, b, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, M, nB, 1, tb), jnp.int32),
         interpret=interpret,
     )(x_aug, c_aug)
 
+    out = out.reshape(S, M, Bp)
     codes = jnp.transpose(out[:, :, :B], (0, 2, 1))  # (S, B, M)
     codes = codes.reshape(S, *batch_shape, M)
     return codes.astype(jnp.uint8 if C <= 256 else jnp.int32)

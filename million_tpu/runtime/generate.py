@@ -67,7 +67,9 @@ def generate(
     # CLAMPS out-of-range writes, which would silently overwrite the newest
     # codes instead of failing (observed in verification probe P5).
     if mode != "dense":
-        n_max = cache["key_codes"].shape[-1] * 4  # arena stores packed words
+        from million_tpu.cache.pq_cache import arena_tokens
+
+        n_max = arena_tokens(cache["key_codes"])
         lt = cache["key_residual"].shape[-2]
         # Prefill writes the 4-aligned prompt prefix as codes; decode
         # flushes whole Lt-sized residual windows. Arena high-water mark =

@@ -125,3 +125,97 @@ def test_stacked_init_and_memory():
     mem = cache_memory_bytes(cfg, 3)
     # 4-bit effective: codes are ~4x smaller than dense bf16 KV on the arena
     assert 3.0 < mem["compression"] < 4.5
+
+
+class TestWideCodes:
+    """nbits > 8 (C > 256): int16 arena, jnp attention path — the BASELINE
+    nbits 9-12 sensitivity ladder's storage (reference nbits2dtype,
+    pq_utils.py:542-552; pure-torch path modeling_llama.py:218-343)."""
+
+    def test_store_load_roundtrip_int16(self, rng):
+        from million_tpu.cache.pq_cache import load_codes_t, store_codes_t
+
+        codes = jnp.asarray(rng.integers(0, 512, (2, 3, 8, 64)), jnp.int32)
+        arena = store_codes_t(codes, True)
+        assert arena.dtype == jnp.int16 and arena.shape == codes.shape
+        np.testing.assert_array_equal(np.asarray(load_codes_t(arena)), np.asarray(codes))
+
+    def test_wide_cache_shapes(self):
+        from million_tpu.cache.pq_cache import (
+            PQCacheConfig, arena_tokens, init_layer_state,
+        )
+
+        cfg = PQCacheConfig(bs=1, nh_k=2, d=16, M=8, C=1024, Lt=8, N_max=64)
+        st = init_layer_state(cfg)
+        assert st["key_codes"].dtype == jnp.int16
+        assert st["key_codes"].shape == (1, 2, 8, 64)
+        assert arena_tokens(st["key_codes"]) == 64
+
+    def test_wide_flush_and_decode_update(self, rng):
+        """flush_window writes int16 codes at token granularity; contents
+        decode back through the arena exactly as encoded."""
+        from million_tpu.cache.pq_cache import (
+            PQCacheConfig, flush_window, init_layer_state, load_codes_t,
+        )
+        from million_tpu.pq.ops import pq_encode
+
+        cfg = PQCacheConfig(
+            bs=1, nh_k=2, d=16, M=8, C=512, Lt=8, N_max=64, dtype=jnp.float32
+        )
+        st = dict(init_layer_state(cfg))
+        res = rng.standard_normal((1, 2, 8, 16)).astype(np.float32)
+        st["key_residual"] = jnp.asarray(res)
+        st["value_residual"] = jnp.asarray(res)
+        kcent = jnp.asarray(rng.standard_normal((8, 512, 2)), jnp.float32)
+        vcent = jnp.asarray(rng.standard_normal((8, 512, 2)), jnp.float32)
+        st2 = flush_window(st, kcent, vcent)
+        assert int(st2["n_codes"]) == 8 and int(st2["r"]) == 0
+        want = np.asarray(
+            pq_encode(jnp.asarray(res), kcent, "strided", precision="fast")
+        )  # (1, 2, 8 tokens, M)
+        got = np.swapaxes(
+            np.asarray(load_codes_t(st2["key_codes"]))[:, :, :, :8], -1, -2
+        )
+        # runtime fused encode vs jnp fast: near-ties only — check high
+        # agreement rather than bit equality
+        assert (got == want).mean() > 0.97
+
+    def test_wide_generate_e2e(self, rng):
+        """Tiny-model generation with nbits=9: pq_pallas auto-demotes to the
+        jnp path; pq and pq_pallas modes produce IDENTICAL tokens (same
+        route), and generation crosses a flush boundary."""
+        import dataclasses
+
+        from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+        from million_tpu.models.llama import PRESETS, build_tables, init_params
+        from million_tpu.runtime.generate import generate
+        from million_tpu.runtime.sampling import SamplingConfig
+
+        cfg = dataclasses.replace(PRESETS["test-tiny"], num_layers=2)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        M, C = cfg.head_dim // 2, 512
+        cents = {
+            "key": jnp.asarray(
+                rng.standard_normal((2, M, C, 2)), jnp.float32
+            ),
+            "value": jnp.asarray(
+                rng.standard_normal((2, M, C, 2)), jnp.float32
+            ),
+        }
+        tables = build_tables(cents)
+        assert "kpack" not in tables  # wide: no kernel tables
+        pq_cfg = PQCacheConfig(
+            bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=8,
+            N_max=128, dtype=jnp.float32,
+        )
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)), jnp.int32)
+        outs = {}
+        for mode in ("pq", "pq_pallas"):
+            res, cache = generate(
+                params, cfg, ids, init_state(pq_cfg, 2), tables, mode=mode,
+                max_new_tokens=16, sampling=SamplingConfig(temperature=0.0),
+            )
+            outs[mode] = res.tokens
+            assert cache["key_codes"].dtype == jnp.int16
+            assert int(cache["n_codes"][0]) > 12  # flushed past the prompt
+        np.testing.assert_array_equal(outs["pq"], outs["pq_pallas"])
