@@ -1,0 +1,170 @@
+"""End-to-end quality ladder: Δppl(dense → PQ) on a trained model + real text.
+
+The reference's quality anchor is teacher-forced wikitext-2 perplexity of
+llama-2-7b with fully-quantized history (distort_recent), swept over nbits
+8..12 and M geometries (BASELINE.md ppl rows; protocol main_pq.py:251-407).
+This module reproduces that protocol at environment scale against the
+pinned trained byte-LM (benchmarks/tiny_lm.py): for each ladder rung it
+runs the REAL pipeline — sample KV from the model's own prefill on held-out
+text, train codebooks with the production k-means, evaluate distorted-
+prefill ppl — and reports Δppl vs the dense baseline.
+
+Rungs:
+  - M = d/2 (d_m=2), nbits 8..12  — the BASELINE sensitivity ladder
+    (nbits 9-12 run the int16/jnp path, like the reference's pure-torch
+    nbits != 8 route)
+  - M = d/4 (d_m=4), nbits 8      — the known-degenerate coarse geometry
+    (BASELINE: M=32 at d=128 gives ppl 14.97 vs 5.33)
+  - OPQ at M = d/2, nbits 8       — rotation win or parity
+  - asymmetric K d_m=2 / V d_m=4  — the kernel-speed geometry that ships
+    behind pq.M_v; this rung is its quality gate (see PERF.md)
+
+Run: python -m million_tpu.benchmarks.quality_ladder [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from million_tpu.benchmarks.perplexity import perplexity
+from million_tpu.benchmarks.tiny_lm import (
+    build_corpus,
+    load_checkpoint,
+)
+from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+from million_tpu.cache.dense_cache import DenseCacheConfig, init_dense_state
+from million_tpu.models import llama
+from million_tpu.pq.kmeans import train_opq, train_pq
+
+
+def sample_kv(params, cfg, tokens, *, windows=8, ctx=512):
+    """Collect per-layer K/V head vectors from dense prefills on the FIRST
+    windows of the stream (the sampling stage's role, main_pq.py:168-205 —
+    here the vectors come straight out of the dense cache instead of a
+    save_forward hook writing fvecs)."""
+    dcfg = DenseCacheConfig(
+        bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=ctx, dtype=cfg.dtype
+    )
+    ks, vs = [], []
+    for w in range(windows):
+        ids = jnp.asarray(tokens[w * ctx : (w + 1) * ctx][None], jnp.int32)
+        cache = init_dense_state(dcfg, cfg.num_layers)
+        _, cache = llama.prefill(params, cfg, ids, cache, None, mode="dense")
+        # (L, bs, nh_k, n, d) -> per layer (bs*nh_k*n, d)
+        ks.append(np.asarray(cache["k"]).reshape(cfg.num_layers, -1, cfg.head_dim))
+        vs.append(np.asarray(cache["v"]).reshape(cfg.num_layers, -1, cfg.head_dim))
+    return np.concatenate(ks, axis=1), np.concatenate(vs, axis=1)
+
+
+def train_cents(kv, M, nbits, *, iters=15, opq=False, seed=0):
+    """Per-layer codebooks (and OPQ rotations): (L, M, C, d_m) [+ (L, d, d)]."""
+    L = kv.shape[0]
+    cents, rots = [], []
+    for l in range(L):
+        x = jnp.asarray(kv[l])
+        if opq:
+            R, c = train_opq(x, M=M, nbits=nbits, iters=iters, seed=seed + l,
+                             layout="strided")
+            rots.append(np.asarray(R))
+        else:
+            c = train_pq(x, M=M, nbits=nbits, iters=iters, seed=seed + l,
+                         layout="strided")
+        cents.append(np.asarray(c))
+    out = jnp.asarray(np.stack(cents), jnp.float32)
+    return (out, jnp.asarray(np.stack(rots), jnp.float32) if opq else None)
+
+
+def ladder_rung(
+    params, cfg, eval_tokens, kv_k, kv_v, *,
+    M_k: int, nbits_k: int, M_v: Optional[int] = None,
+    nbits_v: Optional[int] = None, opq: bool = False,
+    max_length: int = 512, max_windows: int = 8, train_iters: int = 15,
+) -> Dict:
+    M_v = M_v or M_k
+    nbits_v = nbits_v or nbits_k
+    ck, Rk = train_cents(kv_k, M_k, nbits_k, iters=train_iters, opq=opq)
+    cv, Rv = train_cents(kv_v, M_v, nbits_v, iters=train_iters, opq=opq,
+                         seed=100)
+    cents = {"key": ck, "value": cv}
+    if opq:
+        cents["Rk"], cents["Rv"] = Rk, Rv
+    tables = llama.build_tables(cents)
+    pqc = PQCacheConfig(
+        bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M_k, M_v=M_v,
+        C=2 ** max(nbits_k, nbits_v), Lt=64, N_max=max_length,
+        dtype=cfg.dtype,
+    )
+    r = perplexity(
+        params, cfg, eval_tokens,
+        lambda: init_state(pqc, cfg.num_layers), tables,
+        mode="pq", max_length=max_length, distort_recent=True,
+        max_windows=max_windows,
+    )
+    return {
+        "M": M_k, "nbits": nbits_k, "M_v": M_v, "nbits_v": nbits_v,
+        "opq": opq, "ppl": r["ppl"],
+    }
+
+
+def run_ladder(*, fast: bool = False, max_windows: int = 8,
+               max_length: int = 512) -> Dict:
+    params, cfg = load_checkpoint()
+    tokens = build_corpus()
+    holdout = 1 << 16
+    eval_tokens = tokens[-holdout:]  # never seen in training
+    sample_tokens = tokens[-2 * holdout : -holdout]
+    kv_k, kv_v = sample_kv(params, cfg, sample_tokens)
+
+    dense = perplexity(
+        params, cfg, eval_tokens,
+        lambda: init_dense_state(
+            DenseCacheConfig(bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim,
+                             N_max=max_length, dtype=cfg.dtype),
+            cfg.num_layers,
+        ),
+        None, mode="dense", max_length=max_length, distort_recent=False,
+        max_windows=max_windows,
+    )
+    M = cfg.head_dim // 2
+    rungs = [dict(M_k=M, nbits_k=8)]
+    if not fast:
+        rungs += [dict(M_k=M, nbits_k=nb) for nb in (9, 10, 11, 12)]
+        rungs += [
+            dict(M_k=cfg.head_dim // 4, nbits_k=8),          # degenerate d_m=4
+            dict(M_k=M, nbits_k=8, opq=True),                 # OPQ
+            dict(M_k=M, nbits_k=8, M_v=cfg.head_dim // 4,     # asym V d_m=4
+                 nbits_v=7),
+        ]
+    rows = []
+    for kw in rungs:
+        row = ladder_rung(
+            params, cfg, eval_tokens, kv_k, kv_v,
+            max_length=max_length, max_windows=max_windows, **kw,
+        )
+        row["dppl"] = row["ppl"] - dense["ppl"]
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    out = {"dense_ppl": dense["ppl"], "rows": rows}
+    print(json.dumps({"dense_ppl": dense["ppl"]}), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="nbits=8 rung only (the regression-test slice)")
+    ap.add_argument("--windows", type=int, default=8)
+    ap.add_argument("--max-length", type=int, default=512)
+    args = ap.parse_args()
+    run_ladder(fast=args.fast, max_windows=args.windows,
+               max_length=args.max_length)
+
+
+if __name__ == "__main__":
+    main()

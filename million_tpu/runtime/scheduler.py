@@ -2,9 +2,25 @@
 
 New capability relative to the reference (which serves exactly one request
 at a time through HF generate, SURVEY.md §2.3): a slot-based scheduler in
-the vLLM style — admit requests into free slots, allocate pages on demand,
+the vLLM style — admit requests into free slots, allocate pages ON DEMAND,
 run one batched `paged_decode_step` for all active slots per tick, retire
 finished sequences and recycle their pages.
+
+Paging policy (matches the reference PageManager's allocate-on-demand
+behavior, dynamic_paged_pq_utils.py:176-214, rather than worst-case
+reservation): admission charges only the PROMPT plus one residual-window
+flush of headroom; each slot then grows by one page at a time, allocated
+just before the tick whose device-side flush would cross a page boundary
+(paged_decode_step flushes automatically when seq_r >= Lt, and an
+unallocated table entry would route the flushed codes to the scratch page
+— so the host MUST stay ahead of the flush schedule, which it knows
+exactly from its token-count mirrors). When the pool cannot serve a
+required grow, the most recently admitted other slot is PREEMPTED
+(recompute-style: its pages are freed and the request re-queued at the
+front with its generated-so-far tokens folded into the re-admission
+prefill, so no emitted token is lost). Admission skips ahead past a
+blocked head-of-line request within a bounded window so small requests
+can fill pool gaps without starving the head.
 
 Host/device split: page-capacity and completion decisions are host-side
 (they need the sampled tokens anyway); all compute and cache state stay on
@@ -73,6 +89,10 @@ class Scheduler:
         self.last_token = jnp.zeros((S,), jnp.int32)
         self.waiting: List[Request] = []
         self.finished: List[FinishedRequest] = []
+        self.slot_order: List[int] = []  # admission order (oldest first)
+        self._preempt_saved: Dict[int, List[int]] = {}  # rid -> generated
+        self.admit_skip_window = 4  # skip-ahead bound (head never starved)
+        self.preemptions = 0
 
     # ---------------- admission -----------------------------------------
     def submit(self, req: Request) -> None:
@@ -87,42 +107,119 @@ class Scheduler:
     def _pages_for(self, n_tokens: int) -> int:
         return -(-n_tokens // self.pcfg.page_size)
 
+    def _free_pages(self) -> int:
+        return self.pcfg.n_pages - int(np.asarray(self.state["used"]).sum())
+
+    def _admission_need(self, req: Request) -> int:
+        """Pages charged at admission: the prompt (plus generated-so-far on
+        re-admission after preemption) + one flush window of headroom — NOT
+        the worst case; the slot grows on demand during decode."""
+        n = len(req.prompt) + len(self._preempt_saved.get(req.rid, []))
+        return self._pages_for(n + self.pcfg.Lt)
+
+    def _admit_one(self, req: Request, slot: int) -> None:
+        saved = self._preempt_saved.pop(req.rid, [])
+        prompt = np.concatenate([req.prompt, np.asarray(saved, np.int32)])
+        n = len(prompt)
+        need = self._pages_for(n + self.pcfg.Lt)
+        sid = jnp.asarray(slot)
+        self.state = allocate_pages(self.state, sid, need)
+        ids = jnp.asarray(prompt[None, :], jnp.int32)
+        logits, self.state = paged_prefill_seq(
+            self.params, self.cfg, self.pcfg, sid, ids, self.state, self.tables
+        )
+        self.key, sk = jax.random.split(self.key)
+        tok = sample(logits, sk, self.sampling)  # (1,)
+        self.slot_req[slot] = req
+        self.slot_generated[slot] = saved + [int(np.asarray(tok[0]))]
+        self.slot_pos[slot] = n
+        self.slot_pages[slot] = need
+        self.slot_codes[slot] = n - (n % 4)  # prefill packs the aligned prefix
+        self.slot_r[slot] = n % 4
+        self.slot_order.append(slot)
+        self.last_token = self.last_token.at[slot].set(tok[0])
+
     def _try_admit(self) -> None:
         while self.waiting:
             slot = self._free_slot()
             if slot is None:
                 return
-            req = self.waiting[0]
-            n = len(req.prompt)
-            # pages for prompt + all future flushes + Lt headroom for the
-            # decode path's unconditional window mirror
-            worst = n + req.max_new_tokens + self.pcfg.Lt
-            need = self._pages_for(worst)
-            free_pages = self.pcfg.n_pages - int(np.asarray(self.state["used"]).sum())
-            if need > min(free_pages, self.pcfg.pages_per_seq):
-                return  # head-of-line blocking until pages free up
-            self.waiting.pop(0)
-            sid = jnp.asarray(slot)
-            self.state = allocate_pages(self.state, sid, need)
-            ids = jnp.asarray(req.prompt[None, :], jnp.int32)
-            logits, self.state = paged_prefill_seq(
-                self.params, self.cfg, self.pcfg, sid, ids, self.state, self.tables
-            )
-            self.key, sk = jax.random.split(self.key)
-            tok = sample(logits, sk, self.sampling)  # (1,)
-            self.slot_req[slot] = req
-            self.slot_generated[slot] = [int(np.asarray(tok[0]))]
-            self.slot_pos[slot] = n
-            self.slot_pages[slot] = need
-            self.slot_codes[slot] = n
-            self.slot_r[slot] = 0
-            self.last_token = self.last_token.at[slot].set(tok[0])
+            free = min(self._free_pages(), self.pcfg.pages_per_seq)
+            # head first; if blocked, skip ahead within a bounded window so
+            # a small request can use the gap (head is retried every tick,
+            # so it cannot be starved by the skips)
+            pick = None
+            for j, req in enumerate(self.waiting[: self.admit_skip_window]):
+                if self._admission_need(req) <= free:
+                    pick = j
+                    break
+            if pick is None:
+                return
+            req = self.waiting.pop(pick)
+            self._admit_one(req, slot)
+
+    # ---------------- preemption & on-demand growth ----------------------
+    def _preempt(self, slot: int) -> None:
+        """Recompute-preempt `slot`: free its pages, stash its generated
+        tokens, and re-queue the request at the FRONT of the waiting list.
+        On re-admission the stash is folded into the prefill, so emitted
+        tokens survive the preemption."""
+        req = self.slot_req[slot]
+        self._preempt_saved[req.rid] = list(self.slot_generated[slot])
+        self.state = free_sequence(self.state, jnp.asarray(slot))
+        self.slot_req[slot] = None
+        self.slot_generated[slot] = []
+        self.slot_pos[slot] = 0
+        self.slot_pages[slot] = 0
+        self.slot_codes[slot] = 0
+        self.slot_r[slot] = 0
+        self.slot_order.remove(slot)
+        self.waiting.insert(0, req)
+        self.preemptions += 1
+
+    def _grow_for_flush(self) -> None:
+        """Allocate pages ahead of any slot whose flush fires on the NEXT
+        tick (the host mirror advances slot_codes one tick before the
+        device's seq_r >= Lt flush — see step(); an unallocated table entry
+        would leak the flushed codes to the scratch page, so growth must
+        land before that tick). Preempts the youngest OTHER slot when the
+        pool is dry."""
+        for i in list(self.slot_order):
+            if self.slot_req[i] is None:
+                continue
+            need = self._pages_for(int(self.slot_codes[i]))
+            grow = need - int(self.slot_pages[i])
+            if grow <= 0:
+                continue
+            if need > self.pcfg.pages_per_seq:
+                raise RuntimeError(
+                    f"slot {i} needs {need} pages > pages_per_seq "
+                    f"({self.pcfg.pages_per_seq}); raise pages_per_seq"
+                )
+            while self._free_pages() < grow:
+                if len(self.slot_order) == 1:
+                    raise RuntimeError(
+                        "pool exhausted with a single active sequence; "
+                        "n_pages is too small for this request"
+                    )
+                # the YOUNGEST active slot pays — possibly the requester
+                # itself — preserving oldest-first service
+                youngest = self.slot_order[-1]
+                self._preempt(youngest)
+                if youngest == i:
+                    break
+            if self.slot_req[i] is None:
+                continue  # preempted itself; re-queued for later
+            self.state = allocate_pages(self.state, jnp.asarray(i), grow)
+            self.slot_pages[i] += grow
 
     # ---------------- one decode tick ------------------------------------
     def step(self) -> int:
-        """Admit what fits, then decode one token for every active slot.
-        Returns the number of active slots that advanced."""
+        """Admit what fits, grow pages ahead of imminent flushes, then
+        decode one token for every active slot. Returns the number of
+        active slots that advanced."""
         self._try_admit()
+        self._grow_for_flush()
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return 0
@@ -169,6 +266,7 @@ class Scheduler:
         self.slot_pages[slot] = 0
         self.slot_codes[slot] = 0
         self.slot_r[slot] = 0
+        self.slot_order.remove(slot)
 
     def stats(self) -> Dict:
         """Serving observability: pool/slot state plus queue depths — the
@@ -180,6 +278,7 @@ class Scheduler:
         s["waiting_requests"] = len(self.waiting)
         s["finished_requests"] = len(self.finished)
         s["in_flight"] = sum(r is not None for r in self.slot_req)
+        s["preemptions"] = self.preemptions
         return s
 
     def run_to_completion(self, max_ticks: int = 100000) -> List[FinishedRequest]:

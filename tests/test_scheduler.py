@@ -197,3 +197,107 @@ def test_scheduler_stats_observability(rng):
     s2 = sched.stats()
     assert s2["pages_used"] == 0 and s2["in_flight"] == 0
     assert s2["finished_requests"] == 1
+
+
+def test_scheduler_on_demand_paging_beats_worst_case(rng):
+    """A request whose WORST-CASE page demand exceeds the pool but whose
+    actual usage fits must complete (reference PageManager allocates on
+    demand, dynamic_paged_pq_utils.py:176-214; round-1 worst-case
+    reservation would stall here). prompt 128 + 128 new tokens: worst case
+    = pages_for(128+128+8) = 3 pages, actual high water = 248 tokens = 2."""
+    params, cents, tables, _ = build(rng)
+    pcfg = PagedPQCacheConfig(
+        num_layers=2, nh_k=2, d=32, M=16, C=64, Lt=8,
+        page_size=128, n_pages=2, max_seqs=1, pages_per_seq=4,
+        dtype=jnp.float32,
+    )
+    sched = Scheduler(params, CFG, pcfg, tables)
+    prompt = rng.integers(0, 300, 128).astype(np.int32)
+    sched.submit(Request(rid=0, prompt=prompt, max_new_tokens=128))
+    done = sched.run_to_completion(max_ticks=200)
+    assert len(done) == 1 and len(done[0].tokens) == 128
+    assert np.isfinite(done[0].tokens).all()
+    assert sched.preemptions == 0
+    assert int(np.asarray(sched.state["used"]).sum()) == 0
+
+
+def test_scheduler_preemption_and_resume(rng):
+    """Two sequences whose combined growth exceeds the pool: the youngest
+    is recompute-preempted, its generated-so-far tokens survive into the
+    re-admission prefill, and both requests finish with full token counts."""
+    params, cents, tables, _ = build(rng)
+    pcfg = PagedPQCacheConfig(
+        num_layers=2, nh_k=2, d=32, M=16, C=64, Lt=8,
+        page_size=128, n_pages=3, max_seqs=2, pages_per_seq=3,
+        dtype=jnp.float32,
+    )
+    sched = Scheduler(params, CFG, pcfg, tables)
+    for rid in (0, 1):
+        sched.submit(Request(
+            rid=rid,
+            prompt=rng.integers(0, 300, 100).astype(np.int32),
+            max_new_tokens=60,
+        ))
+    done = sched.run_to_completion(max_ticks=400)
+    assert sorted(f.rid for f in done) == [0, 1]
+    for f in done:
+        assert len(f.tokens) == 60, f"rid {f.rid}: {len(f.tokens)} tokens"
+        assert np.isfinite(f.tokens).all()
+    assert sched.preemptions >= 1  # the pool genuinely could not hold both
+    assert int(np.asarray(sched.state["used"]).sum()) == 0
+
+
+def test_scheduler_preemption_preserves_tokens(rng):
+    """The tokens a preempted slot emitted before eviction appear verbatim
+    in its final output (recompute preemption loses no emitted token)."""
+    params, cents, tables, _ = build(rng)
+    pcfg = PagedPQCacheConfig(
+        num_layers=2, nh_k=2, d=32, M=16, C=64, Lt=8,
+        page_size=128, n_pages=3, max_seqs=2, pages_per_seq=3,
+        dtype=jnp.float32,
+    )
+    sched = Scheduler(params, CFG, pcfg, tables)
+    for rid in (0, 1):
+        sched.submit(Request(
+            rid=rid,
+            prompt=rng.integers(0, 300, 100).astype(np.int32),
+            max_new_tokens=60,
+        ))
+    seen_prefix = {}
+    while sched.waiting or any(r is not None for r in sched.slot_req):
+        sched.step()
+        if sched.preemptions and not seen_prefix:
+            # capture the stash the moment the first preemption happens
+            for rid, toks in sched._preempt_saved.items():
+                seen_prefix[rid] = list(toks)
+    assert seen_prefix, "expected a preemption in this configuration"
+    for f in sched.finished:
+        if f.rid in seen_prefix:
+            pre = seen_prefix[f.rid]
+            assert list(f.tokens[: len(pre)]) == pre
+
+
+def test_scheduler_skip_ahead_admission(rng):
+    """A small request behind a blocked head-of-line request is admitted
+    into the free pages; the head still goes first once pages free up."""
+    params, cents, tables, _ = build(rng)
+    pcfg = PagedPQCacheConfig(
+        num_layers=2, nh_k=2, d=32, M=16, C=64, Lt=8,
+        page_size=128, n_pages=4, max_seqs=2, pages_per_seq=4,
+        dtype=jnp.float32,
+    )
+    sched = Scheduler(params, CFG, pcfg, tables)
+    # long-running resident eats 2 pages
+    sched.submit(Request(rid=0, prompt=rng.integers(0, 300, 200).astype(np.int32),
+                         max_new_tokens=40))
+    sched.step()
+    # big head (needs 4 pages: 400 + Lt) is blocked; small one fits now
+    sched.submit(Request(rid=1, prompt=rng.integers(0, 300, 400).astype(np.int32),
+                         max_new_tokens=4))
+    sched.submit(Request(rid=2, prompt=rng.integers(0, 300, 20).astype(np.int32),
+                         max_new_tokens=4))
+    sched.step()
+    active_rids = {r.rid for r in sched.slot_req if r is not None}
+    assert 2 in active_rids and 1 not in active_rids  # skipped ahead
+    done = sched.run_to_completion(max_ticks=300)
+    assert sorted(f.rid for f in done) == [0, 1, 2]
