@@ -51,13 +51,19 @@ def _merge_over(out: jax.Array, lse: jax.Array, seq_axes: Tuple[str, ...]):
     """Associative LSE merge across the sequence axes (reference reduce
     kernel math, Kernel.cuh:1211-1270). XLA lowers the psum over ("dcn",
     "sp") hierarchically: ICI reduce within a slice, then the tiny
-    (G, d)+scalar per head crosses DCN."""
+    (G, d)+scalar per head crosses DCN.
+
+    TWO collectives per merge, not three: the numerator and denominator
+    ride ONE psum as a concatenated (..., d+1) tensor. Decode issues a
+    merge per layer per step, so per-merge collective latency is the
+    sp-scaling ceiling at long context (benchmarks/scaling_bench.py models
+    exactly this: COLLECTIVES_PER_MERGE)."""
     mx = jax.lax.pmax(lse, seq_axes)
     w = jnp.exp(lse - mx)
-    num = jax.lax.psum(out * w[..., None], seq_axes)
-    den = jax.lax.psum(w, seq_axes)
-    merged = num / jnp.maximum(den, 1e-30)[..., None]
-    return merged, mx + jnp.log(jnp.maximum(den, 1e-30))
+    stacked = jnp.concatenate([out * w[..., None], w[..., None]], axis=-1)
+    tot = jax.lax.psum(stacked, seq_axes)
+    num, den = tot[..., :-1], jnp.maximum(tot[..., -1], 1e-30)
+    return num / den[..., None], mx + jnp.log(den)
 
 
 def sharded_pq_codes_attention(
