@@ -26,6 +26,7 @@ import numpy as np
 
 CTX = 32768
 HBM_BUDGET = 13.5e9  # bytes usable for weights+cache on a 16 GB chip
+FLUSH_STATS = {}  # filled by measure_pq: p50 vs flush-step latency
 
 
 def log(*a):
@@ -110,14 +111,21 @@ def measure_pq(cfg, params, bs, iters):
         return (jnp.argmax(logits, -1).astype(jnp.int32), cache)
 
     dt = chained_bench(lambda st: step(params, tables, st), make_state, iters=iters)
-    # One step in Lt carries the residual-window flush (batch encode + slab
-    # write); amortize its extra cost into the reported TPOT so the number
-    # is a true steady-state decode average.
+    # One step in Lt carries the residual-window flush (fused-kernel batch
+    # encode + slab write); amortize its extra cost into the reported TPOT
+    # so the number is a true steady-state decode average. The flush step
+    # is also the worst-case (tail) per-token latency: with Lt=128 it sits
+    # at p99.2, so flush/p50 is the serving jitter ratio.
     Lt = pq_cfg.Lt
     dt_flush = chained_bench(
         lambda st: step(params, tables, st, flush=True), make_state, iters=8
     )
-    log(f"flush step: {dt_flush*1e3:.2f} ms (amortized /{Lt})")
+    log(f"flush step: {dt_flush*1e3:.2f} ms (amortized /{Lt}; "
+        f"tail ratio flush/p50 = {dt_flush/dt:.2f}x)")
+    global FLUSH_STATS
+    FLUSH_STATS = {"p50_ms": round(dt * 1e3, 3),
+                   "flush_step_ms": round(dt_flush * 1e3, 3),
+                   "flush_over_p50": round(dt_flush / dt, 3)}
     return dt + max(dt_flush - dt, 0.0) / Lt
 
 
@@ -239,6 +247,7 @@ def main():
                 "value": round(pq_tps, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(pq_tps / dense_tps, 3),
+                **FLUSH_STATS,
             }
         )
     )

@@ -137,7 +137,78 @@ def _history_partial(q, key_codes, value_codes, kcent, vcent, n_prev, scale,
     return acc / safe_l, lse
 
 
-@partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk"))
+def _causal_partial_sharded(q, k, v, scale, mesh):
+    """_causal_partial shard_mapped over (dp, tp): attention is
+    embarrassingly parallel across batch and heads (the flat prefill's
+    _prefill_causal_attention pattern, models/llama.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        lambda q, k, v: _causal_partial(q, k, v, scale),
+        mesh=mesh,
+        in_specs=(P("dp", "tp", None, None),) * 3,
+        out_specs=(P("dp", "tp", None, None), P("dp", "tp", None)),
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+def _history_partial_sharded(
+    q, key_codes, value_codes, kcent, vcent, n_prev, scale, nb, hist_block,
+    mesh,
+):
+    """History attention with the code arena SEQUENCE-SHARDED: each (dcn,
+    sp) shard scans only its own contiguous arena slice (the same
+    ownership layout as sharded decode) and the per-shard partials merge
+    with the associative LSE combine — so chunked admission composes with
+    the multi-chip cache without ever gathering the arena."""
+    from jax.sharding import PartitionSpec as P
+
+    from million_tpu.parallel.sharded_decode import (
+        _linear_shard_index,
+        _merge_over,
+        _seq_axes,
+    )
+
+    seq_axes = _seq_axes(mesh)
+    n_shards = 1
+    for a in seq_axes:
+        n_shards *= mesh.shape[a]
+    NW = key_codes.shape[3]
+    n_local = NW * WORD // n_shards
+    if n_local % hist_block:
+        raise ValueError(
+            f"hist_block {hist_block} must divide the local arena "
+            f"({n_local} tokens across {n_shards} sequence shards)"
+        )
+    nb_loc = max(min(nb, n_local // hist_block), 1)
+
+    def local_fn(q, kc, vc, kcent, vcent, n_prev):
+        i = _linear_shard_index(mesh, seq_axes)
+        local_valid = jnp.clip(n_prev[0] - i * n_local, 0, n_local)
+        out, lse = _history_partial(
+            q, kc, vc, kcent, vcent, local_valid, scale, nb_loc, hist_block
+        )
+        return _merge_over(out, lse, seq_axes)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("dp", "tp", None, None),       # q (bs, nh, nc, d)
+            P("dp", "tp", None, seq_axes),   # arena words
+            P("dp", "tp", None, seq_axes),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=(P("dp", "tp", None, None), P("dp", "tp", None)),
+        check_vma=False,
+    )
+    return fn(q, key_codes, value_codes, kcent, vcent, n_prev.reshape(1))
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk", "mesh"))
 def _prefill_one_chunk(
     params: Params,
     cfg: ModelConfig,
@@ -148,6 +219,7 @@ def _prefill_one_chunk(
     nb: int,  # static: history blocks to scan (ceil(prev_tokens/hist_block))
     hist_block: int,
     last_chunk: bool,
+    mesh=None,  # jax.sharding.Mesh -> sharded in-chunk/history attention
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     bs, nc = ids.shape
     scale = 1.0 / (cfg.head_dim**0.5)
@@ -177,10 +249,26 @@ def _prefill_one_chunk(
             Rv_i = None
             k_st, v_st, q_h = k, v, q
 
-        kc = jnp.swapaxes(
-            runtime_encode(k_st[:, :, :n4], kcent, SUBSPACE_LAYOUT), -1, -2)
-        vc = jnp.swapaxes(
-            runtime_encode(v_st[:, :, :n4], vcent, SUBSPACE_LAYOUT), -1, -2)
+        if mesh is not None:
+            # shard the encode kernel over (dp, tp) — a Pallas custom call
+            # under plain SPMD has no partitioning rule (see
+            # _prefill_causal_attention, models/llama.py)
+            from jax.sharding import PartitionSpec as P
+
+            interp = (
+                True if mesh.devices.flat[0].platform == "cpu" else None
+            )
+            _enc = jax.shard_map(
+                lambda x4, c: runtime_encode(x4, c, SUBSPACE_LAYOUT, interp),
+                mesh=mesh,
+                in_specs=(P("dp", "tp", None, None), P()),
+                out_specs=P("dp", "tp", None, None),
+                check_vma=False,
+            )
+        else:
+            _enc = lambda x4, c: runtime_encode(x4, c, SUBSPACE_LAYOUT)
+        kc = jnp.swapaxes(_enc(k_st[:, :, :n4], kcent), -1, -2)
+        vc = jnp.swapaxes(_enc(v_st[:, :, :n4], vcent), -1, -2)
         n_prev = cache["n_codes"][li]  # history BEFORE this chunk's write
         cache = stacked_prefix_write(
             cache, li, kc, vc,
@@ -188,14 +276,23 @@ def _prefill_one_chunk(
             v_st[:, :, n4:] if tail else None,
         )
 
-        out_c, lse_c = _causal_partial(q, k, v, scale)
+        if mesh is not None:
+            out_c, lse_c = _causal_partial_sharded(q, k, v, scale, mesh)
+        else:
+            out_c, lse_c = _causal_partial(q, k, v, scale)
         if nb:
-            out_h, lse_h = _history_partial(
-                q_h,
-                jax.lax.dynamic_index_in_dim(cache["key_codes"], li, 0, False),
-                jax.lax.dynamic_index_in_dim(cache["value_codes"], li, 0, False),
-                kcent, vcent, n_prev, scale, nb, hist_block,
-            )
+            kc_l = jax.lax.dynamic_index_in_dim(cache["key_codes"], li, 0, False)
+            vc_l = jax.lax.dynamic_index_in_dim(cache["value_codes"], li, 0, False)
+            if mesh is not None:
+                out_h, lse_h = _history_partial_sharded(
+                    q_h, kc_l, vc_l, kcent, vcent, n_prev, scale, nb,
+                    hist_block, mesh,
+                )
+            else:
+                out_h, lse_h = _history_partial(
+                    q_h, kc_l, vc_l, kcent, vcent, n_prev, scale, nb,
+                    hist_block,
+                )
             if Rv_i is not None:
                 out_h = _rotate(out_h, Rv_i.T)
             attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
@@ -226,6 +323,8 @@ def chunked_prefill(
     *,
     chunk: int = 4096,
     hist_block: int = 4096,
+    mesh=None,  # jax.sharding.Mesh -> (dp, tp)-sharded chunk attention +
+    # sequence-sharded history scan (the arena stays in its mesh sharding)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Prefill `input_ids` in `chunk`-token pieces (host-scheduled loop).
 
@@ -239,6 +338,14 @@ def chunked_prefill(
         raise ValueError("chunk must be a multiple of 4")
     bs, n = input_ids.shape
     n_max = cache["key_codes"].shape[-1] * WORD
+    n_seq_shards = 1
+    if mesh is not None:
+        n_seq_shards = mesh.shape.get("sp", 1) * mesh.shape.get("dcn", 1)
+        if n_max % n_seq_shards:
+            raise ValueError(
+                f"arena N_max {n_max} not divisible by {n_seq_shards} "
+                "sequence shards"
+            )
     # the ENCODED prefix must fit the arena: inside jit an out-of-range
     # dynamic_update_slice CLAMPS and silently overwrites the newest codes
     # (the generate.py capacity-guard hazard)
@@ -254,11 +361,14 @@ def chunked_prefill(
             )
     except jax.errors.TracerArrayConversionError:
         pass
-    # largest WORD-multiple divisor of N_max not exceeding the request, so
-    # any arena size works without caller tuning
-    hb = min(hist_block, n_max)
+    # largest WORD-multiple divisor of the (per-shard) arena not exceeding
+    # the request, so any arena size works without caller tuning; on a mesh
+    # the history scan is per sequence shard, so the divisor target is the
+    # LOCAL arena span
+    hb_target = n_max // n_seq_shards
+    hb = min(hist_block, hb_target)
     hb -= hb % WORD
-    while hb > WORD and n_max % hb:
+    while hb > WORD and hb_target % hb:
         hb -= WORD
     hist_block = max(hb, WORD)
 
@@ -279,6 +389,6 @@ def chunked_prefill(
         logits, cache = _prefill_one_chunk(
             params, cfg, input_ids[:, s:e], cache, cents,
             jnp.asarray(s, jnp.int32), nb=nb, hist_block=hist_block,
-            last_chunk=(e == n),
+            last_chunk=(e == n), mesh=mesh,
         )
     return logits, cache

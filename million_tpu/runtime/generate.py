@@ -96,16 +96,11 @@ def generate(
     if prefill_chunk and mode == "dense":
         raise ValueError("prefill_chunk requires a PQ mode (quantized history)")
     if prefill_chunk:
-        if mesh is not None:
-            raise NotImplementedError(
-                "chunked prefill has no sharded path yet; drop prefill_chunk "
-                "or use the flat prefill / parallel.sp_prefill on a mesh"
-            )
         from million_tpu.models.chunked_prefill import chunked_prefill
 
         last_logits, cache = chunked_prefill(
             params, cfg, input_ids, cache, cents, chunk=prefill_chunk,
-            hist_block=prefill_hist_block,
+            hist_block=prefill_hist_block, mesh=mesh,
         )
         logits = last_logits[:, None]  # (bs, 1, V) like last_logit_only
     else:

@@ -187,3 +187,77 @@ def test_chunked_prefill_opq_matches_flat(rng, setup):
         agree += int(np.argmax(np.asarray(lda)[0]) == np.argmax(np.asarray(ldb)[0]))
         tok = jnp.asarray([int(np.argmax(np.asarray(lda)[0]))], jnp.int32)
     assert agree >= 4, f"OPQ chunked-vs-flat decode top-1 agreement {agree}/6"
+
+
+def test_chunked_prefill_on_mesh_matches_single_device(rng, setup):
+    """Chunked admission composes with the multi-chip cache: the same
+    prompt chunked on a (dp=1, tp=2, sp=2) mesh — arena sequence-sharded,
+    heads tp-sharded — produces the single-device chunked result, and the
+    cache stays decode-ready under the meshed decode step."""
+    from million_tpu.parallel.mesh import (
+        make_mesh, pq_cache_shardings, shard_pytree,
+    )
+
+    params, M, cents, pq_cfg = setup
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 48)), jnp.int32)
+
+    logits_ref, cache_ref = chunked_prefill(
+        params, CFG, ids, init_state(pq_cfg, CFG.num_layers), cents,
+        chunk=16, hist_block=16,
+    )
+
+    mesh = make_mesh(dp=1, tp=2, sp=2)
+    cache_m = shard_pytree(
+        init_state(pq_cfg, CFG.num_layers), pq_cache_shardings(mesh)
+    )
+    logits_m, cache_m = chunked_prefill(
+        params, CFG, ids, cache_m, cents, chunk=16, hist_block=16, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_m), np.asarray(logits_ref), rtol=1e-4, atol=1e-4
+    )
+    for k in ("key_codes", "value_codes", "n_codes", "r"):
+        np.testing.assert_array_equal(
+            np.asarray(cache_m[k]), np.asarray(cache_ref[k])
+        )
+    # decode continues on the mesh from the chunked cache
+    tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.asarray(48, jnp.int32)
+    l_ref, _ = decode_step(params, CFG, tok, pos, cache_ref, cents, mode="pq")
+    l_m, _ = decode_step(
+        params, CFG, tok, pos, cache_m, cents, mode="pq", mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_m), np.asarray(l_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_generate_chunked_prefill_with_mesh(rng, setup):
+    """generate(prefill_chunk=..., mesh=...) — the round-1
+    NotImplementedError seam — runs end-to-end and matches the unmeshed
+    chunked generation token-for-token (greedy, tiny model)."""
+    from million_tpu.models.llama import build_tables
+    from million_tpu.parallel.mesh import (
+        make_mesh, pq_cache_shardings, shard_pytree,
+    )
+    from million_tpu.runtime.generate import generate
+    from million_tpu.runtime.sampling import SamplingConfig
+
+    params, M, cents, pq_cfg = setup
+    tables = build_tables(cents)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 32)), jnp.int32)
+    res_ref, _ = generate(
+        params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
+        mode="pq_pallas", max_new_tokens=10, prefill_chunk=16,
+        sampling=SamplingConfig(temperature=0.0),
+    )
+    mesh = make_mesh(dp=1, tp=2, sp=2)
+    cache_m = shard_pytree(
+        init_state(pq_cfg, CFG.num_layers), pq_cache_shardings(mesh)
+    )
+    res_m, _ = generate(
+        params, CFG, ids, cache_m, tables,
+        mode="pq_pallas", max_new_tokens=10, prefill_chunk=16, mesh=mesh,
+        sampling=SamplingConfig(temperature=0.0),
+    )
+    np.testing.assert_array_equal(res_m.tokens, res_ref.tokens)
