@@ -94,7 +94,9 @@ def ladder_rung(
     cents = {"key": ck, "value": cv}
     if opq:
         cents["Rk"], cents["Rv"] = Rk, Rv
-    tables = llama.build_tables(cents)
+    # mode "pq" (the evaluation path here) reads raw cents only; kernel
+    # tables would even REJECT the deliberately-degenerate d_m=4/C=256 rung
+    tables = cents
     pqc = PQCacheConfig(
         bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M_k, M_v=M_v,
         C=2 ** max(nbits_k, nbits_v), Lt=64, N_max=max_length,

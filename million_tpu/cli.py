@@ -32,12 +32,13 @@ from million_tpu.cache.pq_cache import PQCacheConfig, init_state
 from million_tpu.models import llama
 from million_tpu.pq.kmeans import train_pq
 from million_tpu.utils.config import Config, load_config
-from million_tpu.utils.fvecs import read_fvecs, write_fvecs
+from million_tpu.utils.fvecs import reservoir_sample_fvecs, write_fvecs
 from million_tpu.utils.ledger import append_result
 
 DEFAULTS = {
     "model": {"preset": "tinyllama-1.1b", "weights": None, "tokenizer": "byte", "seed": 0},
     "pq": {"M": None, "nbits": 8, "M_v": None, "nbits_v": None, "Lt": 128,
+           "train_samples": 1 << 18,
            "opq": False, "native_trainer": False, "train_iters": 25,
            "sample_target": 32768},
     "cache": {"N_max": 32768},
@@ -357,9 +358,15 @@ def stage_training(cfg, mcfg, params=None):
                      iters=cfg.pq.train_iters, layout="strided")
         )
     keys, vals, rks, rvs = [], [], [], []
+    # STREAM the sample files: a large sampling corpus never loads whole —
+    # one-pass reservoir at O(train_samples) memory (utils/fvecs.py, the
+    # reference's sample_fvecs/read_fvecs_batch role, fvecio.py:61-133)
+    cap = int(cfg.pq.train_samples)
     for L in range(mcfg.num_layers):
-        ks = read_fvecs(out / f"layer{L}.key.fvecs")
-        vs = read_fvecs(out / f"layer{L}.value.fvecs")
+        ks = reservoir_sample_fvecs(out / f"layer{L}.key.fvecs", cap, seed=L)
+        vs = reservoir_sample_fvecs(
+            out / f"layer{L}.value.fvecs", cap, seed=1000 + L
+        )
         if opq:
             # OPQ: rotation + codebooks trained jointly (the reference
             # ships this trainer but rejects it at the CLI,

@@ -134,3 +134,124 @@ def test_speedtest_breakdown(rng):
     # on CPU the profile has no per-op line; on TPU real families appear
     if "breakdown_error" not in bd:
         assert all(v >= 0 for v in bd.values())
+
+
+def _tiny_setup(rng):
+    import dataclasses
+
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+    from million_tpu.models.llama import PRESETS, init_params
+
+    cfg = dataclasses.replace(PRESETS["test-tiny"], num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M = cfg.head_dim // 2
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((2, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((2, M, 32, 2)), jnp.float32),
+    }
+    pqc = PQCacheConfig(bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M,
+                        C=32, Lt=8, N_max=128, dtype=jnp.float32)
+    return cfg, params, cents, (lambda: init_state(pqc, 2))
+
+
+def test_external_lm_eval_adapter_via_stub(rng, monkeypatch):
+    """Exercise the external lm_eval integration seam (make_lm_eval_model)
+    with a STUB lm_eval package: the adapter's LM subclass must build,
+    accept Instance-style requests, and return (loglikelihood, greedy)
+    pairs consistent with the hermetic loglikelihood path."""
+    import sys
+    import types
+
+    from million_tpu.benchmarks.lm_eval_adapter import (
+        loglikelihood, make_lm_eval_model,
+    )
+    from million_tpu.benchmarks.registry import ByteTokenizer
+
+    api = types.ModuleType("lm_eval.api")
+    model_mod = types.ModuleType("lm_eval.api.model")
+    inst_mod = types.ModuleType("lm_eval.api.instance")
+
+    class LM:  # the real base class is richer; the adapter only subclasses
+        def __init__(self):
+            pass
+
+    class Instance:
+        def __init__(self, args):
+            self.args = args
+
+    model_mod.LM = LM
+    inst_mod.Instance = Instance
+    root = types.ModuleType("lm_eval")
+    root.api = api
+    for name, mod in (
+        ("lm_eval", root), ("lm_eval.api", api),
+        ("lm_eval.api.model", model_mod), ("lm_eval.api.instance", inst_mod),
+    ):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    cfg, params, cents, make_cache = _tiny_setup(rng)
+    tok = ByteTokenizer()
+    lm = make_lm_eval_model(params, cfg, make_cache, cents, tok, mode="pq")
+    reqs = [Instance(("Hello wor", "ld")), Instance(("abc", "def"))]
+    out = lm.loglikelihood(reqs)
+    assert len(out) == 2
+    for (ll, greedy), req in zip(out, reqs):
+        assert np.isfinite(ll) and ll < 0
+        want = loglikelihood(
+            params, cfg, make_cache, cents,
+            tok(req.args[0])["input_ids"],
+            tok(req.args[1], add_special_tokens=False)["input_ids"],
+            "pq",
+        )
+        np.testing.assert_allclose(ll, want, rtol=1e-5)
+
+
+def _write_hf_tokenizer(tmp_path):
+    """Build a real on-disk HF fast tokenizer (word-level) fixture."""
+    import json
+
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+             "question", "answer", "[UNK]"]
+    vocab = {w: i for i, w in enumerate(words)}
+    t = Tokenizer(models.WordLevel(vocab, unk_token="[UNK]"))
+    t.pre_tokenizer = pre_tokenizers.Whitespace()
+    t.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "unk_token": "[UNK]",
+        "model_max_length": 512,
+    }))
+    return tmp_path
+
+
+def test_hf_tokenizer_path_in_harnesses(rng, tmp_path):
+    """The HF AutoTokenizer route of load_tokenizer (registry.py) drives
+    the ppl harness end-to-end from a LOCAL tokenizer fixture — previously
+    only the hermetic byte tokenizer was ever exercised."""
+    from million_tpu.benchmarks.perplexity import perplexity
+    from million_tpu.benchmarks.registry import load_tokenizer, load_tokens
+
+    tok_dir = _write_hf_tokenizer(tmp_path)
+    tok = load_tokenizer(str(tok_dir))
+    ids = tok("the quick brown fox")["input_ids"]
+    assert ids == [0, 1, 2, 3]
+    assert "quick" in tok.decode([1])
+
+    text = " ".join(
+        np.random.default_rng(0).choice(
+            ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"],
+            400,
+        )
+    )
+    data = tmp_path / "corpus.txt"
+    data.write_text(text)
+    tokens = load_tokens(str(data), tokenizer=tok)
+    assert tokens.ndim == 1 and len(tokens) >= 256
+    assert tokens.max() < 11  # ids from the fixture vocab, not bytes
+
+    cfg, params, cents, make_cache = _tiny_setup(rng)
+    r = perplexity(params, cfg, tokens, make_cache, cents, mode="pq",
+                   max_length=64, max_windows=2)
+    assert np.isfinite(r["ppl"]) and r["ppl"] > 1
