@@ -17,6 +17,38 @@ from million_tpu.runtime.generate import generate
 from million_tpu.runtime.sampling import SamplingConfig
 
 
+def is_oom_error(e: Exception) -> bool:
+    msg = str(e)
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Out of memory" in msg
+        or "OOM" in msg
+    )
+
+
+def oom_guard(fn):
+    """Continue a benchmark sweep past device-OOM points: the failing
+    configuration yields an {"oom": True} row instead of killing the run
+    (the reference's IgnoreOOM decorator, speedtest.py:16-29, which cleared
+    the CUDA cache and returned None). XLA frees the failed allocation's
+    live buffers when the exception unwinds; a gc pass drops the python
+    references that pin them."""
+    import functools
+    import gc
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — classify, re-raise others
+            if not is_oom_error(e):
+                raise
+            gc.collect()
+            return {"oom": True, "error": str(e).splitlines()[0][:200]}
+
+    return wrapped
+
+
 def speedtest(
     params,
     cfg: llama.ModelConfig,
@@ -33,10 +65,18 @@ def speedtest(
     rows = []
     for pl in prefill_lengths:
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, pl)), jnp.int32)
-        res, _ = generate(
-            params, cfg, ids, make_cache(pl), cents,
-            mode=mode, max_new_tokens=decode_length, sampling=SamplingConfig(),
-        )
+        guarded = oom_guard(
+            lambda: generate(
+                params, cfg, ids, make_cache(pl), cents,
+                mode=mode, max_new_tokens=decode_length,
+                sampling=SamplingConfig(),
+            )
+        )()
+        if isinstance(guarded, dict) and guarded.get("oom"):
+            # sweep continues past the lengths that no longer fit
+            rows.append({"prefill_length": pl, **guarded})
+            continue
+        res, _ = guarded
         row = {
             "prefill_length": pl,
             "decode_length": decode_length,

@@ -255,3 +255,34 @@ def test_hf_tokenizer_path_in_harnesses(rng, tmp_path):
     r = perplexity(params, cfg, tokens, make_cache, cents, mode="pq",
                    max_length=64, max_windows=2)
     assert np.isfinite(r["ppl"]) and r["ppl"] > 1
+
+
+def test_speedtest_oom_guard(rng, monkeypatch):
+    """An OOM at one sweep point yields an {"oom": True} row and the sweep
+    continues (the reference IgnoreOOM role, speedtest.py:16-29)."""
+    import million_tpu.benchmarks.speedtest as st
+
+    cfg, params, cents, _ = _tiny_setup(rng)
+    from million_tpu.cache.pq_cache import PQCacheConfig, init_state
+
+    pqc = PQCacheConfig(bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim,
+                        M=cfg.head_dim // 2, C=32, Lt=8, N_max=128,
+                        dtype=jnp.float32)
+
+    real_generate = st.generate
+    calls = {"n": 0}
+
+    def flaky_generate(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory (synthetic)")
+        return real_generate(*a, **kw)
+
+    monkeypatch.setattr(st, "generate", flaky_generate)
+    out = st.speedtest(
+        params, cfg, lambda pl: init_state(pqc, 2), cents, mode="pq",
+        prefill_lengths=[16, 24], decode_length=4,
+    )
+    rows = out["results"]
+    assert rows[0].get("oom") is True
+    assert rows[1]["prefill_length"] == 24 and np.isfinite(rows[1]["tpot_s"])
