@@ -92,6 +92,14 @@ def pq_geometry(cfg: Config, mcfg):
     M_k, nb_k = pq_m(cfg, mcfg), cfg.pq.nbits
     M_v = cfg.pq.get("M_v") or M_k
     nb_v = cfg.pq.get("nbits_v") or nb_k
+    if (M_v, nb_v) != (M_k, nb_k) and not getattr(pq_geometry, "_warned", False):
+        pq_geometry._warned = True
+        log(
+            "WARNING: asymmetric V-side geometry (pq.M_v/pq.nbits_v) is "
+            "EXPERIMENTAL and quality-degrading: the end-to-end ladder "
+            "measured Δppl +1.83 for K d_m=2 / V d_m=4 vs +0.47 symmetric "
+            "(docs/PERF.md quality table). Use for research sweeps only."
+        )
     return M_k, nb_k, M_v, nb_v
 
 
