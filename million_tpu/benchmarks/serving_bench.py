@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--max-seqs", type=int, default=8, help="scheduler slots")
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--pages-per-seq", type=int, default=32)
+    ap.add_argument("--pool-pages", type=int, default=0,
+                    help="page-pool size (default max_seqs*pages_per_seq); "
+                    "shrink below the worst-case demand to exercise "
+                    "on-demand growth and preemption")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -65,7 +69,7 @@ def main():
     tables = build_tables(cents)
     pcfg = PagedPQCacheConfig(
         max_seqs=args.max_seqs,
-        n_pages=args.max_seqs * args.pages_per_seq,
+        n_pages=args.pool_pages or args.max_seqs * args.pages_per_seq,
         pages_per_seq=args.pages_per_seq,
         page_size=args.page_size,
         num_layers=cfg.num_layers,
@@ -114,8 +118,31 @@ def main():
     for r in reqs:
         sched.submit(r)
     t0 = time.perf_counter()
-    finished = sched.run_to_completion()
+    # explicit tick loop (instead of run_to_completion) to sample pool
+    # utilization from the HOST mirrors — no extra device syncs
+    peak_pages = 0
+    inflight_acc = 0
+    worst_case_acc = 0
+    ticks = 0
+    while sched.waiting or any(r is not None for r in sched.slot_req):
+        if sched.step() == 0 and sched.waiting:
+            raise RuntimeError("scheduler stalled")
+        ticks += 1
+        used = int(sum(sched.slot_pages))
+        peak_pages = max(peak_pages, used)
+        act = [i for i, r in enumerate(sched.slot_req) if r is not None]
+        inflight_acc += len(act)
+        # what round-1's worst-case reservation would have charged the pool
+        # for the SAME in-flight set
+        worst_case_acc += sum(
+            -(-(len(sched.slot_req[i].prompt) + sched.slot_req[i].max_new_tokens
+                + pcfg.Lt) // pcfg.page_size)
+            for i in act
+        )
+        if ticks > 100000:
+            raise RuntimeError("runaway serving bench")
     wall = time.perf_counter() - t0
+    finished = sched.finished
 
     n_gen = sum(len(f.tokens) for f in finished)
     assert len(finished) == args.requests, (len(finished), args.requests)
@@ -134,6 +161,15 @@ def main():
                 "value": round(n_gen / wall, 2),
                 "unit": "generated tokens/s",
                 "requests_per_s": round(len(finished) / wall, 3),
+                "pool_pages": pcfg.n_pages,
+                "peak_pages_used": peak_pages,
+                "mean_in_flight": round(inflight_acc / max(ticks, 1), 2),
+                "preemptions": sched.preemptions,
+                # mean pages the round-1 worst-case policy would have
+                # reserved vs what on-demand actually allocated, per tick
+                "worst_case_overcommit": round(
+                    worst_case_acc / max(inflight_acc, 1), 2
+                ),
             }
         )
     )
