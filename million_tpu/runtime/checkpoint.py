@@ -125,6 +125,13 @@ def save_session(path: str, sched: Scheduler) -> None:
         "waiting": waiting,
         "finished": finished,
         "typed_key": bool(typed_key),
+        # on-demand paging state: admission order (preemption victim
+        # selection) and stashed generated tokens of preempted requests
+        "slot_order": list(sched.slot_order),
+        "preempt_saved": {
+            str(rid): toks for rid, toks in sched._preempt_saved.items()
+        },
+        "preemptions": sched.preemptions,
     }
     arrays[_META_KEY] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     _atomic_savez(path, **arrays)
@@ -186,6 +193,17 @@ def load_session(
             eos_id=s["eos_id"],
         )
         sched.slot_generated[i] = list(s["generated"])
+    sched.slot_order = [
+        int(i) for i in meta.get(
+            "slot_order",
+            [i for i, sl in enumerate(meta["slots"]) if sl is not None],
+        )
+    ]
+    sched._preempt_saved = {
+        int(rid): list(toks)
+        for rid, toks in meta.get("preempt_saved", {}).items()
+    }
+    sched.preemptions = int(meta.get("preemptions", 0))
     sched.waiting = [
         Request(
             rid=w["rid"],
