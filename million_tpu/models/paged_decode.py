@@ -66,7 +66,7 @@ def _layer_rots(tables, li):
     return Rk_i, Rv_i
 
 
-@partial(jax.jit, static_argnames=("cfg", "pcfg"))
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"))
 def paged_decode_step(
     params: Params,
     cfg: ModelConfig,
@@ -75,6 +75,8 @@ def paged_decode_step(
     positions: jax.Array,  # (S,) int32 — absolute position of `tokens`
     state: Dict[str, jax.Array],  # paged cache state (all layers)
     tables: Dict[str, jax.Array],  # cents + kpack/vpack, stacked (L, ...)
+    p_bucket=None,  # STATIC: page-walk bound — the scheduler passes a
+    # power-of-two covering the longest allocated table (l2Ns analogue)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One decode token for every slot. Returns (logits (S, V) f32, state).
 
@@ -209,7 +211,7 @@ def paged_decode_step(
             q_pad, st["key_pool"], st["value_pool"],
             tables["kpack"], tables["vpack"], li,
             state["page_table"], n_codes_eff,
-            direct=d_k, v_direct=d_v,
+            direct=d_k, v_direct=d_v, p_bucket=p_bucket,
         )
         # valid residual entries per slot: [0, r_eff] (token just appended)
         rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, r_eff, -1)[:, None]

@@ -823,7 +823,9 @@ def _pq_paged_attn_kernel(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "direct", "v_direct"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "direct", "v_direct", "p_bucket")
+)
 def pq_paged_attention(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (n_pages, nh_k, M, page_size//4) int32 — ONE layer
@@ -836,18 +838,28 @@ def pq_paged_attention(
     interpret: bool | None = None,
     direct: bool = False,
     v_direct: bool | None = None,
+    p_bucket: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused decode attention over a PAGED code pool: the grid walks each
     sequence's page table (scalar-prefetched, so the page id feeds the
     BlockSpec index map — pages stream straight from HBM in table order, the
     TPU equivalent of the reference's paged kernel goal that its CUDA
     variant never stabilized, paged_pq_utils.py:399-681). Same fused
-    per-tile block step as the flat kernel, one page per block."""
+    per-tile block step as the flat kernel, one page per block.
+
+    `p_bucket` (static) bounds how many table entries the grid walks — the
+    paged-side l2Ns analogue: without it every step schedules P_max pages
+    of BlockSpec DMA even when only a few are allocated (unallocated
+    entries clamp to page 0 and stream it wastefully; pl.when skips only
+    the compute). The host picks a power-of-two covering the longest
+    allocated table (runtime/scheduler.py)."""
     bs, nh_k, G, d = q.shape
     n_pages, _, M, ps_w = key_pool.shape
     M_v = value_pool.shape[2]  # may differ: asymmetric K/V geometry
     page_size = ps_w * WORD
     P_max = page_table.shape[1]
+    if p_bucket is not None:
+        P_max = min(P_max, max(p_bucket, 1))
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)
@@ -951,7 +963,9 @@ def _pq_paged_attn_kernel_stacked(
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "direct", "v_direct"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "direct", "v_direct", "p_bucket")
+)
 def pq_paged_attention_stacked(
     q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
     key_pool: jax.Array,  # (L, n_pages+1, nh_k, M, ps_w) int32 — FULL stack
@@ -965,6 +979,8 @@ def pq_paged_attention_stacked(
     interpret: bool | None = None,
     direct: bool = False,
     v_direct: bool | None = None,
+    p_bucket: int | None = None,  # static page-walk bound (see
+    # pq_paged_attention)
 ) -> Tuple[jax.Array, jax.Array]:
     """pq_paged_attention over one layer of the stacked page pools, the layer
     selected via scalar prefetch (same rationale as
@@ -974,6 +990,8 @@ def pq_paged_attention_stacked(
     M_v = value_pool.shape[3]  # may differ: asymmetric K/V geometry
     page_size = ps_w * WORD
     P_max = page_table.shape[1]
+    if p_bucket is not None:
+        P_max = min(P_max, max(p_bucket, 1))
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)

@@ -225,9 +225,20 @@ class Scheduler:
             return 0
 
         positions = jnp.asarray(self.slot_pos, jnp.int32)
+        # static page-walk bucket from the host page mirrors (the paged
+        # l2Ns analogue): power of two covering the longest allocated
+        # table, so short sequences stop streaming pages_per_seq pages of
+        # DMA per step; at most log2(pages_per_seq) compiled variants
+        need = max((int(self.slot_pages[i]) for i in active), default=1)
+        p_bucket = 1
+        while p_bucket < need:
+            p_bucket *= 2
+        if p_bucket >= self.pcfg.pages_per_seq:
+            p_bucket = None  # full table walk
         logits, self.state = paged_decode_step(
             self.params, self.cfg, self.pcfg,
             self.last_token, positions, self.state, self.tables,
+            p_bucket=p_bucket,
         )
         self.key, sk = jax.random.split(self.key)
         toks = sample(logits, sk, self.sampling)  # (S,)
