@@ -129,6 +129,58 @@ def generate(
     use_bucket = auto_bucket and mode == "pq_pallas"
     if use_bucket:
         from million_tpu.ops.pq_attention_pallas import bucket_for_length
+
+        # Warm the compile cache for every (flush, bucket) decode variant
+        # this generation will reach — the schedule is fully host-known.
+        # AOT lower().compile() in a daemon thread: nothing executes, no
+        # buffers allocate, and a rung crossing mid-generation hits a warm
+        # cache instead of stalling the token stream on a fresh compile.
+        # (Skipped on CPU: tests would pay double compiles for nothing.)
+        if jax.default_backend() != "cpu":
+            variants = []
+            r_w, c_w = r_host, codes_host
+            for _ in range(max_new_tokens - 1):
+                fl = r_w >= lt_host
+                if fl:
+                    r_w, c_w = 0, c_w + lt_host
+                r_w += 1
+                v = (fl, bucket_for_length(c_w, n_max))
+                if v not in variants:
+                    variants.append(v)
+            if len(variants) > 1:
+                import threading
+
+                # AOT compiles do not land in the jit dispatch cache, but
+                # they DO populate the persistent compilation cache — the
+                # main thread's eventual compile becomes a disk hit.
+                try:
+                    jax.config.update(
+                        "jax_compilation_cache_dir", "/tmp/jax_cache"
+                    )
+                    jax.config.update(
+                        "jax_persistent_cache_min_entry_size_bytes", -1
+                    )
+                    jax.config.update(
+                        "jax_persistent_cache_min_compile_time_secs", 0
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+
+                def _warm(vs=tuple(variants[1:])):
+                    for fl, nb_ in vs:
+                        try:
+                            llama.decode_step.lower(
+                                params, cfg,
+                                jnp.zeros((bs,), jnp.int32),
+                                jnp.asarray(0, jnp.int32),
+                                cache, cents, mode=mode, flush=fl,
+                                mesh=mesh, n_bucket=nb_,
+                            ).compile()
+                        except Exception:  # noqa: BLE001 — warming is
+                            return  # best-effort; the main loop compiles
+                            # on demand if this thread dies
+
+                threading.Thread(target=_warm, daemon=True).start()
     selfcheck_max = jnp.zeros((), jnp.float32)  # accumulated ON DEVICE —
     # a per-step host sync would pollute decode_s/tpot_s (they already
     # include the extra oracle forward on checked steps; see docstring)
