@@ -56,13 +56,21 @@ ladder; the first-cut kernel ran at 57 GB/s effective, the bf16-pair
   they are microseconds — and the same (partial, lse) pair is the
   cross-chip combine for sequence-sharded decode (parallel/sharded_decode).
 
-Supported quantization geometry: d_m == 2 with C <= 256 (M = d/2, the
-reference's production shape and quality sweet spot — BASELINE.md shows
-M=d/4 degenerate at nbits=8), and d_m == 4 with C <= 128 direct tables
-(the reference's M=32 kernel shape at d=128, setup.py:13) — all four
-packed bytes are real components, so d_m=4 halves both gather count and
-code bytes at its known quality cost. Other layouts run through the jnp
-reference path (ops/pq_attention_ref.py).
+Supported quantization geometry: ANY even d_m with C <= 256, via stacked
+table planes (table_planes): a d_m=2k codebook becomes k pair-packed
+(M, 128) planes (or ceil(d_m/4) direct planes when C <= 128), the code
+word rows are tiled k times in-register, and ONE take_along_axis gathers
+every plane — so the full reference compiled-shape matrix M in
+{16, 32, 64} x C in {128, 256} at d=128 (setup.py:10-15), i.e. d_m in
+{8, 4, 2}, runs on this kernel. Gather volume per token-side is
+P*M = d/2 lanes for pair tables regardless of the (M, d_m) split, and
+d/4..d/2 for direct — wide-subspace geometries lose no speed (and the
+d_m>=4 direct forms gain, reading fewer code bytes AND issuing fewer
+gathers). d_m=2 with C <= 256 (M = d/2) remains the production shape and
+quality sweet spot — BASELINE.md shows M=d/4 degenerate at nbits=8. Wide
+codebooks (C > 256, nbits 9-12) run through the jnp reference path
+(ops/pq_attention_ref.py), matching the reference's nbits!=8 pure-torch
+route.
 
 Speed-of-light accounting (v5e, bs=7 x 8 KV heads x 32K x M=64 bench shape,
 measured 2026-08-19): the kernel runs 1.46 ms/call = 382 cyc per 512-token
@@ -151,15 +159,17 @@ def bucket_for_length(n: int, n_max: int, min_bucket: int = 4096) -> int | None:
 class DecodeTable(NamedTuple):
     """int8-quantized gather table for one codebook (see pack_decode_table).
 
-    tab:       (M, 128) int32 — lane l of row m packs four int8 values,
-               each scaled by 127/scale[m, comp]. d_m=2 pair layout:
-               [comp0(code 2l), comp1(code 2l), comp0(code 2l+1),
-               comp1(code 2l+1)]; d_m=2 direct (C<=128): [c0(l), c1(l),
-               0, 0]; d_m=4 direct: [c0(l), c1(l), c2(l), c3(l)].
-    q_scale:   (4M,) f32 — row r = 4m+j holds scale[m, j] (for folding into
-               q on the K side); rows with no real component are 0.
-    out_scale: (4M,) f32 — row r = 4m+j holds scale[m, j] / 127^2 (PV output
-               rescale); filler rows 0.
+    tab:       (P*M, 128) int32, P = table_planes(d_m, direct) — row p*M+m is
+               PLANE p of subspace m; lane l packs four int8 values, each
+               scaled by 127/scale[m, comp]. Pair layout (C <= 256), plane p
+               covers comps (2p, 2p+1): [comp2p(code 2l), comp2p+1(code 2l),
+               comp2p(code 2l+1), comp2p+1(code 2l+1)]. Direct layout
+               (C <= 128), plane p covers comps 4p..4p+3: [c4p(l), c4p+1(l),
+               c4p+2(l), c4p+3(l)] (missing comps zero). The classic d_m=2
+               and d_m=4-direct geometries are the P == 1 cases.
+    q_scale:   (4*P*M,) f32 — row r = 4*(p*M+m)+j holds scale[m, comp] (for
+               folding into q on the K side); rows with no real component 0.
+    out_scale: (4*P*M,) f32 — q_scale / 127^2 (PV output rescale).
     """
 
     tab: jax.Array
@@ -167,66 +177,70 @@ class DecodeTable(NamedTuple):
     out_scale: jax.Array
 
 
+def table_planes(d_m: int, direct: bool = False) -> int:
+    """Number of stacked table planes for a geometry: pair planes carry 2
+    components each, direct planes 4. The kernel gathers each code word once
+    per plane, so gathers/token-side = P*M = d/2 for any pair geometry and
+    ceil(d_m/4)*M <= d/4 for direct — the gather floor depends only on d,
+    not on the (M, d_m) split."""
+    if d_m % 2:
+        raise ValueError(f"the fused kernel requires even d_m; got {d_m}")
+    return -(-d_m // 4) if direct else d_m // 2
+
+
 def pack_decode_table(cents: jax.Array, direct: bool = False) -> DecodeTable:
     """Build the kernel's int8 quad-packed gather table from a codebook
-    (M, C, d_m) f32. Supports d_m == 2 with C <= 256 and d_m == 4 with
-    C <= 128 (the reference compiles kernels for M in {16, 32, 64} at
-    d=128, i.e. d_m in {8, 4, 2}, setup.py:10-15; d_m == 8 needs 8 comps
-    per code = two table lanes and stays on the jnp path).
+    (M, C, d_m) f32. Any even d_m is supported via stacked planes (the
+    reference compiles kernels for M in {16, 32, 64} x C in {128, 256} at
+    d=128, i.e. d_m in {8, 4, 2} — all of them run on the fused kernel
+    here); C <= 256.
 
     direct=True (requires C <= 128): lane l holds code l's components so
     the kernel decodes with a bare byte-index gather — no parity select,
-    ~40% fewer produce ops (d_m=2 packs [c0, c1, 0, 0] in the low 16 bits;
-    d_m=4 fills all four bytes [c0, c1, c2, c3] — mandatory for d_m=4).
-    Callers must pass the SAME `direct` flag to the attention wrappers."""
+    ~40% fewer produce ops, and for d_m >= 4 HALF the planes (4 comps per
+    plane instead of 2). Callers must pass the SAME `direct` flag to the
+    attention wrappers."""
     M, C, d_m = cents.shape
     if C > 256:
         raise ValueError("kernel supports nbits <= 8 (C <= 256)")
     if direct and C > 128:
         raise ValueError("direct tables require C <= 128")
-    if d_m not in (2, 4):
-        raise ValueError(
-            f"the fused kernel requires d_m in (2, 4); got d_m={d_m}. "
-            "Use the jnp reference attention for other layouts."
-        )
-    if d_m == 4 and not direct:
-        raise ValueError(
-            "d_m == 4 packs all four components per lane, which needs "
-            "direct (byte-index) tables: C <= 128 and direct=True"
-        )
+    P = table_planes(d_m, direct)
     c = cents.astype(jnp.float32)
     sc = jnp.maximum(jnp.max(jnp.abs(c), axis=1), 1e-9)  # (M, d_m)
     q = jnp.clip(jnp.round(c * (127.0 / sc[:, None, :])), -127, 127)
     q = q.astype(jnp.int32)  # (M, C, d_m)
-    if d_m == 4:
-        qp = jnp.zeros((M, 128, 4), jnp.int32).at[:, :C].set(q)
-        w = (
-            (qp[..., 0] & 255)
-            | ((qp[..., 1] & 255) << 8)
-            | ((qp[..., 2] & 255) << 16)
-            | ((qp[..., 3] & 255) << 24)
-        )  # (M, 128)
-        # all four kernel rows per subspace are real components
-        q_scale = sc.reshape(4 * M)
-    elif direct:
-        qp = jnp.zeros((M, 128, 2), jnp.int32).at[:, :C].set(q)
-        w = (qp[..., 0] & 255) | ((qp[..., 1] & 255) << 8)  # (M, 128)
-        q_scale = jnp.stack(
-            [sc[:, 0], sc[:, 1], jnp.zeros(M), jnp.zeros(M)], axis=1
-        ).reshape(4 * M)
-    else:
-        qp = jnp.zeros((M, 256, 2), jnp.int32).at[:, :C].set(q)
-        b = [qp[:, 0::2, 0], qp[:, 0::2, 1], qp[:, 1::2, 0], qp[:, 1::2, 1]]
-        w = (
+    # per-plane component slots: plane p byte j <- comp c(p, j) or filler
+    comp_of = (lambda p, j: 4 * p + j) if direct else (
+        lambda p, j: 2 * p + j if j < 2 else None)
+    planes = []
+    scales = []
+    for p in range(P):
+        if direct:
+            qp = jnp.zeros((M, 128, 4), jnp.int32)
+            for j in range(4):
+                cj = comp_of(p, j)
+                if cj < d_m:
+                    qp = qp.at[:, :C, j].set(q[..., cj])
+            b = [qp[..., j] for j in range(4)]
+        else:
+            qp = jnp.zeros((M, 256, 2), jnp.int32)
+            for j in range(2):
+                qp = qp.at[:, :C, j].set(q[..., comp_of(p, j)])
+            b = [qp[:, 0::2, 0], qp[:, 0::2, 1], qp[:, 1::2, 0], qp[:, 1::2, 1]]
+        planes.append(
             (b[0] & 255)
             | ((b[1] & 255) << 8)
             | ((b[2] & 255) << 16)
             | ((b[3] & 255) << 24)
         )  # (M, 128)
-        # q_scale row 4m+j = sc[m, j]; filler rows 4m+2, 4m+3 = 0
-        q_scale = jnp.stack(
-            [sc[:, 0], sc[:, 1], jnp.zeros(M), jnp.zeros(M)], axis=1
-        ).reshape(4 * M)
+        srow = []
+        for j in range(4):
+            cj = comp_of(p, j)
+            srow.append(sc[:, cj] if cj is not None and cj < d_m else jnp.zeros(M))
+        scales.append(jnp.stack(srow, axis=1))  # (M, 4)
+    w = jnp.concatenate(planes, axis=0)  # (P*M, 128)
+    q_scale = jnp.stack(scales, axis=0).reshape(4 * P * M)  # row 4*(p*M+m)+j
     out_scale = q_scale / (127.0 * 127.0)
     return DecodeTable(tab=w.astype(jnp.int32), q_scale=q_scale, out_scale=out_scale)
 
@@ -239,67 +253,92 @@ def dequantize_table(
     The jnp/numpy oracle should decode with THIS codebook when checking
     kernel parity (the int8 centroid quantization is part of the engine's
     numerics, like the reference's fp16 centroids)."""
-    M = table.tab.shape[0]
-    u = table.tab.astype(jnp.uint32)
+    P = table_planes(d_m, direct)
+    M = table.tab.shape[0] // P
+    u = table.tab.astype(jnp.uint32)  # (P*M, 128)
     comps = []
     for k in range(4):
         byte = ((u >> (8 * k)) & 255).astype(jnp.uint8)
         i8 = jax.lax.bitcast_convert_type(byte, jnp.int8)
         comps.append(i8.astype(jnp.float32))
-    if d_m == 4:
-        sc = jnp.stack([table.q_scale[j::4] for j in range(4)], axis=-1)  # (M, 4)
-        full = jnp.stack(comps, axis=-1)  # (M, 128, 4) code l
-    else:
-        sc = jnp.stack([table.q_scale[0::4], table.q_scale[1::4]], axis=-1)  # (M, 2)
-        if direct:
-            full = jnp.stack([comps[0], comps[1]], axis=-1)  # (M, 128, 2) code l
-        else:
-            even = jnp.stack([comps[0], comps[1]], axis=-1)  # codes 2l
-            odd = jnp.stack([comps[2], comps[3]], axis=-1)  # codes 2l+1
-            full = jnp.stack([even, odd], axis=2).reshape(M, 256, 2)
-    return (full * sc[:, None, :] / 127.0)[:, :C]
+    # per-row scales in plane-row order: (P*M, 4) with row p*M+m
+    sc = jnp.stack([table.q_scale[j::4] for j in range(4)], axis=-1)
+    if direct:
+        full = jnp.stack(comps, axis=-1)  # (P*M, 128, 4): plane p comps 4p+j
+        full = full * sc[:, None, :] / 127.0
+        full = full.reshape(P, M, 128, 4)
+        full = jnp.moveaxis(full, 0, 2).reshape(M, 128, 4 * P)[..., :d_m]
+        return full[:, :C]
+    even = jnp.stack([comps[0], comps[1]], axis=-1)  # codes 2l, comps (2p, 2p+1)
+    odd = jnp.stack([comps[2], comps[3]], axis=-1)  # codes 2l+1
+    full = jnp.stack([even, odd], axis=2).reshape(P * M, 256, 2)
+    full = full * sc[:, None, :2] / 127.0
+    full = full.reshape(P, M, 256, 2)
+    full = jnp.moveaxis(full, 0, 2).reshape(M, 256, 2 * P)  # comp 2p+j
+    return full[:, :C]
 
 
-def decode_row_maps(M: int, d_m: int = 2) -> Tuple[np.ndarray, np.ndarray]:
-    """Static row maps between kernel rows (4M) and head dims (d = d_m*M;
-    the strided subspace split: component j of subspace m = dim m + jM).
+def decode_row_maps(
+    M: int, d_m: int = 2, direct: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Static row maps between kernel rows (4*P*M) and head dims (d = d_m*M;
+    the strided subspace split: component c of subspace m = dim m + cM).
 
-    Returns (gather_idx (4M,): kernel row -> head dim (d_m=2 filler rows
-             -> 0), select_idx (d,): head dim -> kernel row)."""
+    Kernel row 4*(p*M+m)+j is component c(p, j) of subspace m: c = 2p+j
+    (pair planes, j < 2) or c = 4p+j (direct planes). Returns
+    (gather_idx (4PM,): kernel row -> head dim (filler rows -> 0),
+     select_idx (d,): head dim -> kernel row)."""
+    P = table_planes(d_m, direct)
     d = d_m * M
-    gather_idx = np.zeros((4 * M,), np.int32)
+    gather_idx = np.zeros((4 * P * M,), np.int32)
     select_idx = np.zeros((d,), np.int32)
-    for m in range(M):
-        for j in range(d_m):
-            gather_idx[4 * m + j] = m + j * M
-            select_idx[m + j * M] = 4 * m + j
+    for p in range(P):
+        for m in range(M):
+            for j in range(4 if direct else 2):
+                c = 4 * p + j if direct else 2 * p + j
+                if c < d_m:
+                    row = 4 * (p * M + m) + j
+                    gather_idx[row] = m + c * M
+                    select_idx[m + c * M] = row
     return gather_idx, select_idx
 
 
-def _select_natural(out: jax.Array, d_m: int = 2) -> jax.Array:
-    """Kernel-row order (..., 4M) -> natural strided head order (..., d_m*M).
+def _select_natural(out: jax.Array, d_m: int = 2, direct: bool = False) -> jax.Array:
+    """Kernel-row order (..., 4PM) -> natural strided head order (..., d_m*M).
 
-    Row 4m+j is component j of subspace m; natural head dim is m + j*M.
-    Written as reshape+slice+transpose instead of a lane gather: XLA lowers
-    the gather through a chain of layout copies (~0.45 ms/step at 3B/32K),
-    while the strided slice fuses into the consumer."""
+    Row 4*(p*M+m)+j is component c(p, j) of subspace m; natural head dim is
+    m + cM. Written as reshape+slice+transpose instead of a lane gather: XLA
+    lowers the gather through a chain of layout copies (~0.45 ms/step at
+    3B/32K), while the strided slice fuses into the consumer."""
+    P = table_planes(d_m, direct)
     *s, R = out.shape
-    M = R // 4
-    o = out.reshape(*s, M, 4)[..., :d_m]  # (..., M, d_m): [m, j] = row 4m+j
-    return jnp.swapaxes(o, -1, -2).reshape(*s, d_m * M)
+    M = R // (4 * P)
+    o = out.reshape(*s, P, M, 4)  # [p, m, j] = row 4*(p*M+m)+j
+    if direct:
+        o = jnp.swapaxes(o, -1, -2).reshape(*s, 4 * P, M)[..., :d_m, :]
+    else:
+        o = jnp.swapaxes(o[..., :2], -1, -2).reshape(*s, 2 * P, M)
+    return o.reshape(*s, d_m * M)
 
 
-def prepare_q(q: jax.Array, table: DecodeTable):
+def prepare_q(
+    q: jax.Array, table: DecodeTable, d_m: int | None = None,
+    direct: bool = False,
+):
     """Fold centroid scales into q and int8-quantize per query row.
 
     q (..., d) f32/bf16 (PRE-SCALED by 1/sqrt(d)) ->
-    (q8 (..., 4M) int8, s_scale (..., 1) f32): scores = (q8 @ K8) * s_scale.
-    d_m is inferred from d / M; d_m=2 filler rows get q=0 (their q_scale is
-    0), so the matmul over all 4M rows stays exact in both layouts.
-    """
-    M = table.tab.shape[0]
-    d_m = q.shape[-1] // M
-    gidx, _ = decode_row_maps(M, d_m)
+    (q8 (..., 4PM) int8, s_scale (..., 1) f32): scores = (q8 @ K8) * s_scale.
+    Filler rows get q=0 (their q_scale is 0), so the matmul over all 4PM
+    rows stays exact in every layout. `d_m`/`direct` identify the plane
+    geometry; d_m=None infers the single-plane case from d / tab rows
+    (exact for all P == 1 tables — the legacy call pattern)."""
+    if d_m is None:
+        d_m = q.shape[-1] // table.tab.shape[0]
+        if d_m == 0:
+            raise ValueError("multi-plane table: pass d_m explicitly")
+    M = q.shape[-1] // d_m
+    gidx, _ = decode_row_maps(M, d_m, direct)
     qe = q.astype(jnp.float32)[..., gidx] * table.q_scale
     qmax = jnp.maximum(jnp.max(jnp.abs(qe), axis=-1, keepdims=True), 1e-9)
     q8 = jnp.round(qe * (127.0 / qmax)).astype(jnp.int8)
@@ -320,7 +359,17 @@ def _decode_words(tab, w, b, interpret, direct=False):
     clamps), then the code's parity bit (via the sign trick) selects the
     16-bit half. Direct layout (C <= 128): a bare byte-index gather — the
     wrap masks the higher bytes, no parity select at all.
+
+    Multi-plane tables (tab rows = P*M, see table_planes): the word rows are
+    tiled P times so ONE take_along_axis gathers every plane of every
+    subspace — row p*M+m of the result holds plane p's components. Total
+    gather volume is P*M rows = d/2 lanes per word-byte for pair tables
+    regardless of the (M, d_m) split, so wide-subspace geometries (d_m 4/8)
+    run at the same gather floor as the production d_m=2 shape.
     """
+    P = tab.shape[0] // w.shape[0]
+    if P > 1:
+        w = jnp.concatenate([w] * P, axis=0)
     if direct:
         idx = w if b == 0 else (w >> (8 * b))
         if interpret:
@@ -464,10 +513,10 @@ def _block_geometry(block: int, NW: int, interpret: bool):
     return tw
 
 
-def _prep_call(q, kpack, vpack):
+def _prep_call(q, kpack, vpack, d_m_k=None, direct=False):
     """Shared wrapper prep: q (bs, nh_k, G, d) pre-scaled -> int8 q, score
     scale tile (lane-broadcast for VMEM), PV output scale tile."""
-    q8, ss = prepare_q(q, kpack)  # (bs, nh_k, G, 4M_k) i8, (bs, nh_k, G, 1)
+    q8, ss = prepare_q(q, kpack, d_m_k, direct)  # (.., G, 4PM_k) i8, (.., G, 1)
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     G = q.shape[2]
     vo = jnp.broadcast_to(
@@ -571,15 +620,16 @@ def pq_codes_attention(
     tw = _block_geometry(block, NW, interpret)
     nb = n_bucket // block
 
-    q8, ss_b, vo = _prep_call(q, kpack, vpack)
+    vd = direct if v_direct is None else v_direct
+    q8, ss_b, vo = _prep_call(q, kpack, vpack, d_m_k=d // M, direct=direct)
     nc = n_codes.astype(jnp.int32).reshape(1, 1)
     kernel = functools.partial(
         _pq_attn_kernel, block=block, tw=tw, interpret=interpret, direct=direct,
         v_direct=v_direct,
     )
     bw = block // WORD
-    R = 4 * M
-    R_out = 4 * M_v
+    R = 4 * kpack.tab.shape[-2]  # 4 * P_k * M
+    R_out = 4 * vpack.tab.shape[-2]
     out, lse = pl.pallas_call(
         kernel,
         grid=(bs, nh_k, nb),
@@ -616,7 +666,7 @@ def pq_codes_attention(
         ],
         interpret=interpret,
     )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
-    return _select_natural(out, d // M_v), lse[..., 0]
+    return _select_natural(out, d // M_v, vd), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -709,8 +759,9 @@ def pq_codes_attention_stacked(
     tw = _block_geometry(block, NW, interpret)
     nb = n_bucket // block
     bw = block // WORD
-    R = 4 * M
-    R_out = 4 * M_v
+    R = 4 * kpack.tab.shape[-2]  # 4 * P_k * M
+    R_out = 4 * vpack.tab.shape[-2]
+    vd = direct if v_direct is None else v_direct
 
     # per-layer slices of the tiny tables/scales (32 KB each): passing the
     # full (L, ...) stacks as pallas operands made XLA copy every stack on
@@ -719,7 +770,7 @@ def pq_codes_attention_stacked(
     kt_l = jax.lax.dynamic_index_in_dim(kpack.tab, layer, 0, False)
     vt_l = jax.lax.dynamic_index_in_dim(vpack.tab, layer, 0, False)
     vo_l = jax.lax.dynamic_index_in_dim(vpack.out_scale, layer, 0, False)
-    q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
+    q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l), d // M, direct)
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     vo_b = jnp.broadcast_to(vo_l, (G, R_out)).astype(jnp.float32)
 
@@ -768,7 +819,7 @@ def pq_codes_attention_stacked(
         n_codes.astype(jnp.int32).reshape(1),
         q8, ss_b, key_codes, value_codes, kt_l, vt_l, vo_b,
     )
-    return _select_natural(out, d // M_v), lse[..., 0]
+    return _select_natural(out, d // M_v, vd), lse[..., 0]
 
 
 # --------------------------------------------------------------------------
@@ -863,10 +914,11 @@ def pq_paged_attention(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)
-    R = 4 * M
-    R_out = 4 * M_v
+    R = 4 * kpack.tab.shape[-2]  # 4 * P_k * M
+    R_out = 4 * vpack.tab.shape[-2]
+    vd = direct if v_direct is None else v_direct
 
-    q8, ss_b, vo = _prep_call(q, kpack, vpack)
+    q8, ss_b, vo = _prep_call(q, kpack, vpack, d_m_k=d // M, direct=direct)
     kernel = functools.partial(
         _pq_paged_attn_kernel, page_size=page_size, tw=tw, interpret=interpret,
         direct=direct, v_direct=v_direct,
@@ -911,7 +963,7 @@ def pq_paged_attention(
         interpret=interpret,
     )(pt, n_codes.astype(jnp.int32), q8, ss_b, key_pool, value_pool,
       kpack.tab, vpack.tab, vo)
-    return _select_natural(out, d // M_v), lse[..., 0]
+    return _select_natural(out, d // M_v, vd), lse[..., 0]
 
 
 def _pq_paged_attn_kernel_stacked(
@@ -995,14 +1047,15 @@ def pq_paged_attention_stacked(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tw = _block_geometry(page_size, ps_w, interpret)
-    R = 4 * M
-    R_out = 4 * M_v
+    R = 4 * kpack.tab.shape[-2]  # 4 * P_k * M
+    R_out = 4 * vpack.tab.shape[-2]
+    vd = direct if v_direct is None else v_direct
 
     kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
     kt_l = jax.lax.dynamic_index_in_dim(kpack.tab, layer, 0, False)
     vt_l = jax.lax.dynamic_index_in_dim(vpack.tab, layer, 0, False)
     vo_l = jax.lax.dynamic_index_in_dim(vpack.out_scale, layer, 0, False)
-    q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l))
+    q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l), d // M, direct)
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     vo_b = jnp.broadcast_to(vo_l, (G, R_out)).astype(jnp.float32)
 
@@ -1053,4 +1106,4 @@ def pq_paged_attention_stacked(
         n_codes.astype(jnp.int32),
         q8, ss_b, key_pool, value_pool, kt_l, vt_l, vo_b,
     )
-    return _select_natural(out, d // M_v), lse[..., 0]
+    return _select_natural(out, d // M_v, vd), lse[..., 0]

@@ -179,6 +179,37 @@ def test_pallas_mode_matches_ref_mode_dm4(rng):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=5e-2, atol=5e-2)
 
 
+def test_pallas_mode_matches_ref_mode_dm8(rng):
+    """Same agreement with the M=d/8 (d_m=8) layout — the reference's M=16
+    kernel shape at d=128 (setup.py:13), served by plane-stacked pair
+    tables (C=256 -> 4 pair planes); closes the last hole in the
+    reference's compiled-shape matrix."""
+    from million_tpu.models.llama import build_tables
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    M = CFG.head_dim // 8
+    kc = jnp.asarray(rng.standard_normal((CFG.num_layers, M, 256, 8)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((CFG.num_layers, M, 256, 8)), jnp.float32)
+    cents = {"key": kc, "value": vc}
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=CFG.num_kv_heads, d=CFG.head_dim, M=M, C=256, Lt=8, N_max=128,
+        dtype=jnp.float32,
+    )
+    tables = build_tables(cents)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 16)), jnp.int32)
+    cache_a = init_state(pq_cfg, CFG.num_layers)
+    cache_b = init_state(pq_cfg, CFG.num_layers)
+    la, cache_a = prefill(params, CFG, ids, cache_a, cents, mode="pq")
+    lb, cache_b = prefill(params, CFG, ids, cache_b, tables, mode="pq")
+    toks = rng.integers(0, CFG.vocab_size, 4)
+    for t, tok in enumerate(toks):
+        tok_a = jnp.asarray([tok], jnp.int32)
+        pos = jnp.asarray(16 + t, jnp.int32)
+        la, cache_a = decode_step(params, CFG, tok_a, pos, cache_a, cents, mode="pq")
+        lb, cache_b = decode_step(params, CFG, tok_a, pos, cache_b, tables, mode="pq_pallas")
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=5e-2, atol=5e-2)
+
+
 def test_generate_selfcheck(rng):
     """selfcheck_every cross-checks kernel steps against the oracle in-flight
     (reference's embedded runtime self-check, pq_utils.py:330-381)."""

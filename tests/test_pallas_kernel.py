@@ -240,21 +240,76 @@ def test_kernel_dm4_direct_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
 
 
-def test_pack_decode_table_dm4_requires_direct(rng):
-    cents = jnp.asarray(rng.standard_normal((8, 256, 4)), jnp.float32)
-    with pytest.raises(ValueError, match="direct"):
-        pack_decode_table(cents)
-
-
 def test_decode_row_maps_dm4():
     from million_tpu.ops.pq_attention_pallas import decode_row_maps
 
-    gidx, sidx = decode_row_maps(4, d_m=4)  # M=4, d=16
-    # kernel row 4m+j <-> head dim m + j*M
+    gidx, sidx = decode_row_maps(4, d_m=4, direct=True)  # M=4, d=16
+    # kernel row 4m+j <-> head dim m + j*M (single direct plane)
     for m in range(4):
         for j in range(4):
             assert gidx[4 * m + j] == m + j * 4
             assert sidx[m + j * 4] == 4 * m + j
+
+
+def test_decode_row_maps_multiplane():
+    """Plane-stacked geometries: every head dim maps to exactly one kernel
+    row and back, for all (d_m, direct) combos."""
+    from million_tpu.ops.pq_attention_pallas import decode_row_maps, table_planes
+
+    for d_m, direct in [(4, False), (8, False), (8, True), (6, False)]:
+        M = 48 // d_m * 2  # any M; keep d = d_m*M small
+        P = table_planes(d_m, direct)
+        gidx, sidx = decode_row_maps(M, d_m, direct)
+        assert gidx.shape == (4 * P * M,)
+        d = d_m * M
+        assert sorted(gidx[sidx].tolist()) == list(range(d))
+        for m in range(M):
+            for c in range(d_m):
+                row = sidx[m + c * M]
+                p, j = (c // 4, c % 4) if direct else (c // 2, c % 2)
+                assert row == 4 * (p * M + m) + j
+
+
+@pytest.mark.parametrize(
+    "d,M,C,direct",
+    [
+        (32, 8, 256, False),  # d_m=4, pair planes P=2 (ref M=32@d=128, C=256)
+        (32, 4, 128, True),  # d_m=8, direct planes P=2 (ref M=16@d=128, C=128)
+        (32, 4, 256, False),  # d_m=8, pair planes P=4 (ref M=16@d=128, C=256)
+    ],
+)
+def test_kernel_multiplane_matches_oracle(rng, d, M, C, direct):
+    """Wide-subspace geometries (d_m in {4, 8}) on the plane-stacked tables:
+    the FULL reference compiled-shape matrix (M in {16,32,64} x C in
+    {128,256} at d=128, setup.py:10-15) now runs on the fused kernel.
+    Parity vs the oracle on the effective int8 codebook."""
+    from million_tpu.ops.pq_attention_pallas import dequantize_table, table_planes
+
+    d_m = d // M
+    q, kc, vc, kcent, vcent, n = make_inputs(
+        rng, d=d, M=M, C=C, N=256, n_codes=200
+    )
+    scale = 1.0 / d**0.5
+    kp = pack_decode_table(jnp.asarray(kcent), direct=direct)
+    vp = pack_decode_table(jnp.asarray(vcent), direct=direct)
+    P = table_planes(d_m, direct)
+    assert kp.tab.shape == (P * M, 128)
+    assert kp.q_scale.shape == (4 * P * M,)
+    out, lse = pq_codes_attention(
+        jnp.asarray(q * scale, jnp.bfloat16),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        kp, vp, jnp.asarray(n, jnp.int32),
+        block=128, interpret=True, direct=direct,
+    )
+    assert out.shape == q.shape
+    keff = np.asarray(dequantize_table(kp, C, direct=direct, d_m=d_m))
+    veff = np.asarray(dequantize_table(vp, C, direct=direct, d_m=d_m))
+    # the dequantized effective codebook must invert pack up to int8 rounding
+    step = np.abs(kcent).max(axis=1)[:, None, :] / 127.0
+    assert np.all(np.abs(keff - kcent) <= 0.5 * step + 1e-7)
+    want_out, want_lse = oracle_codes_attention(q, kc, vc, keff, veff, n, scale)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
 
 
 def test_kernel_asymmetric_kv_geometry(rng):
