@@ -636,12 +636,13 @@ def decode_step(
 def _flush_windows_stacked(cache, cents, interp=None):
     """Flush every layer's residual window into the stacked code arenas
     (decode_step's static-flush path; single-layer analogue:
-    cache/pq_cache.py flush_window). One fused-kernel encode per side over
-    ALL layer banks (ops/pq_encode_pallas.py — the distance/argmin never
-    touches HBM, which was the whole 61 ms flush spike of round 1), then
-    ONE contiguous word-slab dynamic_update_slice per side. n_codes is
-    layer-uniform in the decode path, so a single (stack-wide) offset is
-    exact."""
+    cache/pq_cache.py flush_window). One batched encode per side over ALL
+    layer banks (chunked jnp/VPU encode by default — the fused Pallas
+    encode measured ~2x slower here, see pq/ops.py RUNTIME_FUSED_ENCODE),
+    then ONE contiguous word-slab dynamic_update_slice per side. n_codes
+    is layer-uniform in the decode path, so a single (stack-wide) offset
+    is exact. Measured 19 ms for all 28x2 layer-sides at the 3B/32K bench
+    shape — the flush-step tail is p50 + 19 ms, amortized /Lt per token."""
     from million_tpu.pq.ops import RUNTIME_FUSED_ENCODE
 
     cache = dict(cache)

@@ -1,14 +1,22 @@
 """Fused Pallas PQ encode: distance matmul + argmin without an HBM transient.
 
-The jnp encode (pq/ops.py pq_encode, the analogue of the reference's
-sa_encode_4d_keops, pq_utils.py:451-499) materializes a (tokens, M, C) f32
-distance tensor in HBM before the argmin. That transient IS the cost: at the
-3B/32K bench flush shape (7168 tokens x M=64 x C=256) it is 470 MB per
-layer-side — ~1.2 ms of pure HBM write+read at v5e bandwidth, x2 sides x28
-layers ≈ the whole 61 ms flush spike; at 32K prefill it forces chunking and
-dominates TTFT. On the GPU reference the same role is played by PyKeOps'
-fused LazyTensor argmin reduction (never materializing the distance matrix);
-this kernel is the TPU-native equivalent.
+STATUS: kept as an A/B alternative, NOT the production default
+(pq/ops.py RUNTIME_FUSED_ENCODE = False). Measured head-to-head on v5e
+(2026-08-20, chained-bench, scratch/exp_encab.py): 19.1 ms/layer-side vs
+the chunked jnp path's 12.0 ms at the 32K prefill shape (1.59x slower),
+and ~2x slower at the decode flush shape. The design premise — that the
+jnp path's (tokens, M, C) distance transient in HBM is the dominant cost —
+turned out wrong: the chunked path bounds the transient, and the real
+floor is the score computation itself, where the two paths diverge in the
+kernel's favor only on paper. At d_m=2 this kernel's matmul pads the
+contraction to K=8 sublanes and the MXU streams any k<128 pass at
+full-k=128 rate (~1/16 utilization), while XLA lowers the jnp path's k=2
+contraction to the VPU — n*M*C multiply-compares at full vector rate,
+which is simply faster for narrow subspaces. (The kernel's economics
+improve as d_m fills the pad, i.e. d_m >= 8 — quality-degenerate sweep
+geometries, not production.) The reference's PyKeOps fused LazyTensor
+argmin (pq_utils.py:451-499) solves a GPU-specific version of this
+problem; on TPU the idiomatic answer is the chunked XLA formulation.
 
 Design (per grid step (s, token-block b, subspace m)):
 
@@ -33,8 +41,10 @@ with two layout tricks:
 
 Ties resolve to the lowest code index (jnp.argmin semantics on distances).
 HBM traffic = x read + codes write; the (C, TB) score tile lives and dies
-in VMEM. Measured at the bench flush shape this replaces ~2.2 ms/layer-side
-of jnp encode with ~40 us/layer-side of kernel time (see PERF.md).
+in VMEM. (An earlier ~40 us/layer-side reading that motivated making this
+the default was a tunnel-elision timing artifact — repeated identical
+dispatches get elided by the remote runtime; the chained-bench numbers in
+the STATUS paragraph supersede it.)
 """
 
 from __future__ import annotations

@@ -65,14 +65,23 @@ def merge_subspaces(xs: jax.Array, layout: str = "contiguous") -> jax.Array:
 # the numpy argmin and the reference-semantics contract use it.
 RUNTIME_ENCODE_PRECISION = "fast"
 
-# Runtime encode implementation: the fused Pallas kernel
+# Runtime encode implementation. The fused Pallas kernel
 # (ops/pq_encode_pallas.py) computes the distance matmul and argmin in one
-# pass with the score tile resident in VMEM — the jnp path below must
-# materialize a (tokens, M, C) f32 distance transient in HBM, which is the
-# entire cost at runtime shapes (~61 ms of flush-window HBM traffic at the
-# 3B/32K bench shape; see the kernel header). False falls back to the jnp
-# path everywhere (A/B switch; golden tests pin both).
-RUNTIME_FUSED_ENCODE = True
+# VMEM-resident pass; it is kept as an A/B switch (golden tests pin both
+# paths) but is NOT the default: isolated chained-bench A/B on v5e
+# (2026-08-20, scratch/exp_encab.py + exp_flush.py) measured the fused
+# kernel 1.59x SLOWER than the chunked jnp path at the 32K prefill shape
+# (19.1 vs 12.0 ms/layer-side) and ~2x slower at the decode flush shape
+# (all-layer flush 19.1 ms jnp; the fused-kernel flush step regressed the
+# bench tail from 61 to 79 ms). Root cause: at d_m=2 the kernel's distance
+# matmul pads the contraction to K=8 sublanes and the MXU streams any
+# k<128 pass at full-k rate (1/16 utilization), while XLA lowers the jnp
+# path's k=2 contraction to the VPU, which is FASTER for this shape — the
+# (tokens, M, C) distance transient the kernel avoids was never the
+# dominant term (the chunked path bounds it). The kernel could win only
+# for wide-d_m geometries (d_m >= 8 fills more of the pad), which are
+# quality-degenerate sweeps, not production.
+RUNTIME_FUSED_ENCODE = False
 
 
 def runtime_encode(

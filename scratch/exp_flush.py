@@ -29,22 +29,28 @@ vc = jnp.asarray(rng.standard_normal((L, 64, 256, 2)), jnp.float32)
 cents = {"key": kc, "value": vc}
 tables = llama.build_tables(cents)
 
-cache = init_state(ccfg, L)
-# fill residual windows + a plausible n_codes
-cache["key_residual"] = jnp.asarray(
-    rng.standard_normal(cache["key_residual"].shape), jnp.bfloat16)
-cache["value_residual"] = jnp.asarray(
-    rng.standard_normal(cache["value_residual"].shape), jnp.bfloat16)
-cache["n_codes"] = jnp.full_like(cache["n_codes"], 16384)
-cache["r"] = jnp.full_like(cache["r"], 128)
+def make():
+    cache = init_state(ccfg, L)
+    cache["key_residual"] = jax.random.normal(
+        jax.random.PRNGKey(1), cache["key_residual"].shape, jnp.bfloat16)
+    cache["value_residual"] = jax.random.normal(
+        jax.random.PRNGKey(2), cache["value_residual"].shape, jnp.bfloat16)
+    cache["n_codes"] = jnp.full_like(cache["n_codes"], 16384)
+    cache["r"] = jnp.full_like(cache["r"], 128)
+    return jax.block_until_ready(cache)
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def flush(cache):
-    return llama._flush_windows_stacked(dict(cache), tables)
+    new = llama._flush_windows_stacked(dict(cache), tables)
+    # keep r/n_codes cycling so the chain doesn't saturate the arena
+    new["n_codes"] = jnp.full_like(new["n_codes"], 16384)
+    new["r"] = jnp.full_like(new["r"], 128)
+    return new
 
 
-out = flush(cache)
-jax.block_until_ready(out)
-t = chained_bench(lambda c: flush(c), lambda: cache, iters=20)
+t = chained_bench(flush, make, iters=12)
 print(f"mode={mode} flush-all-layers: {t*1e3:.2f} ms")

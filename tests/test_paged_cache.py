@@ -132,6 +132,47 @@ def test_paged_attention_matches_flat(rng):
         )
 
 
+def test_paged_attention_matches_flat_multiplane(rng):
+    """Paged kernel with a plane-stacked wide-subspace geometry (d_m=8,
+    C=256 -> 4 pair planes): paged == flat over the same scattered codes.
+    Covers the page-walk path of the round-2 multi-plane tables."""
+    bs, nh_k, d, M, C = 1, 2, 32, 4, 256  # d_m = 8
+    ps, P_max, n_pages = 128, 4, 8
+    kcent = rng.standard_normal((M, C, 8)).astype(np.float32)
+    vcent = rng.standard_normal((M, C, 8)).astype(np.float32)
+    kpack = pack_decode_table(jnp.asarray(kcent))
+    vpack = pack_decode_table(jnp.asarray(vcent))
+    assert kpack.tab.shape == (4 * M, 128)  # 4 pair planes
+
+    pt = np.full((bs, P_max), -1, np.int32)
+    pt[0, :3] = [6, 1, 3]
+    n_codes = np.asarray([300], np.int32)
+    kpool = rng.integers(0, C, (n_pages, nh_k, M, ps)).astype(np.uint8)
+    vpool = rng.integers(0, C, (n_pages, nh_k, M, ps)).astype(np.uint8)
+
+    q = jnp.asarray(rng.standard_normal((bs, nh_k, GROUP_PAD, d)) / d**0.5, jnp.bfloat16)
+    out_p, lse_p = pq_paged_attention(
+        q, pack_codes(jnp.asarray(kpool)), pack_codes(jnp.asarray(vpool)),
+        kpack, vpack, jnp.asarray(pt), jnp.asarray(n_codes),
+    )
+    pages = [p for p in pt[0] if p >= 0]
+    kc = np.concatenate([kpool[p] for p in pages], axis=-1)[None]
+    vc = np.concatenate([vpool[p] for p in pages], axis=-1)[None]
+    pad = 512 - kc.shape[-1]
+    kc = np.pad(kc, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    vc = np.pad(vc, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    out_f, lse_f = pq_codes_attention(
+        q, pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        kpack, vpack, jnp.asarray(n_codes[0]), block=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_f), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_p), np.asarray(lse_f), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_paged_prefill_encodes(rng):
     st = init_paged_state(CFG)
     sid = jnp.asarray(1)
