@@ -72,16 +72,20 @@ codebooks (C > 256, nbits 9-12) run through the jnp reference path
 (ops/pq_attention_ref.py), matching the reference's nbits!=8 pure-torch
 route.
 
-Speed-of-light accounting (v5e, bs=7 x 8 KV heads x 32K x M=64 bench shape,
-measured 2026-08-19): the kernel runs 1.46 ms/call = 382 cyc per 512-token
-tile. Each tile issues 64 vreg-gathers (8 index vregs x 4 bytes x 2 sides);
-an isolated serialized gather chain measures ~12.6 cyc/vreg and ~6 cyc/vreg
-with two in flight, so 64 x 6 = 384 cyc — the kernel sits AT the VPU
-gather-issue floor, with all ALU ops hidden beneath the gathers. The
-remaining 4.3x to the HBM floor (287 us for 235 MB of codes at 819 GB/s) is
-not reachable by scheduling: one lane-gather per code is information-
-theoretically required for d_m=2 tables (a 7-bit lane index cannot decode
-two independent 8-bit codes), so the only paths below this floor change the
+Speed-of-light accounting (v5e, bs=7 x 8 KV heads x 32K x M=64 bench
+shape): the kernel measures 0.88-1.46 ms/call across sessions (~25%
+tunnel-host variance; the XLA dense baseline at the same shape moves with
+it, 1.05-1.36 ms — per-step the kernel is at-or-better than dense). Each
+512-token tile issues 64 vreg-gathers (8 index vregs x 4 bytes x 2
+sides); an isolated serialized gather chain measures ~12.6 cyc/vreg and
+~6 cyc/vreg with two in flight (64 x 6 = 384 cyc/tile ≈ the 1.46 ms
+readings), while the best runs correspond to ~232 cyc/tile ≈ 3.6 cyc/vreg
+— the hardware overlaps deeper than the 2-in-flight microbenchmark chain.
+The remaining ~3x to the HBM floor (287 us for 235 MB of codes at
+819 GB/s) is not reachable by scheduling: one lane-gather per code is
+information-theoretically required for d_m=2 tables (a 7-bit lane index
+cannot decode two independent 8-bit codes), so the only paths below this
+floor change the
 quantization geometry: the supported d_m=4 layout halves both gathers and
 code bytes at known quality cost (reference results.jsonl:9: M=d/4 ppl
 degenerate at nbits=8); the ALSO-supported asymmetric K:d_m=2 / V:d_m=4
