@@ -12,7 +12,7 @@ The reference has no analogue — its batch size is hardcoded 1
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -250,26 +250,48 @@ def paged_prefill_seq(
     cfg: ModelConfig,
     pcfg: PagedPQCacheConfig,
     seq_id: jax.Array,  # () int32 — slot being admitted
-    input_ids: jax.Array,  # (1, n) int32
+    input_ids: jax.Array,  # (1, n) int32 — n may be a PADDED bucket length
     state: Dict[str, jax.Array],
     tables: Dict[str, jax.Array],
+    n_valid: Optional[jax.Array] = None,  # () int32 — real prompt length
+    # when input_ids is padded to a bucket; None = every token is real
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Admit one sequence: exact-attention prefill whose K/V are encoded and
     scattered into the slot's (pre-allocated) pages. Returns (last-token
     logits (1, V), new state). The reference's prefill quantizes everything
-    and leaves the residual empty (pq_utils.py:222-247); same here."""
+    and leaves the residual empty (pq_utils.py:222-247); same here.
+
+    `n_valid` enables BUCKETED admission (the scheduler pads prompts to
+    power-of-two lengths so the compile count is ~log2(max_prompt), not one
+    executable per distinct prompt length — without it, real traffic plus
+    preemption-readmission lengths caused a compile storm): padded
+    positions sit AFTER every real token so causality masks them out of
+    real rows; their code words route to the pool's reserved scratch page;
+    the returned logits select position n_valid-1; counters advance by the
+    real length only."""
     from million_tpu.ops.pq_attention_pallas import pack_codes
 
     n = input_ids.shape[1]
+    if n_valid is not None and n % 4:
+        raise ValueError("bucketed admission requires a 4-aligned bucket")
     n4 = (n // 4) * 4
     tail = n - n4
+    nv = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
     S = state["seq_r"].shape[0]
     pos = jnp.arange(n)
     x = params["embed"][input_ids[0]][None]  # (1, n, D)
 
     ps_w = pcfg.page_size // 4
     t_w = jnp.arange(n4 // 4)
-    pages_row = jnp.maximum(state["page_table"][seq_id, t_w // ps_w], 0)
+    raw_row = state["page_table"][seq_id, t_w // ps_w]
+    if nv is None:
+        pages_row = jnp.maximum(raw_row, 0)
+    else:
+        # padded (or unallocated) words -> the reserved scratch page
+        valid_w = t_w < (nv // 4)
+        pages_row = jnp.where(
+            jnp.logical_and(valid_w, raw_row >= 0), raw_row, pcfg.n_pages
+        )
     offs = t_w % ps_w
 
     def layer(carry, lp):
@@ -314,6 +336,31 @@ def paged_prefill_seq(
             st["value_residual_codes"] = st["value_residual_codes"].at[
                 li, seq_id, :, :, :1
             ].set(vrc0)
+        if nv is not None:
+            # dynamic ragged tail (bucketed admission): the up-to-3 real
+            # tokens past the aligned prefix go to the exact residual
+            # window. A full 4-row slice is written; rows past the real
+            # tail are garbage masked by seq_r. start is 4-aligned and
+            # <= n-4 whenever the tail is non-empty (clamped otherwise,
+            # where r=0 masks everything).
+            start = jnp.minimum((nv // 4) * 4, n - 4)
+            kt4 = jax.lax.dynamic_slice_in_dim(k_st[0], start, 4, axis=1)
+            vt4 = jax.lax.dynamic_slice_in_dim(v_st[0], start, 4, axis=1)
+            st["key_residual"] = st["key_residual"].at[li, seq_id, :, :4].set(
+                kt4.astype(st["key_residual"].dtype)
+            )
+            st["value_residual"] = st["value_residual"].at[li, seq_id, :, :4].set(
+                vt4.astype(st["value_residual"].dtype)
+            )
+            w_idx = jnp.minimum(nv // 4, n // 4 - 1)
+            krc0 = jax.lax.dynamic_slice_in_dim(pack_codes(kc), w_idx, 1, -1)
+            vrc0 = jax.lax.dynamic_slice_in_dim(pack_codes(vc), w_idx, 1, -1)
+            st["key_residual_codes"] = st["key_residual_codes"].at[
+                li, seq_id, :, :, :1
+            ].set(krc0)
+            st["value_residual_codes"] = st["value_residual_codes"].at[
+                li, seq_id, :, :, :1
+            ].set(vrc0)
         attn = causal_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(1, n, -1)
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
@@ -324,10 +371,20 @@ def paged_prefill_seq(
     (x, state, _), _ = jax.lax.scan(
         layer, (x, state, jnp.asarray(0, jnp.int32)), params["layers"]
     )
-    logits = _logits(params, cfg, x)[:, -1]  # (1, V)
+    # project ONLY the last real token: the full (1, n, V) f32 logit tensor
+    # is 2.1 GB at a 4096-token prompt x 128K vocab — materializing it per
+    # admission was a per-request HBM spike (the flat path's
+    # last_logit_only rationale, models/llama.py prefill docstring)
+    if nv is None:
+        x_last = x[:, -1:]
+    else:
+        x_last = jax.lax.dynamic_slice_in_dim(x, nv - 1, 1, axis=1)
+    logits = _logits(params, cfg, x_last)[:, 0]  # (1, V)
 
+    n4_eff = n4 if nv is None else (nv // 4) * 4
+    tail_eff = tail if nv is None else nv - (nv // 4) * 4
     new = dict(state)
-    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set(n4)
-    new["seq_r"] = state["seq_r"].at[seq_id].set(tail)
+    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set(n4_eff)
+    new["seq_r"] = state["seq_r"].at[seq_id].set(tail_eff)
     new["seq_active"] = state["seq_active"].at[seq_id].set(1)
     return logits, new

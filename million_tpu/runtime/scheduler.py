@@ -117,6 +117,17 @@ class Scheduler:
         n = len(req.prompt) + len(self._preempt_saved.get(req.rid, []))
         return self._pages_for(n + self.pcfg.Lt)
 
+    @staticmethod
+    def _prompt_bucket(n: int, min_bucket: int = 64) -> int:
+        """Power-of-two admission bucket covering n: prefill compiles per
+        BUCKET (~log2(max_prompt) executables), not per distinct prompt
+        length — real traffic plus preemption-readmission lengths
+        otherwise cause a compile storm (one executable per length)."""
+        b = min_bucket
+        while b < n:
+            b *= 2
+        return b
+
     def _admit_one(self, req: Request, slot: int) -> None:
         saved = self._preempt_saved.pop(req.rid, [])
         prompt = np.concatenate([req.prompt, np.asarray(saved, np.int32)])
@@ -124,9 +135,11 @@ class Scheduler:
         need = self._pages_for(n + self.pcfg.Lt)
         sid = jnp.asarray(slot)
         self.state = allocate_pages(self.state, sid, need)
-        ids = jnp.asarray(prompt[None, :], jnp.int32)
+        ids = np.zeros((1, self._prompt_bucket(n)), np.int32)
+        ids[0, :n] = prompt
         logits, self.state = paged_prefill_seq(
-            self.params, self.cfg, self.pcfg, sid, ids, self.state, self.tables
+            self.params, self.cfg, self.pcfg, sid, jnp.asarray(ids),
+            self.state, self.tables, n_valid=jnp.asarray(n, jnp.int32),
         )
         self.key, sk = jax.random.split(self.key)
         tok = sample(logits, sk, self.sampling)  # (1,)
