@@ -35,6 +35,8 @@ import numpy as np
 from million_tpu.benchmarks.perplexity import perplexity
 from million_tpu.benchmarks.tiny_lm import (
     build_corpus,
+    build_corpus_v2,
+    checkpoint_path_l,
     load_checkpoint,
 )
 from million_tpu.cache.pq_cache import PQCacheConfig, init_state
@@ -43,22 +45,30 @@ from million_tpu.models import llama
 from million_tpu.pq.kmeans import train_opq, train_pq
 
 
-def sample_kv(params, cfg, tokens, *, windows=8, ctx=512):
+def sample_kv(params, cfg, tokens, *, windows=8, ctx=512, bs=8):
     """Collect per-layer K/V head vectors from dense prefills on the FIRST
     windows of the stream (the sampling stage's role, main_pq.py:168-205 —
     here the vectors come straight out of the dense cache instead of a
-    save_forward hook writing fvecs)."""
+    save_forward hook writing fvecs). Prefills run bs windows at a time;
+    rows are stored f16 to keep the reference budget (256 * 2^12 rows/layer
+    at nbits=12) under ~1.5 GB/side on the host."""
+    bs = min(bs, windows)
     dcfg = DenseCacheConfig(
-        bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=ctx, dtype=cfg.dtype
+        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=ctx, dtype=cfg.dtype
     )
     ks, vs = [], []
-    for w in range(windows):
-        ids = jnp.asarray(tokens[w * ctx : (w + 1) * ctx][None], jnp.int32)
+    for w0 in range(0, windows - windows % bs, bs):
+        ids = jnp.asarray(
+            np.stack([
+                tokens[(w0 + i) * ctx : (w0 + i + 1) * ctx]
+                for i in range(bs)
+            ]), jnp.int32,
+        )
         cache = init_dense_state(dcfg, cfg.num_layers)
         _, cache = llama.prefill(params, cfg, ids, cache, None, mode="dense")
         # (L, bs, nh_k, n, d) -> per layer (bs*nh_k*n, d)
-        ks.append(np.asarray(cache["k"]).reshape(cfg.num_layers, -1, cfg.head_dim))
-        vs.append(np.asarray(cache["v"]).reshape(cfg.num_layers, -1, cfg.head_dim))
+        ks.append(np.asarray(cache["k"], np.float16).reshape(cfg.num_layers, -1, cfg.head_dim))
+        vs.append(np.asarray(cache["v"], np.float16).reshape(cfg.num_layers, -1, cfg.head_dim))
     return np.concatenate(ks, axis=1), np.concatenate(vs, axis=1)
 
 
@@ -88,9 +98,14 @@ def ladder_rung(
 ) -> Dict:
     M_v = M_v or M_k
     nbits_v = nbits_v or nbits_k
-    ck, Rk = train_cents(kv_k, M_k, nbits_k, iters=train_iters, opq=opq)
-    cv, Rv = train_cents(kv_v, M_v, nbits_v, iters=train_iters, opq=opq,
-                         seed=100)
+    # the reference's per-rung codebook budget: 256 rows per centroid
+    # (main_pq.py:197) — round-2's fixed 8K-row budget starved k-means at
+    # nbits >= 11 and flattened the sensitivity curve (docs/PERF.md)
+    budget = 256 * (2 ** max(nbits_k, nbits_v))
+    ck, Rk = train_cents(kv_k[:, :budget], M_k, nbits_k, iters=train_iters,
+                         opq=opq)
+    cv, Rv = train_cents(kv_v[:, :budget], M_v, nbits_v, iters=train_iters,
+                         opq=opq, seed=100)
     cents = {"key": ck, "value": cv}
     if opq:
         cents["Rk"], cents["Rv"] = Rk, Rv
@@ -115,13 +130,32 @@ def ladder_rung(
 
 
 def run_ladder(*, fast: bool = False, max_windows: int = 8,
-               max_length: int = 512) -> Dict:
-    params, cfg = load_checkpoint()
-    tokens = build_corpus()
-    holdout = 1 << 16
-    eval_tokens = tokens[-holdout:]  # never seen in training
-    sample_tokens = tokens[-2 * holdout : -holdout]
-    kv_k, kv_v = sample_kv(params, cfg, sample_tokens)
+               max_length: int = 512, model: str = "tiny",
+               train_iters: int = 15) -> Dict:
+    """model="tiny": the d=32 regression model (round-2 protocol).
+    model="large": the d=64 quality anchor (QUALITY_CFG_L) with the
+    reference sample budget, 1024-token eval windows, and 25 k-means
+    iterations — the published ladder."""
+    if model == "large":
+        params, cfg = load_checkpoint(checkpoint_path_l())
+        tokens = build_corpus_v2()
+        holdout = 2 << 20
+        eval_tokens = tokens[-holdout:][: max_windows * max_length + 1]
+        # budget: 256*2^12 rows/layer at the deepest rung; nh_k heads
+        # contribute ctx rows each per window
+        ctx = 1024
+        need_rows = 256 * 4096
+        windows = -(-need_rows // (cfg.num_kv_heads * ctx))
+        sample_tokens = tokens[: windows * ctx]  # train region (ref samples train split)
+        kv_k, kv_v = sample_kv(params, cfg, sample_tokens,
+                               windows=windows, ctx=ctx, bs=8)
+    else:
+        params, cfg = load_checkpoint()
+        tokens = build_corpus()
+        holdout = 1 << 16
+        eval_tokens = tokens[-holdout:]  # never seen in training
+        sample_tokens = tokens[-2 * holdout : -holdout]
+        kv_k, kv_v = sample_kv(params, cfg, sample_tokens)
 
     dense = perplexity(
         params, cfg, eval_tokens,
@@ -147,7 +181,8 @@ def run_ladder(*, fast: bool = False, max_windows: int = 8,
     for kw in rungs:
         row = ladder_rung(
             params, cfg, eval_tokens, kv_k, kv_v,
-            max_length=max_length, max_windows=max_windows, **kw,
+            max_length=max_length, max_windows=max_windows,
+            train_iters=train_iters, **kw,
         )
         row["dppl"] = row["ppl"] - dense["ppl"]
         rows.append(row)
@@ -161,11 +196,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="nbits=8 rung only (the regression-test slice)")
-    ap.add_argument("--windows", type=int, default=8)
-    ap.add_argument("--max-length", type=int, default=512)
+    ap.add_argument("--model", choices=("tiny", "large"), default="tiny")
+    ap.add_argument("--windows", type=int, default=None)
+    ap.add_argument("--max-length", type=int, default=None)
     args = ap.parse_args()
-    run_ladder(fast=args.fast, max_windows=args.windows,
-               max_length=args.max_length)
+    if args.model == "large":
+        windows = args.windows or 32
+        max_length = args.max_length or 1024
+        iters = 25  # match the reference's faiss niter (pq_utils.py:600)
+    else:
+        windows = args.windows or 8
+        max_length = args.max_length or 512
+        iters = 15
+    out = run_ladder(fast=args.fast, max_windows=windows,
+                     max_length=max_length, model=args.model,
+                     train_iters=iters)
+    from million_tpu.utils.ledger import append_result
+    append_result("results.jsonl", {
+        "stage": "quality_ladder", "model": args.model,
+        "max_length": max_length, "windows": windows, "result": out,
+    })
 
 
 if __name__ == "__main__":

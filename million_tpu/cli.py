@@ -37,10 +37,14 @@ from million_tpu.utils.ledger import append_result
 
 DEFAULTS = {
     "model": {"preset": "tinyllama-1.1b", "weights": None, "tokenizer": "byte", "seed": 0},
+    # sample_target / train_samples None -> auto 256 * 2^nbits rows/layer,
+    # the reference's codebook budget (main_pq.py:197 via faiss's
+    # max_points_per_centroid=256) — fixed-size budgets starve k-means at
+    # nbits >= 11 (see docs/PERF.md quality ladder, round-2 plateau).
     "pq": {"M": None, "nbits": 8, "M_v": None, "nbits_v": None, "Lt": 128,
-           "train_samples": 1 << 18,
+           "train_samples": None,
            "opq": False, "native_trainer": False, "train_iters": 25,
-           "sample_target": 32768},
+           "sample_target": None},
     "cache": {"N_max": 32768},
     "run": {
         "dataset": "_synthetic",
@@ -83,6 +87,15 @@ def art_dir(cfg: Config) -> Path:
 
 def pq_m(cfg: Config, mcfg) -> int:
     return cfg.pq.M or mcfg.head_dim // 2
+
+
+def sample_budget(cfg: Config, mcfg) -> int:
+    """Auto codebook sample budget: 256 rows per centroid of the finest
+    codebook in play (reference main_pq.py:197 — 256 * 2^nbits; faiss
+    trains on at most max_points_per_centroid=256 * k points, so the
+    reference budget is exactly 'as many as k-means will use')."""
+    _, nb_k, _, nb_v = pq_geometry(cfg, mcfg)
+    return 256 * (2 ** max(nb_k, nb_v))
 
 
 def pq_geometry(cfg: Config, mcfg):
@@ -315,7 +328,7 @@ def stage_sampling(cfg, mcfg, params):
         tokenizer=load_tokenizer(cfg.model.tokenizer),
         vocab_size=mcfg.vocab_size,
     )
-    target = cfg.pq.sample_target
+    target = cfg.pq.sample_target or sample_budget(cfg, mcfg)
     out = art_dir(cfg)
     for L in range(mcfg.num_layers):
         (out / f"layer{L}.key.fvecs").unlink(missing_ok=True)
@@ -369,7 +382,7 @@ def stage_training(cfg, mcfg, params=None):
     # STREAM the sample files: a large sampling corpus never loads whole —
     # one-pass reservoir at O(train_samples) memory (utils/fvecs.py, the
     # reference's sample_fvecs/read_fvecs_batch role, fvecio.py:61-133)
-    cap = int(cfg.pq.train_samples)
+    cap = int(cfg.pq.train_samples or sample_budget(cfg, mcfg))
     for L in range(mcfg.num_layers):
         ks = reservoir_sample_fvecs(out / f"layer{L}.key.fvecs", cap, seed=L)
         vs = reservoir_sample_fvecs(

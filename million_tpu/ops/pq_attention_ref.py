@@ -203,10 +203,19 @@ def causal_attention(
             qp, kp, vp = q, kf, vf
         # padded tail keys sit AFTER every real query, so causality masks
         # them out of real rows; padded query rows are sliced away.
+        # Backward blocks make the op differentiable — the quality-anchor
+        # LM (benchmarks/tiny_lm.py) trains at ctx >= 1024 through this
+        # path; without them jax.grad raises "not all backward blocks are
+        # specified".
+        blk_bwd = min(blk_k, 512)
         out = flash_attention(
             qp, kp, vp, causal=True, sm_scale=scale,
             block_sizes=BlockSizes(
-                block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1
+                block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+                block_q_major_dkv=blk_bwd, block_k_major_dkv=blk_bwd,
+                block_k_dkv=blk_bwd, block_q_dkv=blk_bwd,
+                block_k_major_dq=blk_bwd, block_k_dq=blk_bwd,
+                block_q_dq=blk_bwd,
             ),
         )
         return out[:, :, :n].astype(q.dtype)

@@ -28,11 +28,29 @@ import jax
 import jax.numpy as jnp
 
 
-def _assign(x: jax.Array, cents: jax.Array) -> jax.Array:
-    """x (n, k), cents (C, k) -> (n,) index of nearest centroid (L2)."""
-    ip = jnp.matmul(x, cents.T, precision=jax.lax.Precision.HIGHEST)  # (n, C)
+def _assign(x: jax.Array, cents: jax.Array, chunk_n: int = 0) -> jax.Array:
+    """x (n, k), cents (C, k) -> (n,) index of nearest centroid (L2).
+
+    chunk_n > 0 bounds the materialized distance block to (chunk_n, C)
+    instead of (n, C) — required at the reference's codebook sample budget
+    (256 * 2^nbits rows, main_pq.py:197: n=1M at nbits=12 would need a
+    16 GB distance matrix per subspace). Chunks run under lax.map, which
+    stays sequential under the train_pq vmap over subspaces.
+    """
     c_sq = jnp.sum(cents * cents, axis=-1)
-    return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1)
+    n = x.shape[0]
+    if chunk_n <= 0 or n <= chunk_n:
+        ip = jnp.matmul(x, cents.T, precision=jax.lax.Precision.HIGHEST)
+        return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1)
+    pad = (-n) % chunk_n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    xc = xp.reshape(-1, chunk_n, x.shape[1])
+
+    def one(xb):
+        ip = jnp.matmul(xb, cents.T, precision=jax.lax.Precision.HIGHEST)
+        return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1)
+
+    return jax.lax.map(one, xc).reshape(-1)[:n]
 
 
 def _update(x: jax.Array, assign: jax.Array, C: int) -> Tuple[jax.Array, jax.Array]:
@@ -50,7 +68,7 @@ def _split_empty(x, assign, cents, counts):
     for a perturbed duplicate centroid to drift there."""
     C = cents.shape[0]
     d2 = jnp.sum((x - cents[assign]) ** 2, axis=-1)  # (n,)
-    order = jnp.argsort(-d2)[:C]  # worst-served points
+    _, order = jax.lax.top_k(d2, C)  # worst-served points (O(n log C), not a full sort)
     donors = x[order]  # (C, k)
     empty = counts == 0
     rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # slot among empties
@@ -68,6 +86,15 @@ def _kmeanspp_init(x: jax.Array, key: jax.Array, C: int) -> jax.Array:
     coverage — outlying KV directions get centroids with high probability.
     """
     n = x.shape[0]
+    # D^2-sample on an evenly-strided subset when n is huge: init cost is
+    # a C-step sequential scan over all points, and coverage from 128K
+    # spread-out points matches full-set coverage for k-means++ purposes
+    # (Lloyd then runs on the FULL set).
+    init_cap = 1 << 17
+    if n > init_cap:
+        stride = n // init_cap
+        x = x[:: stride][:init_cap]
+        n = x.shape[0]
     k0, key = jax.random.split(key)
     first = x[jax.random.randint(k0, (), 0, n)]
     min_d2 = jnp.sum((x - first) ** 2, axis=-1)
@@ -83,28 +110,29 @@ def _kmeanspp_init(x: jax.Array, key: jax.Array, C: int) -> jax.Array:
     return jnp.concatenate([first[None], rest], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "iters"))
+@functools.partial(jax.jit, static_argnames=("C", "iters", "chunk_n"))
 def kmeans(
-    x: jax.Array, key: jax.Array, C: int, iters: int = 25
+    x: jax.Array, key: jax.Array, C: int, iters: int = 25, chunk_n: int = 0
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-subspace k-means. x (n, k) f32 -> (centroids (C, k), inertia).
 
     25 iterations by default, matching faiss's niter in the reference
-    (pq_utils.py:600 cp.niter semantics / faiss default).
+    (pq_utils.py:600 cp.niter semantics / faiss default). chunk_n bounds
+    assignment memory for large sample budgets (see _assign).
     """
     x = x.astype(jnp.float32)
     n = x.shape[0]
     cents0 = _kmeanspp_init(x, key, C)
 
     def body(it, cents):
-        a = _assign(x, cents)
+        a = _assign(x, cents, chunk_n)
         cents_new, counts = _update(x, a, C)
         # keep old centroid where a cluster went empty, then re-seed
         cents_new = jnp.where((counts == 0)[:, None], cents, cents_new)
         return _split_empty(x, a, cents_new, counts)
 
     cents = jax.lax.fori_loop(0, iters, body, cents0)
-    a = _assign(x, cents)
+    a = _assign(x, cents, chunk_n)
     inertia = jnp.sum((x - cents[a]) ** 2)
     return cents, inertia
 
@@ -133,7 +161,11 @@ def train_pq(
 
     xs = subspace_view(samples.astype(jnp.float32), M, layout).transpose(1, 0, 2)  # (M, n, d_m)
     keys = jax.random.split(jax.random.PRNGKey(seed), M)
-    cents, _ = jax.vmap(lambda xm, km: kmeans(xm, km, C, iters))(xs, keys)
+    # bound the vmapped distance block (M, chunk_n, C) to ~2GB f32
+    chunk_n = 0
+    if n * C * M > (1 << 29):
+        chunk_n = max(1024, (1 << 29) // (M * C) // 8 * 8)
+    cents, _ = jax.vmap(lambda xm, km: kmeans(xm, km, C, iters, chunk_n))(xs, keys)
     return cents  # (M, C, d_m)
 
 
