@@ -43,6 +43,7 @@ from million_tpu.ops.pq_attention_ref import (
 )
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
+    check_group,
     WORD,
     pack_codes,
     pack_decode_table,
@@ -694,6 +695,7 @@ def _pq_pallas_attention_stacked(
     scale = 1.0 / (d**0.5)
     d_k, d_v = direct_flags(cents)
 
+    check_group(G)
     qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
     q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
@@ -746,6 +748,7 @@ def _pq_pallas_attention(q, cache_l, cents_l, cfg, mesh=None):
     scale = 1.0 / (d**0.5)
     d_k, d_v = direct_flags(cents_l)
 
+    check_group(G)
     qg = (q.astype(jnp.float32) * scale).reshape(bs, nh_k, G, d)
     q_pad = jnp.zeros((bs, nh_k, GROUP_PAD, d), jnp.bfloat16)
     q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))

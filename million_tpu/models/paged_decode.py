@@ -34,6 +34,7 @@ from million_tpu.models.llama import direct_flags
 from million_tpu.ops.pq_attention_ref import causal_attention
 from million_tpu.ops.pq_attention_pallas import (
     GROUP_PAD,
+    check_group,
     pq_paged_attention,
     pq_paged_attention_stacked,
 )
@@ -82,33 +83,37 @@ def paged_decode_step(
 
     Inactive slots (seq_active == 0) still compute (lockstep batch) but
     their cache writes are masked out.
+
+    Contract (round 3, window-flush batching — VERDICT r2 item 4): this
+    step does NO encoding — the new token's k/v go to the exact residual
+    window only, and the caller must run `flush_paged_slots` on any slot
+    whose window is full (seq_r >= Lt) BEFORE stepping it again. The flat
+    path measured the per-token encode+RMW pattern at ~1.2 ms/step and
+    amortizes it the same way (cache/pq_cache.py:23-27 rationale); the
+    round-2 paged step paid encode + 2 word-RMWs + 2 pool scatters per
+    layer per token on top of that. A slot stepped past a full window
+    overwrites its last residual row (data loss) — the scheduler flushes
+    first (runtime/scheduler.py step()).
     """
     S = tokens.shape[0]
     nh, nh_k, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     G = nh // nh_k
     scale = 1.0 / (dh**0.5)
-    C = tables["key"].shape[2]
     inv_freq = _rope_freqs(cfg)
     rope_ms = _rope_mscale(cfg)
     active = state["seq_active"] > 0  # (S,)
     r = state["seq_r"]  # (S,)
+    n_codes = state["seq_n_codes"]
 
     x = params["embed"][tokens][:, None, :]  # (S, 1, D)
-
-    # --- residual window restart (per slot; scalar wheres only — a
-    # lax.cond over the pools would defeat in-place aliasing) -------------
-    must_flush = (r >= pcfg.Lt) & active  # (S,)
-    r_eff = jnp.where(must_flush, 0, r)
-    n_codes_eff = state["seq_n_codes"] + jnp.where(must_flush, pcfg.Lt, 0)
+    # safety clamp: an unflushed full window would otherwise scatter out of
+    # bounds (advanced-index .at writes clamp silently — make it explicit)
+    wr = jnp.where(active, jnp.minimum(r, pcfg.Lt - 1), 0)
 
     def layer(carry, lp):
         x, st, li = carry
         kres = jax.lax.dynamic_index_in_dim(st["key_residual"], li, 0, False)
         vres = jax.lax.dynamic_index_in_dim(st["value_residual"], li, 0, False)
-        krc = jax.lax.dynamic_index_in_dim(st["key_residual_codes"], li, 0, False)
-        vrc = jax.lax.dynamic_index_in_dim(st["value_residual_codes"], li, 0, False)
-        kcent = jax.lax.dynamic_index_in_dim(tables["key"], li, 0, False)
-        vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
 
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         qf = jnp.einsum("bnd,fd->bnf", h, lp["wq"])
@@ -131,90 +136,38 @@ def paged_decode_step(
         else:
             q_att = q
 
-        # append the new token to the residual window at r_eff (per slot),
-        # and encode just this one token into the window-code buffers
+        # append the new token to the residual window at wr (per slot)
         k1 = k[:, :, 0].astype(kres.dtype)  # (S, nh_k, d)
         v1 = v[:, :, 0].astype(vres.dtype)
-        wr = jnp.where(active, r_eff, 0)
         kres_new = kres.at[jnp.arange(S), :, wr].set(
             jnp.where(active[:, None, None], k1, kres[jnp.arange(S), :, wr])
         )
         vres_new = vres.at[jnp.arange(S), :, wr].set(
             jnp.where(active[:, None, None], v1, vres[jnp.arange(S), :, wr])
         )
-        kc1 = runtime_encode(k1, kcent, SUBSPACE_LAYOUT)  # (S, nh_k, M)
-        vc1 = runtime_encode(v1, vcent, SUBSPACE_LAYOUT)
-
-        # set byte (wr % 4) of word (wr // 4) in each slot's window words
-        def set_slot_byte(words, code):  # words (S, H, M, Ltw); code (S, H, M)
-            w_idx = wr // 4  # (S,)
-            shift = ((wr % 4) * 8).astype(jnp.uint32)  # (S,)
-            old = jnp.take_along_axis(
-                words, w_idx[:, None, None, None], axis=-1
-            ).astype(jnp.uint32)  # (S, H, M, 1)
-            mask = (jnp.uint32(0xFF) << shift)[:, None, None, None]
-            newv = (old & ~mask) | (
-                code.astype(jnp.uint32)[..., None] << shift[:, None, None, None]
-            )
-            newv = jnp.where(active[:, None, None, None], newv, old)
-            return words.at[jnp.arange(S), :, :, w_idx].set(
-                newv.astype(jnp.int32)[..., 0]
-            )
-
-        krc_new = set_slot_byte(krc, kc1)
-        vrc_new = set_slot_byte(vrc, vc1)
-
-        # mirror every slot's window-code WORDS into its pages at
-        # [n_codes_eff, n_codes_eff + Lt) — beyond the valid region until
-        # the counters advance, so partial windows are harmless. Inactive /
-        # unallocated slots scatter to the reserved scratch page.
-        ps_w = pcfg.page_size // 4
-        Ltw = pcfg.Lt // 4
-        t_w = n_codes_eff[:, None] // 4 + jnp.arange(Ltw)[None]  # (S, Ltw)
-        pages = jnp.take_along_axis(
-            state["page_table"],
-            jnp.clip(t_w // ps_w, 0, pcfg.pages_per_seq - 1),
-            axis=1,
-        )  # (S, Ltw)
-        offs = t_w % ps_w
-        scratch = st["key_pool"].shape[1] - 1  # last slab entry = scratch page
-        pages = jnp.where((pages < 0) | ~active[:, None], scratch, pages)
 
         st = dict(st)
-        # stacked-pool scatter at layer li: advanced indices (li, pages,
-        # offs) broadcast to (S, Ltw) and move to the front -> (S, Ltw, H, M)
-        st["key_pool"] = st["key_pool"].at[li, pages, :, :, offs].set(
-            krc_new.transpose(0, 3, 1, 2)
-        )
-        st["value_pool"] = st["value_pool"].at[li, pages, :, :, offs].set(
-            vrc_new.transpose(0, 3, 1, 2)
-        )
         st["key_residual"] = jax.lax.dynamic_update_slice(
             st["key_residual"], kres_new[None], (li, 0, 0, 0, 0)
         )
         st["value_residual"] = jax.lax.dynamic_update_slice(
             st["value_residual"], vres_new[None], (li, 0, 0, 0, 0)
         )
-        st["key_residual_codes"] = jax.lax.dynamic_update_slice(
-            st["key_residual_codes"], krc_new[None], (li, 0, 0, 0, 0)
-        )
-        st["value_residual_codes"] = jax.lax.dynamic_update_slice(
-            st["value_residual_codes"], vrc_new[None], (li, 0, 0, 0, 0)
-        )
 
         # --- attention: paged codes partial + residual partial, LSE merge
         d_k, d_v = direct_flags(tables)
+        check_group(G)
         qg = (q_att[:, :, 0].astype(jnp.float32) * scale).reshape(S, nh_k, G, dh)
         q_pad = jnp.zeros((S, nh_k, GROUP_PAD, dh), jnp.bfloat16)
         q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
         out_c, lse_c = pq_paged_attention_stacked(
             q_pad, st["key_pool"], st["value_pool"],
             tables["kpack"], tables["vpack"], li,
-            state["page_table"], n_codes_eff,
+            state["page_table"], n_codes,
             direct=d_k, v_direct=d_v, p_bucket=p_bucket,
         )
-        # valid residual entries per slot: [0, r_eff] (token just appended)
-        rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, r_eff, -1)[:, None]
+        # valid residual entries per slot: [0, wr] (token just appended)
+        rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, wr, -1)[:, None]
         out_r, lse_r = masked_partial_attention(
             q_pad.astype(jnp.float32),
             kres_new,
@@ -239,9 +192,68 @@ def paged_decode_step(
     logits = _logits(params, cfg, x)[:, 0]  # (S, V)
 
     new = dict(state2)
-    new["seq_n_codes"] = n_codes_eff
-    new["seq_r"] = jnp.where(active, r_eff + 1, r)
+    new["seq_r"] = jnp.where(active, wr + 1, r)
     return logits, new
+
+
+@partial(jax.jit, static_argnames=("pcfg",), donate_argnums=(1,))
+def flush_paged_slots(
+    pcfg: PagedPQCacheConfig,
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    mask: jax.Array,  # (S,) bool — slots whose FULL residual window flushes
+) -> Dict[str, jax.Array]:
+    """Encode the full residual windows of the masked slots and scatter the
+    packed words into their pages; advance seq_n_codes by Lt and reset
+    seq_r. One executable for every flush combination (the mask is traced).
+
+    This is the flat path's window-flush (cache/pq_cache.py flush contract)
+    applied to the page pool: encode cost is paid once per Lt tokens per
+    slot instead of every step. Unmasked slots' scatters route to the
+    reserved scratch page. The window must be FULL (seq_r == Lt) for masked
+    slots — the scheduler guarantees it.
+    """
+    from million_tpu.ops.pq_attention_pallas import pack_codes
+
+    S = mask.shape[0]
+    ps_w = pcfg.page_size // 4
+    Ltw = pcfg.Lt // 4
+    n_codes = state["seq_n_codes"]
+    t_w = n_codes[:, None] // 4 + jnp.arange(Ltw)[None]  # (S, Ltw)
+    pages = jnp.take_along_axis(
+        state["page_table"],
+        jnp.clip(t_w // ps_w, 0, pcfg.pages_per_seq - 1),
+        axis=1,
+    )  # (S, Ltw)
+    offs = t_w % ps_w
+    scratch = state["key_pool"].shape[1] - 1
+    pages = jnp.where((pages < 0) | ~mask[:, None], scratch, pages)
+
+    def layer(st, li):
+        kres = jax.lax.dynamic_index_in_dim(st["key_residual"], li, 0, False)
+        vres = jax.lax.dynamic_index_in_dim(st["value_residual"], li, 0, False)
+        kcent = jax.lax.dynamic_index_in_dim(tables["key"], li, 0, False)
+        vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
+        # windows are stored in codebook (rotated) space already
+        kc = runtime_encode(kres, kcent, SUBSPACE_LAYOUT)  # (S, H, Lt, M)
+        vc = runtime_encode(vres, vcent, SUBSPACE_LAYOUT)
+        kw = pack_codes(jnp.swapaxes(kc, -1, -2))  # (S, H, M, Ltw)
+        vw = pack_codes(jnp.swapaxes(vc, -1, -2))
+        st = dict(st)
+        st["key_pool"] = st["key_pool"].at[li, pages, :, :, offs].set(
+            kw.transpose(0, 3, 1, 2)
+        )
+        st["value_pool"] = st["value_pool"].at[li, pages, :, :, offs].set(
+            vw.transpose(0, 3, 1, 2)
+        )
+        return st, None
+
+    L = state["key_pool"].shape[0]
+    state, _ = jax.lax.scan(layer, state, jnp.arange(L, dtype=jnp.int32))
+    new = dict(state)
+    new["seq_n_codes"] = n_codes + jnp.where(mask, pcfg.Lt, 0)
+    new["seq_r"] = jnp.where(mask, 0, state["seq_r"])
+    return new
 
 
 @partial(jax.jit, static_argnames=("cfg", "pcfg"))
@@ -287,7 +299,12 @@ def paged_prefill_seq(
     if nv is None:
         pages_row = jnp.maximum(raw_row, 0)
     else:
-        # padded (or unallocated) words -> the reserved scratch page
+        # padded (or unallocated) words -> the reserved scratch page. Many
+        # padded words can map to the SAME (scratch, offset) slot in one
+        # .at[].set — intentional: JAX's duplicate-index ordering is
+        # unspecified, but the scratch page is WRITE-ONLY (never read), so
+        # whichever duplicate lands last is irrelevant. Do not repurpose
+        # scratch contents.
         valid_w = t_w < (nv // 4)
         pages_row = jnp.where(
             jnp.logical_and(valid_w, raw_row >= 0), raw_row, pcfg.n_pages
@@ -321,21 +338,12 @@ def paged_prefill_seq(
                 pack_codes(vc[..., :n4]).transpose(2, 0, 1)
             )
         if tail:
-            # ragged tail -> exact residual window + its word-packed codes
-            # (rotated space, matching the pools)
+            # ragged tail -> exact residual window (rotated space, matching
+            # the pools); codes are produced later by flush_paged_slots
             kt = k_st[0, :, n4:].astype(st["key_residual"].dtype)  # (nh_k, tail, d)
             vt = v_st[0, :, n4:].astype(st["value_residual"].dtype)
             st["key_residual"] = st["key_residual"].at[li, seq_id, :, :tail].set(kt)
             st["value_residual"] = st["value_residual"].at[li, seq_id, :, :tail].set(vt)
-            pad = jnp.zeros(kc.shape[:-1] + (4 - tail,), kc.dtype)
-            krc0 = pack_codes(jnp.concatenate([kc[..., n4:], pad], -1))  # (H, M, 1)
-            vrc0 = pack_codes(jnp.concatenate([vc[..., n4:], pad], -1))
-            st["key_residual_codes"] = st["key_residual_codes"].at[
-                li, seq_id, :, :, :1
-            ].set(krc0)
-            st["value_residual_codes"] = st["value_residual_codes"].at[
-                li, seq_id, :, :, :1
-            ].set(vrc0)
         if nv is not None:
             # dynamic ragged tail (bucketed admission): the up-to-3 real
             # tokens past the aligned prefix go to the exact residual
@@ -352,15 +360,6 @@ def paged_prefill_seq(
             st["value_residual"] = st["value_residual"].at[li, seq_id, :, :4].set(
                 vt4.astype(st["value_residual"].dtype)
             )
-            w_idx = jnp.minimum(nv // 4, n // 4 - 1)
-            krc0 = jax.lax.dynamic_slice_in_dim(pack_codes(kc), w_idx, 1, -1)
-            vrc0 = jax.lax.dynamic_slice_in_dim(pack_codes(vc), w_idx, 1, -1)
-            st["key_residual_codes"] = st["key_residual_codes"].at[
-                li, seq_id, :, :, :1
-            ].set(krc0)
-            st["value_residual_codes"] = st["value_residual_codes"].at[
-                li, seq_id, :, :, :1
-            ].set(vrc0)
         attn = causal_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(1, n, -1)
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
@@ -388,3 +387,195 @@ def paged_prefill_seq(
     new["seq_r"] = state["seq_r"].at[seq_id].set(tail_eff)
     new["seq_active"] = state["seq_active"].at[seq_id].set(1)
     return logits, new
+
+
+# ---------------------------------------------------------------------------
+# Chunked admission: long prompts into pages with bounded activation memory
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "hw_bucket", "hist_block",
+                                   "last_chunk"))
+def _paged_prefill_chunk(
+    params: Params,
+    cfg: ModelConfig,
+    pcfg: PagedPQCacheConfig,
+    seq_id: jax.Array,  # () int32
+    ids: jax.Array,  # (1, nc) int32 — one FULL chunk (nc % 4 == 0)
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    pos_offset: jax.Array,  # () int32 — global position of ids[:, 0]
+    n_valid: jax.Array,  # () int32 — real prompt length (global)
+    hw_bucket: int,  # STATIC: history WORDS gathered from the slot's pages
+    # (power-of-two bucket >= pos_offset//4, so executables are shared
+    # across chunk indices and admissions)
+    hist_block: int,  # STATIC: tokens decoded per history block
+    last_chunk: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One admission chunk for the PAGED cache (VERDICT r2 item 3): the
+    flat chunked_prefill decomposition (exact causal within the chunk +
+    blockwise attention against the QUANTIZED history, LSE-merged —
+    models/chunked_prefill.py) with the history read from and the codes
+    scattered to the slot's page table. Activation memory is bounded by
+    (nc, hist_block), independent of total prompt length, so 16-32K
+    admissions fit beside the pool (the one-shot paged_prefill_seq
+    materializes whole-prompt activations and is kept for short prompts).
+    """
+    from million_tpu.models.chunked_prefill import (
+        _causal_partial,
+        _history_partial,
+    )
+    from million_tpu.ops.pq_attention_pallas import pack_codes
+
+    nc = ids.shape[1]
+    if nc % 4:
+        raise ValueError("chunk length must be a multiple of 4")
+    scale = 1.0 / (cfg.head_dim**0.5)
+    nv = jnp.asarray(n_valid, jnp.int32)
+    pos = pos_offset + jnp.arange(nc)
+    x = params["embed"][ids[0]][None]  # (1, nc, D)
+    ps_w = pcfg.page_size // 4
+    scratch = state["key_pool"].shape[1] - 1
+
+    # where this chunk's code words land: global words [s/4, s/4 + nc/4)
+    t_w = pos_offset // 4 + jnp.arange(nc // 4)  # (ncw,)
+    raw_row = state["page_table"][
+        seq_id, jnp.clip(t_w // ps_w, 0, pcfg.pages_per_seq - 1)
+    ]
+    valid_w = t_w < (nv // 4)
+    # padded / unallocated words -> scratch (write-only; see
+    # paged_prefill_seq for the duplicate-index note)
+    pages_row = jnp.where(valid_w & (raw_row >= 0), raw_row, scratch)
+    offs = t_w % ps_w
+
+    # history gather pattern: the slot's first hw_bucket words (bucketed
+    # pow2; tokens >= pos_offset are masked inside _history_partial)
+    if hw_bucket:
+        h_w = jnp.arange(hw_bucket)
+        h_raw = state["page_table"][
+            seq_id, jnp.clip(h_w // ps_w, 0, pcfg.pages_per_seq - 1)
+        ]
+        h_pages = jnp.where(h_raw >= 0, h_raw, scratch)
+        h_offs = h_w % ps_w
+        nb = (hw_bucket * 4) // hist_block
+
+    def layer(carry, lp):
+        x, st, li = carry
+        kcent = jax.lax.dynamic_index_in_dim(tables["key"], li, 0, False)
+        vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg, pos)
+        Rk_i, Rv_i = _layer_rots(tables, li)
+        if Rk_i is not None:
+            k_st, v_st, q_h = _rotate(k, Rk_i), _rotate(v, Rv_i), _rotate(q, Rk_i)
+        else:
+            k_st, v_st, q_h = k, v, q
+
+        kc = jnp.swapaxes(runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
+        st = dict(st)
+        st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(
+            pack_codes(kc).transpose(2, 0, 1)
+        )
+        st["value_pool"] = st["value_pool"].at[li, pages_row, :, :, offs].set(
+            pack_codes(vc).transpose(2, 0, 1)
+        )
+
+        out_c, lse_c = _causal_partial(q, k, v, scale)
+        if hw_bucket:
+            kw = st["key_pool"][li, h_pages, :, :, h_offs]  # (hw, H, M)
+            vw = st["value_pool"][li, h_pages, :, :, h_offs]
+            arena_k = kw.transpose(1, 2, 0)[None]  # (1, H, M, hw)
+            arena_v = vw.transpose(1, 2, 0)[None]
+            out_h, lse_h = _history_partial(
+                q_h, arena_k, arena_v, kcent, vcent, pos_offset, scale,
+                nb, hist_block,
+            )
+            if Rv_i is not None:
+                out_h = _rotate(out_h, Rv_i.T)
+            attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
+        else:
+            attn = out_c
+
+        if last_chunk:
+            # ragged real tail (up to 3 tokens) -> exact residual window;
+            # a full 4-row slice is written, rows past the tail are masked
+            # by seq_r (same contract as paged_prefill_seq's nv branch)
+            start = jnp.clip((nv // 4) * 4 - pos_offset, 0, nc - 4)
+            kt4 = jax.lax.dynamic_slice_in_dim(k_st[0], start, 4, axis=1)
+            vt4 = jax.lax.dynamic_slice_in_dim(v_st[0], start, 4, axis=1)
+            st["key_residual"] = st["key_residual"].at[li, seq_id, :, :4].set(
+                kt4.astype(st["key_residual"].dtype)
+            )
+            st["value_residual"] = st["value_residual"].at[li, seq_id, :, :4].set(
+                vt4.astype(st["value_residual"].dtype)
+            )
+
+        attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(1, nc, -1)
+        x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
+        h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + _mlp(h2, lp).astype(x.dtype)
+        return (x, st, li + 1), None
+
+    (x, state, _), _ = jax.lax.scan(
+        layer, (x, state, jnp.asarray(0, jnp.int32)), params["layers"]
+    )
+    if not last_chunk:
+        return jnp.zeros((1, cfg.vocab_size), jnp.float32), state
+    x_last = jax.lax.dynamic_slice_in_dim(
+        x, jnp.clip(nv - 1 - pos_offset, 0, nc - 1), 1, axis=1
+    )
+    logits = _logits(params, cfg, x_last)[:, 0]  # (1, V)
+    new = dict(state)
+    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set((nv // 4) * 4)
+    new["seq_r"] = state["seq_r"].at[seq_id].set(nv - (nv // 4) * 4)
+    new["seq_active"] = state["seq_active"].at[seq_id].set(1)
+    return logits, new
+
+
+def paged_admit_chunked(
+    params: Params,
+    cfg: ModelConfig,
+    pcfg: PagedPQCacheConfig,
+    seq_id,
+    prompt,  # 1-D int array (host), real tokens only
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    *,
+    chunk: int = 2048,
+    hist_block: int = 2048,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Host-scheduled chunked admission of one long prompt into a slot's
+    pages. The prompt is padded to a multiple of `chunk`; executables
+    specialize on (history bucket, last_chunk) only, so all long
+    admissions share ~log2(max_prompt/chunk) compiles. The slot's pages
+    must already be allocated (allocate_pages) for the full prompt.
+    Returns (last-real-token logits (1, V), new state)."""
+    import numpy as np
+
+    if chunk % 4 or hist_block % 4:
+        raise ValueError("chunk and hist_block must be multiples of 4")
+    prompt = np.asarray(prompt, np.int32)
+    n = len(prompt)
+    if n == 0:
+        raise ValueError("empty prompt")
+    n_pad = -(-n // chunk) * chunk
+    ids = np.zeros((1, n_pad), np.int32)
+    ids[0, :n] = prompt
+    sid = jnp.asarray(seq_id, jnp.int32)
+    nvj = jnp.asarray(n, jnp.int32)
+    cap_w = pcfg.pages_per_seq * (pcfg.page_size // 4)
+    logits = None
+    for s in range(0, n_pad, chunk):
+        hw = s // 4
+        hw_b = 1
+        while hw_b < hw:
+            hw_b *= 2
+        hw_b = min(hw_b if hw else 0, cap_w)
+        hb = min(hist_block, max(hw_b * 4, 4))
+        logits, state = _paged_prefill_chunk(
+            params, cfg, pcfg, sid, jnp.asarray(ids[:, s : s + chunk]),
+            state, tables, jnp.asarray(s, jnp.int32), nvj,
+            hw_bucket=hw_b, hist_block=hb,
+            last_chunk=(s + chunk == n_pad),
+        )
+    return logits, state

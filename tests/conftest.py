@@ -27,3 +27,61 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# Tiered suite (VERDICT r2 item 7): the full suite takes ~12 min of CPU
+# compiles; `pytest -m "not slow"` is the <3-min smoke tier. Slow tests are
+# centrally registered here by nodeid prefix (measured >=5s each on the 2-vCPU
+# dev box) instead of per-file decorators, so the tier stays auditable in one
+# place. A whole-file prefix marks every test in that file.
+# ---------------------------------------------------------------------------
+_SLOW_PREFIXES = (
+    "tests/test_sharding.py",          # mesh compiles dominate (~155s)
+    "tests/test_quality_ladder.py",    # trained-checkpoint Δppl rung
+    "tests/test_cache.py::TestWideCodes::test_wide_generate_e2e",
+    "tests/test_checkpoint.py::test_session_resume_is_bit_identical",
+    "tests/test_chunked_prefill.py::test_chunked_prefill_on_mesh_matches_single_device",
+    "tests/test_chunked_prefill.py::test_chunked_prefill_opq_matches_flat",
+    "tests/test_chunked_prefill.py::test_generate_chunked_prefill_with_mesh",
+    "tests/test_chunked_prefill.py::test_generate_with_chunked_prefill",
+    "tests/test_chunked_prefill.py::test_multi_chunk_tracks_flat_through_decode",
+    "tests/test_cli.py::test_asymmetric_geometry_pipeline",
+    "tests/test_cli.py::test_full_pipeline",
+    "tests/test_cli.py::test_lm_eval_pipeline",
+    "tests/test_cli.py::test_opq_pipeline",
+    "tests/test_eval_harnesses.py::test_external_lm_eval_adapter_via_stub",
+    "tests/test_eval_harnesses.py::test_hf_tokenizer_path_in_harnesses",
+    "tests/test_eval_harnesses.py::test_speedtest_breakdown",
+    "tests/test_model.py::test_pallas_mode_matches_ref_mode_dm8",
+    "tests/test_paged_cache.py::test_paged_attention_matches_flat",
+    "tests/test_paged_cache.py::test_paged_prefill_encodes",
+    "tests/test_pallas_kernel.py::test_decode_step_bucketed_matches_full",
+    "tests/test_pallas_kernel.py::test_kernel_direct_table_matches_oracle",
+    "tests/test_pallas_kernel.py::test_kernel_dm4_direct_matches_oracle",
+    "tests/test_pallas_kernel.py::test_kernel_matches_oracle",
+    "tests/test_pallas_kernel.py::test_kernel_multiplane_matches_oracle",
+    "tests/test_pallas_kernel.py::test_kernel_small_codebook",
+    "tests/test_pallas_kernel.py::test_pack_decode_table_layout",
+    "tests/test_pq_attention_ref.py::test_causal_attention_matches_loop",
+    "tests/test_pq_attention_ref.py::test_pq_attention_matches_oracle",
+    "tests/test_pq_core.py::test_opq_preserves_inner_products",
+    "tests/test_pq_core.py::test_train_opq_improves_reconstruction",
+    "tests/test_scheduler.py::test_scheduler_asymmetric_geometry",
+    "tests/test_scheduler.py::test_scheduler_interleaves_different_lengths",
+    "tests/test_scheduler.py::test_scheduler_matches_flat_pipeline",
+    "tests/test_scheduler.py::test_scheduler_opq_matches_flat_pipeline",
+    "tests/test_scheduler.py::test_scheduler_preemption_and_resume",
+    "tests/test_scheduler.py::test_scheduler_skip_ahead_admission",
+    "tests/test_scheduler.py::test_chunked_admission_matches_oneshot",
+    "tests/test_scheduler.py::test_scheduler_long_prompt_chunked_admission",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if any(nodeid.startswith(p) for p in _SLOW_PREFIXES):
+            item.add_marker(pytest.mark.slow)
