@@ -93,7 +93,7 @@ def train_cents(kv, M, nbits, *, iters=15, opq=False, seed=0):
 def ladder_rung(
     params, cfg, eval_tokens, kv_k, kv_v, *,
     M_k: int, nbits_k: int, M_v: Optional[int] = None,
-    nbits_v: Optional[int] = None, opq: bool = False,
+    nbits_v: Optional[int] = None, opq: bool = False, outlier_k: int = 0,
     max_length: int = 512, max_windows: int = 8, train_iters: int = 15,
 ) -> Dict:
     M_v = M_v or M_k
@@ -102,13 +102,30 @@ def ladder_rung(
     # (main_pq.py:197) — round-2's fixed 8K-row budget starved k-means at
     # nbits >= 11 and flattened the sensitivity curve (docs/PERF.md)
     budget = 256 * (2 ** max(nbits_k, nbits_v))
+    kv_v_b = kv_v[:, :budget]
+    oidx = None
+    if outlier_k:
+        # outlier-channel high precision (VERDICT r2 item 5 / north star):
+        # the top-energy V channels are excluded from PQ and stored exact
+        from million_tpu.pq.ops import select_outlier_channels, zero_channels
+
+        oidx = np.stack([
+            np.asarray(select_outlier_channels(jnp.asarray(kv_v_b[l]), outlier_k))
+            for l in range(kv_v_b.shape[0])
+        ])  # (L, k)
+        kv_v_b = np.stack([
+            np.asarray(zero_channels(jnp.asarray(kv_v_b[l]), jnp.asarray(oidx[l])))
+            for l in range(kv_v_b.shape[0])
+        ])
     ck, Rk = train_cents(kv_k[:, :budget], M_k, nbits_k, iters=train_iters,
                          opq=opq)
-    cv, Rv = train_cents(kv_v[:, :budget], M_v, nbits_v, iters=train_iters,
+    cv, Rv = train_cents(kv_v_b, M_v, nbits_v, iters=train_iters,
                          opq=opq, seed=100)
     cents = {"key": ck, "value": cv}
     if opq:
         cents["Rk"], cents["Rv"] = Rk, Rv
+    if oidx is not None:
+        cents["v_outlier_idx"] = jnp.asarray(oidx, jnp.int32)
     # mode "pq" (the evaluation path here) reads raw cents only; kernel
     # tables would even REJECT the deliberately-degenerate d_m=4/C=256 rung
     tables = cents
@@ -125,13 +142,13 @@ def ladder_rung(
     )
     return {
         "M": M_k, "nbits": nbits_k, "M_v": M_v, "nbits_v": nbits_v,
-        "opq": opq, "ppl": r["ppl"],
+        "opq": opq, "outlier_k": outlier_k, "ppl": r["ppl"],
     }
 
 
 def run_ladder(*, fast: bool = False, max_windows: int = 8,
                max_length: int = 512, model: str = "tiny",
-               train_iters: int = 15) -> Dict:
+               train_iters: int = 15, coarse_sweep: bool = False) -> Dict:
     """model="tiny": the d=32 regression model (round-2 protocol).
     model="large": the d=64 quality anchor (QUALITY_CFG_L) with the
     reference sample budget, 1024-token eval windows, and 25 k-means
@@ -168,15 +185,31 @@ def run_ladder(*, fast: bool = False, max_windows: int = 8,
         max_windows=max_windows,
     )
     M = cfg.head_dim // 2
-    rungs = [dict(M_k=M, nbits_k=8)]
-    if not fast:
-        rungs += [dict(M_k=M, nbits_k=nb) for nb in (9, 10, 11, 12)]
-        rungs += [
-            dict(M_k=cfg.head_dim // 4, nbits_k=8),          # degenerate d_m=4
-            dict(M_k=M, nbits_k=8, opq=True),                 # OPQ
-            dict(M_k=M, nbits_k=8, M_v=cfg.head_dim // 4,     # asym V d_m=4
-                 nbits_v=7),
-        ]
+    if coarse_sweep:
+        # the RESOLVABLE sensitivity curve: at M=d/2 this model's Δppl
+        # saturates near zero for every nbits (quantization error below
+        # eval noise), so the monotone nbits demonstration runs at the
+        # coarse M=d/4 geometry — the reference's own M=32@d=128 ladder
+        # (BASELINE results.jsonl:8-10: ppl 14.97 -> 6.25 -> 5.50 for
+        # nbits 8/10/12)
+        rungs = [dict(M_k=cfg.head_dim // 4, nbits_k=nb)
+                 for nb in (8, 9, 10, 11, 12)]
+    else:
+        rungs = [dict(M_k=M, nbits_k=8)]
+        if not fast:
+            rungs += [dict(M_k=M, nbits_k=nb) for nb in (9, 10, 11, 12)]
+            rungs += [
+                dict(M_k=cfg.head_dim // 4, nbits_k=8),          # degenerate d_m=4
+                dict(M_k=M, nbits_k=8, opq=True),                 # OPQ
+                dict(M_k=M, nbits_k=8, M_v=cfg.head_dim // 4,     # asym V d_m=4
+                     nbits_v=7),
+                # asym V d_m=4 RESCUED by outlier channels (north star):
+                # top-energy V channels stored exact next to the codes
+                dict(M_k=M, nbits_k=8, M_v=cfg.head_dim // 4, nbits_v=7,
+                     outlier_k=max(cfg.head_dim // 16, 2)),
+                dict(M_k=M, nbits_k=8, M_v=cfg.head_dim // 4, nbits_v=7,
+                     outlier_k=max(cfg.head_dim // 8, 4)),
+            ]
     rows = []
     for kw in rungs:
         row = ladder_rung(
@@ -199,6 +232,9 @@ def main():
     ap.add_argument("--model", choices=("tiny", "large"), default="tiny")
     ap.add_argument("--windows", type=int, default=None)
     ap.add_argument("--max-length", type=int, default=None)
+    ap.add_argument("--coarse-sweep", action="store_true",
+                    help="nbits 8..12 at M=d/4 (the BASELINE M=32@d=128 "
+                    "sensitivity ladder)")
     args = ap.parse_args()
     if args.model == "large":
         windows = args.windows or 32
@@ -210,10 +246,11 @@ def main():
         iters = 15
     out = run_ladder(fast=args.fast, max_windows=windows,
                      max_length=max_length, model=args.model,
-                     train_iters=iters)
+                     train_iters=iters, coarse_sweep=args.coarse_sweep)
     from million_tpu.utils.ledger import append_result
     append_result("results.jsonl", {
         "stage": "quality_ladder", "model": args.model,
+        "coarse_sweep": args.coarse_sweep,
         "max_length": max_length, "windows": windows, "result": out,
     })
 

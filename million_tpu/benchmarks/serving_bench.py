@@ -25,6 +25,70 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def steady_state(args, cfg, pcfg, make_scheduler):
+    """Fill every slot with a max-prompt request, then time pure decode
+    ticks: steady tokens/s, per-tick p50, and the flush-tick tail (the
+    1-in-Lt tick that pays flush_paged_slots). Admission TTFT is reported
+    separately. This is the number to set against the flat-path headline
+    (bench.py) at equal batch."""
+    import json
+
+    from million_tpu.runtime.scheduler import Request
+
+    S = pcfg.max_seqs
+    n = (args.max_prompt // 4) * 4
+    rng = np.random.default_rng(args.seed)
+    sched = make_scheduler()
+    # warm compiles on a throwaway scheduler (admission + decode + flush)
+    warm = make_scheduler()
+    warm.submit(Request(rid=-1, prompt=np.zeros(n, np.int32),
+                        max_new_tokens=pcfg.Lt + 2))
+    warm.run_to_completion()
+
+    t_admit0 = time.perf_counter()
+    for rid in range(S):
+        sched.submit(Request(
+            rid=rid,
+            prompt=rng.integers(0, cfg.vocab_size, n).astype(np.int32),
+            max_new_tokens=1 << 30,
+        ))
+    sched.step()  # admits all S (capacity permitting) + first decode tick
+    jax.block_until_ready(sched.last_token)
+    admit_wall = time.perf_counter() - t_admit0
+    act = sum(r is not None for r in sched.slot_req)
+    log(f"admitted {act}/{S} slots of {n}-token prompts in {admit_wall:.2f}s")
+
+    ticks = []
+    flush_ticks = []
+    for t in range(args.steady):
+        t0 = time.perf_counter()
+        will_flush = any(
+            sched.slot_r[i] >= pcfg.Lt
+            for i, r in enumerate(sched.slot_req) if r is not None
+        )
+        sched.step()
+        np.asarray(sched.last_token)  # host sync: count the real tick cost
+        dt = time.perf_counter() - t0
+        (flush_ticks if will_flush else ticks).append(dt)
+    p50 = float(np.median(ticks))
+    total = sum(ticks) + sum(flush_ticks)
+    n_tok = act * args.steady
+    print(json.dumps({
+        "metric": f"steady-state serving decode, {args.preset}, {act} slots "
+        f"x {n}-token context (paged PQ, window-flush batching)",
+        "value": round(n_tok / total, 2),
+        "unit": "generated tokens/s",
+        "tick_p50_ms": round(p50 * 1e3, 2),
+        "flush_tick_ms": round(float(np.median(flush_ticks)) * 1e3, 2)
+        if flush_ticks else None,
+        "flush_over_p50": round(float(np.median(flush_ticks)) / p50, 2)
+        if flush_ticks else None,
+        "admission_ttft_s": round(admit_wall, 2),
+        "ticks": args.steady,
+        "preemptions": sched.preemptions,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tinyllama-1.1b")
@@ -43,6 +107,12 @@ def main():
                     "shrink below the worst-case demand to exercise "
                     "on-demand growth and preemption")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steady", type=int, default=0, metavar="TICKS",
+                    help="steady-state mode (VERDICT r2 item 4): admit "
+                    "max_seqs requests of max-prompt length, then time "
+                    "TICKS pure-decode ticks with full slots — measures "
+                    "the decode loop the scheduler actually runs, "
+                    "excluding admission")
     args = ap.parse_args()
 
     try:
@@ -84,6 +154,10 @@ def main():
     )
     def make_scheduler():
         return Scheduler(params, cfg, pcfg, tables, SamplingConfig(temperature=0.0))
+
+    if args.steady:
+        steady_state(args, cfg, pcfg, make_scheduler)
+        return
 
     # prompt lengths come from 4 discrete word-aligned buckets —
     # paged_prefill_seq specializes per prompt length, so unbounded random

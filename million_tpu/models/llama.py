@@ -413,11 +413,22 @@ def prefill(
                 if mesh is not None and mesh.devices.flat[0].platform == "cpu"
                 else None
             )
+            # outlier-channel split (north-star option): V channels listed
+            # in cents["v_outlier_idx"] are excluded from PQ and kept in
+            # high precision (pq/ops.py header). The codes see them as 0.
+            v_enc = v_st
+            if "v_outlier_idx" in cents:
+                from million_tpu.pq.ops import zero_channels
+
+                oidx = jax.lax.dynamic_index_in_dim(
+                    cents["v_outlier_idx"], i, 0, False
+                )
+                v_enc = zero_channels(v_st, oidx)
             kc = jnp.swapaxes(
                 runtime_encode(k_st, kcent, SUBSPACE_LAYOUT, interp), -1, -2
             )
             vc = jnp.swapaxes(
-                runtime_encode(v_st, vcent, SUBSPACE_LAYOUT, interp), -1, -2
+                runtime_encode(v_enc, vcent, SUBSPACE_LAYOUT, interp), -1, -2
             )
             cache = stacked_prefix_write(
                 cache, i, kc[..., :n4], vc[..., :n4],
@@ -431,6 +442,11 @@ def prefill(
                 v = pq_decode(
                     jnp.swapaxes(vc, -1, -2), vcent, SUBSPACE_LAYOUT
                 ).astype(v.dtype)
+                if "v_outlier_idx" in cents:
+                    from million_tpu.pq.ops import restore_channels
+
+                    # the stored-exactly outlier channels come back verbatim
+                    v = restore_channels(v, v_st, oidx)
                 if "Rk" in cents:
                     # reconstruction is in rotated space; the exact prefill
                     # attention below runs in the original space

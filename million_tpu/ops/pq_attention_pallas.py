@@ -340,7 +340,7 @@ def _select_natural(out: jax.Array, d_m: int = 2, direct: bool = False) -> jax.A
 
 
 def prepare_q(
-    q: jax.Array, table: DecodeTable, d_m: int | None = None,
+    q: jax.Array, table: DecodeTable, d_m: int,
     direct: bool = False,
 ):
     """Fold centroid scales into q and int8-quantize per query row.
@@ -349,12 +349,17 @@ def prepare_q(
     (q8 (..., 4PM) int8, s_scale (..., 1) f32): scores = (q8 @ K8) * s_scale.
     Filler rows get q=0 (their q_scale is 0), so the matmul over all 4PM
     rows stays exact in every layout. `d_m`/`direct` identify the plane
-    geometry; d_m=None infers the single-plane case from d / tab rows
-    (exact for all P == 1 tables — the legacy call pattern)."""
+    geometry and are REQUIRED: the former d_m=None shape inference was
+    silently wrong for every multi-plane table (pair tables always have
+    P*M = d/2 rows, so a legacy call inferred d_m=2 and mis-permuted q
+    against q_scale, producing wrong scores instead of an error — ADVICE
+    r2)."""
     if d_m is None:
-        d_m = q.shape[-1] // table.tab.shape[0]
-        if d_m == 0:
-            raise ValueError("multi-plane table: pass d_m explicitly")
+        raise ValueError(
+            "prepare_q requires the table's subspace width d_m (and direct "
+            "flag): it cannot be inferred from tab shape for multi-plane "
+            "tables"
+        )
     M = q.shape[-1] // d_m
     gidx, _ = decode_row_maps(M, d_m, direct)
     qe = q.astype(jnp.float32)[..., gidx] * table.q_scale
@@ -531,7 +536,7 @@ def _block_geometry(block: int, NW: int, interpret: bool):
     return tw
 
 
-def _prep_call(q, kpack, vpack, d_m_k=None, direct=False):
+def _prep_call(q, kpack, vpack, d_m_k, direct=False):
     """Shared wrapper prep: q (bs, nh_k, G, d) pre-scaled -> int8 q, score
     scale tile (lane-broadcast for VMEM), PV output scale tile."""
     q8, ss = prepare_q(q, kpack, d_m_k, direct)  # (.., G, 4PM_k) i8, (.., G, 1)

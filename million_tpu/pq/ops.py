@@ -264,3 +264,40 @@ def lut_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
         flat_lut[..., None, :], idx, axis=-1
     )  # (..., n, M)
     return jnp.sum(gathered, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Outlier-channel high precision (the north star's "outlier channels kept
+# in high precision", BASELINE.json): channels whose magnitude dominates a
+# coarse subspace's centroid budget are excluded from PQ (zeroed before
+# training/encoding) and stored exactly alongside the codes. This is what
+# rescues the kernel-fast V d_m=4 geometry: the reference gets outlier
+# immunity from k-means non-uniformity + the residual window alone
+# (pq_utils.py:110,127-135), which suffices at d_m=2 but not at d_m=4
+# (quality ladder: +1.83 Δppl vs +0.47 symmetric at round-2 scale).
+# ---------------------------------------------------------------------------
+
+def select_outlier_channels(samples: jax.Array, k: int) -> jax.Array:
+    """Pick the k channels PQ hurts most: ranked by mean-square magnitude
+    (heavy channels dominate the L2 objective inside their subspace and
+    drag centroids away from the bulk). samples (n, d) -> (k,) int32,
+    sorted ascending for deterministic layouts."""
+    energy = jnp.mean(jnp.square(samples.astype(jnp.float32)), axis=0)  # (d,)
+    _, idx = jax.lax.top_k(energy, k)
+    return jnp.sort(idx.astype(jnp.int32))
+
+
+def zero_channels(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Zero channels idx (k,) of x (..., d) — the PQ-side view of
+    outlier-split vectors (codebooks then spend no centroid mass on them)."""
+    d = x.shape[-1]
+    mask = jnp.zeros((d,), bool).at[idx].set(True)
+    return jnp.where(mask, 0, x)
+
+
+def restore_channels(x_hat: jax.Array, x_exact: jax.Array, idx: jax.Array) -> jax.Array:
+    """Overwrite channels idx of the reconstruction x_hat with their exact
+    values from x_exact (same trailing shape)."""
+    d = x_hat.shape[-1]
+    mask = jnp.zeros((d,), bool).at[idx].set(True)
+    return jnp.where(mask, x_exact.astype(x_hat.dtype), x_hat)
