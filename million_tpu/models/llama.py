@@ -357,7 +357,8 @@ def _prefill_causal_attention(q, k, v, mesh):
     return fn(q, k, v)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent", "last_logit_only", "mesh"))
+@partial(jax.jit, static_argnames=("cfg", "mode", "distort_recent",
+                                   "last_logit_only", "return_hidden", "mesh"))
 def prefill(
     params: Params,
     cfg: ModelConfig,
@@ -368,6 +369,7 @@ def prefill(
     mode: str = "pq",
     distort_recent: bool = False,
     last_logit_only: bool = False,
+    return_hidden: bool = False,
     mesh=None,  # jax.sharding.Mesh -> shard_map attention over (dp, tp)
 ) -> Tuple[jax.Array, PQCacheLayerState]:
     """Full prefill. Returns (logits (bs, n, V) f32, updated cache);
@@ -474,6 +476,12 @@ def prefill(
     (x, cache, _), _ = jax.lax.scan(
         layer, (x, cache, jnp.asarray(0, jnp.int32)), params["layers"]
     )
+    if return_hidden:
+        # pre-head hidden states (bs, n, D) — the chunked-NLL perplexity
+        # path projects them to logits chunk by chunk (benchmarks/
+        # perplexity.py), avoiding the (bs, n, V) f32 tensor (16.5 GB at
+        # 32K x 128K vocab)
+        return x, cache
     if last_logit_only:
         x = x[:, -1:]
     return _logits(params, cfg, x), cache

@@ -161,10 +161,13 @@ def train_pq(
 
     xs = subspace_view(samples.astype(jnp.float32), M, layout).transpose(1, 0, 2)  # (M, n, d_m)
     keys = jax.random.split(jax.random.PRNGKey(seed), M)
-    # bound the vmapped distance block (M, chunk_n, C) to ~2GB f32
+    # bound the vmapped distance block (M, chunk_n, C) to ~256MB f32: XLA
+    # schedules the lax.map body with double buffering and (at HIGHEST
+    # precision) multi-pass matmul temporaries, so the live footprint is
+    # several times the block — a 2GB block OOM'd a 16GB chip at C=2048
     chunk_n = 0
-    if n * C * M > (1 << 29):
-        chunk_n = max(1024, (1 << 29) // (M * C) // 8 * 8)
+    if n * C * M > (1 << 28):
+        chunk_n = max(512, (1 << 26) // (M * C) // 8 * 8)
     cents, _ = jax.vmap(lambda xm, km: kmeans(xm, km, C, iters, chunk_n))(xs, keys)
     return cents  # (M, C, d_m)
 
