@@ -94,6 +94,7 @@ def ladder_rung(
     params, cfg, eval_tokens, kv_k, kv_v, *,
     M_k: int, nbits_k: int, M_v: Optional[int] = None,
     nbits_v: Optional[int] = None, opq: bool = False, outlier_k: int = 0,
+    outlier_kk: int = 0,
     max_length: int = 512, max_windows: int = 8, train_iters: int = 15,
 ) -> Dict:
     M_v = M_v or M_k
@@ -102,22 +103,29 @@ def ladder_rung(
     # (main_pq.py:197) — round-2's fixed 8K-row budget starved k-means at
     # nbits >= 11 and flattened the sensitivity curve (docs/PERF.md)
     budget = 256 * (2 ** max(nbits_k, nbits_v))
-    kv_v_b = kv_v[:, :budget]
-    oidx = None
-    if outlier_k:
-        # outlier-channel high precision (VERDICT r2 item 5 / north star):
-        # the top-energy V channels are excluded from PQ and stored exact
+
+    def split_outliers(kv, k):
+        """outlier-channel high precision (VERDICT r2 item 5 / north star):
+        the top-energy channels are excluded from PQ and stored exact."""
         from million_tpu.pq.ops import select_outlier_channels, zero_channels
 
-        oidx = np.stack([
-            np.asarray(select_outlier_channels(jnp.asarray(kv_v_b[l]), outlier_k))
-            for l in range(kv_v_b.shape[0])
+        idx = np.stack([
+            np.asarray(select_outlier_channels(jnp.asarray(kv[l]), k))
+            for l in range(kv.shape[0])
         ])  # (L, k)
-        kv_v_b = np.stack([
-            np.asarray(zero_channels(jnp.asarray(kv_v_b[l]), jnp.asarray(oidx[l])))
-            for l in range(kv_v_b.shape[0])
+        zeroed = np.stack([
+            np.asarray(zero_channels(jnp.asarray(kv[l]), jnp.asarray(idx[l])))
+            for l in range(kv.shape[0])
         ])
-    ck, Rk = train_cents(kv_k[:, :budget], M_k, nbits_k, iters=train_iters,
+        return idx, zeroed
+
+    kv_k_b, kv_v_b = kv_k[:, :budget], kv_v[:, :budget]
+    oidx = koidx = None
+    if outlier_k:
+        oidx, kv_v_b = split_outliers(kv_v_b, outlier_k)
+    if outlier_kk:
+        koidx, kv_k_b = split_outliers(kv_k_b, outlier_kk)
+    ck, Rk = train_cents(kv_k_b, M_k, nbits_k, iters=train_iters,
                          opq=opq)
     cv, Rv = train_cents(kv_v_b, M_v, nbits_v, iters=train_iters,
                          opq=opq, seed=100)
@@ -126,6 +134,8 @@ def ladder_rung(
         cents["Rk"], cents["Rv"] = Rk, Rv
     if oidx is not None:
         cents["v_outlier_idx"] = jnp.asarray(oidx, jnp.int32)
+    if koidx is not None:
+        cents["k_outlier_idx"] = jnp.asarray(koidx, jnp.int32)
     # mode "pq" (the evaluation path here) reads raw cents only; kernel
     # tables would even REJECT the deliberately-degenerate d_m=4/C=256 rung
     tables = cents
@@ -142,7 +152,8 @@ def ladder_rung(
     )
     return {
         "M": M_k, "nbits": nbits_k, "M_v": M_v, "nbits_v": nbits_v,
-        "opq": opq, "outlier_k": outlier_k, "ppl": r["ppl"],
+        "opq": opq, "outlier_k": outlier_k, "outlier_kk": outlier_kk,
+        "ppl": r["ppl"],
     }
 
 
@@ -209,6 +220,14 @@ def run_ladder(*, fast: bool = False, max_windows: int = 8,
                      outlier_k=max(cfg.head_dim // 16, 2)),
                 dict(M_k=M, nbits_k=8, M_v=cfg.head_dim // 4, nbits_v=7,
                      outlier_k=max(cfg.head_dim // 8, 4)),
+                # FULL-coarse geometry with outliers on both sides: halves
+                # the kernel's gather volume on K and V — the bs=1 TPOT
+                # lever (PERF.md) — if this rung holds, the compiled path
+                # gets the correction terms
+                dict(M_k=cfg.head_dim // 4, nbits_k=8,
+                     M_v=cfg.head_dim // 4, nbits_v=8,
+                     outlier_k=max(cfg.head_dim // 8, 4),
+                     outlier_kk=max(cfg.head_dim // 8, 4)),
             ]
     rows = []
     for kw in rungs:

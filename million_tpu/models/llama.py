@@ -415,10 +415,18 @@ def prefill(
                 if mesh is not None and mesh.devices.flat[0].platform == "cpu"
                 else None
             )
-            # outlier-channel split (north-star option): V channels listed
-            # in cents["v_outlier_idx"] are excluded from PQ and kept in
-            # high precision (pq/ops.py header). The codes see them as 0.
-            v_enc = v_st
+            # outlier-channel split (north-star option): K/V channels listed
+            # in cents["k_outlier_idx"]/["v_outlier_idx"] are excluded from
+            # PQ and kept in high precision (pq/ops.py header). The codes
+            # see them as 0.
+            k_enc, v_enc = k_st, v_st
+            if "k_outlier_idx" in cents:
+                from million_tpu.pq.ops import zero_channels
+
+                koidx = jax.lax.dynamic_index_in_dim(
+                    cents["k_outlier_idx"], i, 0, False
+                )
+                k_enc = zero_channels(k_st, koidx)
             if "v_outlier_idx" in cents:
                 from million_tpu.pq.ops import zero_channels
 
@@ -427,7 +435,7 @@ def prefill(
                 )
                 v_enc = zero_channels(v_st, oidx)
             kc = jnp.swapaxes(
-                runtime_encode(k_st, kcent, SUBSPACE_LAYOUT, interp), -1, -2
+                runtime_encode(k_enc, kcent, SUBSPACE_LAYOUT, interp), -1, -2
             )
             vc = jnp.swapaxes(
                 runtime_encode(v_enc, vcent, SUBSPACE_LAYOUT, interp), -1, -2
@@ -444,6 +452,10 @@ def prefill(
                 v = pq_decode(
                     jnp.swapaxes(vc, -1, -2), vcent, SUBSPACE_LAYOUT
                 ).astype(v.dtype)
+                if "k_outlier_idx" in cents:
+                    from million_tpu.pq.ops import restore_channels
+
+                    k = restore_channels(k, k_st, koidx)
                 if "v_outlier_idx" in cents:
                     from million_tpu.pq.ops import restore_channels
 

@@ -114,6 +114,17 @@ GROUP_PAD = 8  # q-heads-per-kv padded to one sublane tile
 WORD = 4  # uint8 codes per packed int32 word
 
 
+def to_byte_plane(x: jax.Array) -> jax.Array:
+    """Linear outlier-channel slab (..., O, n) -> byte-plane layout
+    (..., O, 4, n//4) where [..., b, w] = token 4w+b — the order the
+    outlier-corrected kernels consume (matches their slot order; see
+    _make_block_step)."""
+    n = x.shape[-1]
+    if n % WORD:
+        raise ValueError(f"token count {n} not a multiple of {WORD}")
+    return x.reshape(*x.shape[:-1], n // WORD, WORD).swapaxes(-1, -2)
+
+
 def check_group(G: int) -> None:
     """The kernel carries one sublane tile of q heads per kv head; a GQA
     group wider than GROUP_PAD (e.g. nh=32 / nh_k=2) needs multi-tile q
@@ -432,7 +443,8 @@ def _slot_positions(block: int, tw: int):
 
 
 def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
-                     interpret, direct=False, v_direct=None):
+                     interpret, direct=False, v_direct=None,
+                     qo=None, co_acc=None):
     """One block of fused PQ attention: per-tile K decode feeding per-tile
     int8 score matmuls, block-level online softmax, then per-tile V decode
     feeding an accumulated two-plane int8 PV matmul.
@@ -458,7 +470,21 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
     LOG127 = float(np.log(127.0))
     n_tiles = block // (4 * tw)
 
-    def block_step(bi, kw, vw):
+    def block_step(bi, kw, vw, kow=None, vow=None):
+        # kow/vow: exact outlier-channel slabs for this block in BYTE-PLANE
+        # layout (O, 4, bw) bf16 — [.., b, w] is token 4w+b — matching the
+        # kernel's slot order (tile-major, byte-major within a tile; see
+        # _slot_positions). K outliers correct the SCORES with dense MXU
+        # matmuls (qo @ slab); V outliers accumulate a separate (G, OV)
+        # numerator under the same online softmax — both replace gathers
+        # with dense matmuls, which is the whole trade.
+        def slot_tile(slab, t):
+            # (O, 4, bw) -> (O, 4tw) columns ordered b*tw + l, matching the
+            # concat-over-bytes order of the decoded score/value tiles
+            return jnp.concatenate(
+                [slab[:, b, t * tw : (t + 1) * tw] for b in range(4)], axis=1
+            )
+
         s_parts = []
         for t in range(n_tiles):
             wsl = slice(t * tw, (t + 1) * tw)
@@ -467,12 +493,16 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
                 axis=1,
             )  # (M, 4tw) i32: decoded K of 4tw tokens
             k8 = _expand_i8(kd, interpret)  # (4M, 4tw) i8
-            s_parts.append(
-                jax.lax.dot_general(
-                    q8, k8, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * ss
-            )
+            part = jax.lax.dot_general(
+                q8, k8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * ss
+            if kow is not None:
+                part = part + jax.lax.dot_general(
+                    qo, slot_tile(kow, t), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            s_parts.append(part)
         s = jnp.concatenate(s_parts, axis=1)  # (G, block)
         # only the block containing n_codes needs masking; full blocks skip
         # the position compare entirely (one lax.select on a scalar).
@@ -509,6 +539,20 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
             + dd[G:].astype(jnp.float32) * (1.0 / 128.0)
         ) * vo
         acc[:] = acc[:] * alpha + pv
+        if vow is not None:
+            # exact-value numerator for the outlier channels, same online
+            # rescale as acc; x carries the 127*exp weights in SLOT order
+            # (bf16 dots — the stored outliers are bf16 anyway)
+            xb = x.astype(jnp.bfloat16)
+            cv = jnp.zeros((G, vow.shape[0]), jnp.float32)
+            for t in range(n_tiles):
+                cv = cv + jax.lax.dot_general(
+                    xb[:, t * 4 * tw : (t + 1) * 4 * tw],
+                    slot_tile(vow, t),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, OV)
+            co_acc[:] = co_acc[:] * alpha + cv
         m_s[:, :1] = m_new
         l_s[:, :1] = l_new
     return block_step
@@ -523,6 +567,13 @@ def _finish(out_ref, lse_ref, acc, m_s, l_s):
     out_ref[0, 0] = acc[:] / safe_l
     lse = jnp.where(l > 0, m_s[:, :1] + jnp.log(safe_l), NEG_INF)
     lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _finish_co(co_ref, co_acc, l_s):
+    """Emit the normalized outlier-channel numerator: co_acc holds
+    sum(127*u . v_exact) and l holds sum(u), so /(127*l)."""
+    l = jnp.maximum(l_s[:, :1], 1e-30)
+    co_ref[0, 0] = co_acc[:] / (127.0 * l)
 
 
 def _block_geometry(block: int, NW: int, interpret: bool):
@@ -697,27 +748,37 @@ def pq_codes_attention(
 # --------------------------------------------------------------------------
 
 def _pq_attn_kernel_stacked(
-    li_ref,  # (1,) int32 — layer index (consumed by the index maps)
-    nc_ref,  # (1,) int32 — valid quantized tokens
-    q_ref,  # (1, 1, GROUP_PAD, 4M) int8
-    ss_ref,  # (1, 1, GROUP_PAD, 128) f32
-    kc_ref,  # (1, 1, 1, M, block//4) int32 from (L, bs, nh_k, M, NW)
-    vc_ref,
-    kt_ref,  # (M, 128) int32 — CURRENT layer's table (sliced in XLA; the
-    vt_ref,  # full (L, M, 128) stack as an operand costs a per-call copy)
-    vo_ref,  # (GROUP_PAD, 4M) f32 — current layer's PV output scales
-    out_ref,
-    lse_ref,
-    acc_ref,
-    m_ref,
-    l_ref,
-    *,
+    *refs,
+    # ref order (flags select optional ones): li, nc | q, ss, [qo], kc, vc,
+    # [ko], [vo2], kt, vt, vo | out, lse, [co] | acc, m, l, [co_acc]
+    # li (1,) int32 layer index (consumed by the index maps); nc (1,) int32
+    # valid tokens; q (1,1,G,4M) int8; ss (1,1,G,128) f32; qo (1,1,G,OK)
+    # bf16 exact outlier-q; kc/vc (1,1,1,M,block//4) int32 words from the
+    # stacked (L,bs,nh_k,M,NW) arena; ko/vo2 (1,1,1,O,block) bf16 exact
+    # outlier slabs; kt/vt (M,128) int32 CURRENT layer's tables (sliced in
+    # XLA — the full stacks as operands cost a per-call copy); vo (G,4M)
+    # f32 PV scales; co (1,1,G,OV) f32 outlier-channel output.
     block: int,
     tw: int,
     interpret: bool,
     direct: bool = False,
     v_direct: bool | None = None,
+    with_ko: bool = False,
+    with_vo: bool = False,
 ):
+    it = iter(refs)
+    li_ref, nc_ref = next(it), next(it)
+    q_ref, ss_ref = next(it), next(it)
+    qo_ref = next(it) if with_ko else None
+    kc_ref, vc_ref = next(it), next(it)
+    ko_ref = next(it) if with_ko else None
+    vo2_ref = next(it) if with_vo else None
+    kt_ref, vt_ref, vo_ref = next(it), next(it), next(it)
+    out_ref, lse_ref = next(it), next(it)
+    co_ref = next(it) if with_vo else None
+    acc_ref, m_ref, l_ref = next(it), next(it), next(it)
+    co_acc_ref = next(it) if with_vo else None
+
     i = pl.program_id(2)
     nb = pl.num_programs(2)
     n_codes = nc_ref[0]
@@ -727,20 +788,30 @@ def _pq_attn_kernel_stacked(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if with_vo:
+            co_acc_ref[:] = jnp.zeros_like(co_acc_ref)
 
     block_step = _make_block_step(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
         v_direct,
+        qo=qo_ref[0, 0] if with_ko else None,
+        co_acc=co_acc_ref if with_vo else None,
     )
 
     @pl.when(i * block < n_codes)
     def _():
-        block_step(i, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
+        block_step(
+            i, kc_ref[0, 0, 0], vc_ref[0, 0, 0],
+            kow=ko_ref[0, 0, 0] if with_ko else None,
+            vow=vo2_ref[0, 0, 0] if with_vo else None,
+        )
 
     @pl.when(i == nb - 1)
     def _():
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
+        if with_vo:
+            _finish_co(co_ref, co_acc_ref, l_ref)
 
 
 @functools.partial(
@@ -760,13 +831,26 @@ def pq_codes_attention_stacked(
     interpret: bool | None = None,
     direct: bool = False,
     v_direct: bool | None = None,
-) -> Tuple[jax.Array, jax.Array]:
+    qo: jax.Array | None = None,  # (bs, nh_k, G, OK) bf16 — exact
+    # outlier-channel q (pre-scaled, already sliced to this layer's
+    # k_outlier_idx)
+    k_outliers: jax.Array | None = None,  # (L, bs, nh_k, OK, 4, NW) bf16,
+    # BYTE-PLANE layout: [..., b, w] = channel value at token 4w+b (build
+    # from linear (OK, n) via reshape(OK, n//4, 4).swapaxes(-1, -2))
+    v_outliers: jax.Array | None = None,  # (L, bs, nh_k, OV, 4, NW) bf16
+) -> Tuple[jax.Array, ...]:
     """pq_codes_attention over one layer of a STACKED cache, the layer chosen
     by a scalar-prefetched index. This exists because slicing the layer out
     of the stacked arena in XLA would materialize a copy of the whole layer
     per decode step; here the kernel's BlockSpec index maps read blocks of
     layer `layer` straight from HBM. Used by the carry-threaded model scan
-    (models/llama.py)."""
+    (models/llama.py).
+
+    Outlier-channel mode (north star): with k_outliers/qo the scores gain
+    an exact dense correction; with v_outliers a third output co
+    (bs, nh_k, G, OV) f32 carries the normalized exact outlier-channel
+    values — the caller scatters it into the natural-order output at
+    v_outlier_idx. Returns (out, lse[, co])."""
     bs, nh_k, G, d = q.shape
     L, _, _, M, NW = key_codes.shape
     M_v = value_codes.shape[3]  # may differ: asymmetric K/V geometry
@@ -797,52 +881,96 @@ def pq_codes_attention_stacked(
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
     vo_b = jnp.broadcast_to(vo_l, (G, R_out)).astype(jnp.float32)
 
+    with_ko = k_outliers is not None
+    with_vo = v_outliers is not None
+    if with_ko and qo is None:
+        raise ValueError("k_outliers requires qo (exact outlier-channel q)")
     kernel = functools.partial(
         _pq_attn_kernel_stacked, block=block, tw=tw, interpret=interpret,
-        direct=direct, v_direct=v_direct,
+        direct=direct, v_direct=v_direct, with_ko=with_ko, with_vo=with_vo,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, nc: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
+    ]
+    operands = [q8, ss_b]
+    if with_ko:
+        OK = qo.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((1, 1, G, OK), lambda b, h, i, li, nc: (b, h, 0, 0))
+        )
+        operands.append(qo.astype(jnp.bfloat16))
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, 1, M, bw),
+            lambda b, h, i, li, nc: (li[0], b, h, 0, i),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, M_v, bw),
+            lambda b, h, i, li, nc: (li[0], b, h, 0, i),
+        ),
+    ]
+    operands += [key_codes, value_codes]
+    if with_ko:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, k_outliers.shape[3], 4, bw),
+            lambda b, h, i, li, nc: (li[0], b, h, 0, 0, i),
+        ))
+        operands.append(k_outliers)
+    if with_vo:
+        OV = v_outliers.shape[3]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, OV, 4, bw),
+            lambda b, h, i, li, nc: (li[0], b, h, 0, 0, i),
+        ))
+        operands.append(v_outliers)
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands += [kt_l, vt_l, vo_b]
+    out_specs = [
+        pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, li, nc: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
+        jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((G, R_out), jnp.float32),
+        pltpu.VMEM((G, LANES), jnp.float32),
+        pltpu.VMEM((G, LANES), jnp.float32),
+    ]
+    if with_vo:
+        out_specs.append(
+            pl.BlockSpec((1, 1, G, OV), lambda b, h, i, li, nc: (b, h, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bs, nh_k, G, OV), jnp.float32))
+        scratch.append(pltpu.VMEM((G, OV), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bs, nh_k, nb),
-        in_specs=[
-            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, nc: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, 1, M, bw),
-                lambda b, h, i, li, nc: (li[0], b, h, 0, i),
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, M_v, bw),
-                lambda b, h, i, li, nc: (li[0], b, h, 0, i),
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, li, nc: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, nc: (b, h, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((G, R_out), jnp.float32),
-            pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((G, LANES), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    out, lse = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
-            jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(
         layer.reshape(1).astype(jnp.int32),
         n_codes.astype(jnp.int32).reshape(1),
-        q8, ss_b, key_codes, value_codes, kt_l, vt_l, vo_b,
+        *operands,
     )
-    return _select_natural(out, d // M_v, vd), lse[..., 0]
+    out, lse = res[0], res[1]
+    nat = _select_natural(out, d // M_v, vd)
+    if with_vo:
+        return nat, lse[..., 0], res[2]
+    return nat, lse[..., 0]
 
 
 # --------------------------------------------------------------------------

@@ -42,15 +42,21 @@ def _assign(x: jax.Array, cents: jax.Array, chunk_n: int = 0) -> jax.Array:
     if chunk_n <= 0 or n <= chunk_n:
         ip = jnp.matmul(x, cents.T, precision=jax.lax.Precision.HIGHEST)
         return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1)
+    # fori_loop + dynamic_slice, NOT reshape+lax.map: reshaping (n, d_m)
+    # to (nb, chunk, d_m) under the train_pq vmap makes XLA materialize a
+    # relayout copy tiled T(8,128) over the tiny minor dim — 64x padding,
+    # 16 GB at the nbits=12 sample budget (observed OOM).
     pad = (-n) % chunk_n
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
-    xc = xp.reshape(-1, chunk_n, x.shape[1])
 
-    def one(xb):
+    def body(i, out):
+        xb = jax.lax.dynamic_slice_in_dim(xp, i * chunk_n, chunk_n, 0)
         ip = jnp.matmul(xb, cents.T, precision=jax.lax.Precision.HIGHEST)
-        return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1)
+        a = jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1).astype(jnp.int32)
+        return jax.lax.dynamic_update_slice_in_dim(out, a, i * chunk_n, 0)
 
-    return jax.lax.map(one, xc).reshape(-1)[:n]
+    out = jnp.zeros((n + pad,), jnp.int32)
+    return jax.lax.fori_loop(0, (n + pad) // chunk_n, body, out)[:n]
 
 
 def _update(x: jax.Array, assign: jax.Array, C: int) -> Tuple[jax.Array, jax.Array]:
@@ -117,24 +123,129 @@ def kmeans(
     """Single-subspace k-means. x (n, k) f32 -> (centroids (C, k), inertia).
 
     25 iterations by default, matching faiss's niter in the reference
-    (pq_utils.py:600 cp.niter semantics / faiss default). chunk_n bounds
-    assignment memory for large sample budgets (see _assign).
+    (pq_utils.py:600 cp.niter semantics / faiss default).
+
+    chunk_n > 0 selects the large-n path: Lloyd statistics (counts, sums)
+    accumulate per chunk inside a fori_loop, so no (n,)-assignment vector,
+    no (n, C) distance matrix, and — critically — no op ever consumes the
+    full (n, d_m) array in a padded layout: a gather/scatter over the
+    2-wide rows made XLA materialize a T(8,128) relayout copy of the
+    sample set — 64x padding, 16 GB at the nbits=12 budget (observed
+    OOM). Empty-cluster donors come from an evenly-strided subsample
+    (same coverage argument as the k-means++ init cap).
     """
     x = x.astype(jnp.float32)
     n = x.shape[0]
     cents0 = _kmeanspp_init(x, key, C)
 
+    if chunk_n <= 0 or n <= chunk_n:
+        def body(it, cents):
+            a = _assign(x, cents)
+            cents_new, counts = _update(x, a, C)
+            # keep old centroid where a cluster went empty, then re-seed
+            cents_new = jnp.where((counts == 0)[:, None], cents, cents_new)
+            return _split_empty(x, a, cents_new, counts)
+
+        cents = jax.lax.fori_loop(0, iters, body, cents0)
+        a = _assign(x, cents)
+        inertia = jnp.sum((x - cents[a]) ** 2)
+        return cents, inertia
+
+    # ---------------- large-n fused-chunk path ----------------
     def body(it, cents):
-        a = _assign(x, cents, chunk_n)
-        cents_new, counts = _update(x, a, C)
-        # keep old centroid where a cluster went empty, then re-seed
-        cents_new = jnp.where((counts == 0)[:, None], cents, cents_new)
-        return _split_empty(x, a, cents_new, counts)
+        return _lloyd_iter_large(x, x, cents, n=n, C=C, chunk_n=chunk_n)
 
     cents = jax.lax.fori_loop(0, iters, body, cents0)
-    a = _assign(x, cents, chunk_n)
-    inertia = jnp.sum((x - cents[a]) ** 2)
+    inertia = _inertia_large(x, cents, n=n, chunk_n=chunk_n)
     return cents, inertia
+
+
+def _pad_rows(x, chunk_n):
+    pad = (-x.shape[0]) % chunk_n
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+@functools.partial(jax.jit, static_argnames=("n", "C", "chunk_n"))
+def _lloyd_iter_large(
+    x: jax.Array,      # (n_any >= n, k) — rows past n are padding
+    x_sub: jax.Array,  # (ns, k) evenly-strided subsample (donor pool)
+    cents: jax.Array,  # (C, k)
+    *,
+    n: int,
+    C: int,
+    chunk_n: int,
+) -> jax.Array:
+    """One Lloyd iteration for the large-n regime. Counts/sums accumulate
+    per chunk inside a fori_loop, so no (n,) assignment vector, no (n, C)
+    distance matrix, and no op ever consumes the full (n, d_m) array in a
+    padded layout (a gather/scatter over the 2-wide rows made XLA
+    materialize a T(8,128) relayout copy of the sample set — 64x padding,
+    16 GB at the nbits=12 budget; observed OOM). Empty clusters re-seed at
+    the SUBSAMPLE's worst-served points (same coverage argument as the
+    k-means++ init cap). train_pq drives the iterations from the host —
+    25 chunked iterations in one XLA program exceeded the remote runtime's
+    execution window at the 1M x C=4096 shape (worker killed mid-run).
+    """
+    k = x.shape[1]
+    xp = _pad_rows(x, chunk_n)
+    nb = xp.shape[0] // chunk_n
+    x_sub_p = _pad_rows(x_sub, chunk_n)
+    ns = x_sub.shape[0]
+    nsb = x_sub_p.shape[0] // chunk_n
+    c_sq = jnp.sum(cents * cents, axis=-1)
+
+    def stats_body(i, carry):
+        counts, sums = carry
+        xb = jax.lax.dynamic_slice_in_dim(xp, i * chunk_n, chunk_n, 0)
+        ip = jnp.matmul(xb, cents.T, precision=jax.lax.Precision.HIGHEST)
+        a = jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1)
+        w = ((i * chunk_n + jnp.arange(chunk_n)) < n).astype(jnp.float32)
+        return counts.at[a].add(w), sums.at[a].add(xb * w[:, None])
+
+    counts, sums = jax.lax.fori_loop(
+        0, nb, stats_body,
+        (jnp.zeros((C,), jnp.float32), jnp.zeros((C, k), jnp.float32)),
+    )
+    cents_new = sums / jnp.maximum(counts, 1.0)[:, None]
+    cents_new = jnp.where((counts == 0)[:, None], cents, cents_new)
+
+    # subsample min-distances (chunked: (ns, C) whole would be GBs at
+    # C=4096 under the train_pq vmap)
+    cn_sq = jnp.sum(cents_new * cents_new, axis=-1)
+
+    def d2_body(i, out):
+        xb = jax.lax.dynamic_slice_in_dim(x_sub_p, i * chunk_n, chunk_n, 0)
+        ip = jnp.matmul(xb, cents_new.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.sum(xb * xb, -1) + jnp.min(cn_sq[None, :] - 2.0 * ip, -1)
+        return jax.lax.dynamic_update_slice_in_dim(out, d2, i * chunk_n, 0)
+
+    d2 = jax.lax.fori_loop(
+        0, nsb, d2_body, jnp.full((x_sub_p.shape[0],), -1.0, jnp.float32)
+    )[:ns]
+    _, order = jax.lax.top_k(d2, min(C, ns))
+    donors = x_sub[order]
+    if donors.shape[0] < C:
+        donors = jnp.pad(donors, ((0, C - donors.shape[0]), (0, 0)))
+    empty = counts == 0
+    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+    donor_for_slot = donors[jnp.clip(rank, 0, C - 1)]
+    return jnp.where(empty[:, None], donor_for_slot, cents_new)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "chunk_n"))
+def _inertia_large(x, cents, *, n: int, chunk_n: int):
+    xp = _pad_rows(x, chunk_n)
+    nb = xp.shape[0] // chunk_n
+    c_sq = jnp.sum(cents * cents, axis=-1)
+
+    def body(i, acc):
+        xb = jax.lax.dynamic_slice_in_dim(xp, i * chunk_n, chunk_n, 0)
+        ip = jnp.matmul(xb, cents.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.sum(xb * xb, axis=-1) + jnp.min(c_sq[None, :] - 2.0 * ip, axis=-1)
+        valid = (i * chunk_n + jnp.arange(chunk_n)) < n
+        return acc + jnp.sum(jnp.where(valid, d2, 0.0))
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros((), jnp.float32))
 
 
 def train_pq(
@@ -161,14 +272,31 @@ def train_pq(
 
     xs = subspace_view(samples.astype(jnp.float32), M, layout).transpose(1, 0, 2)  # (M, n, d_m)
     keys = jax.random.split(jax.random.PRNGKey(seed), M)
-    # bound the vmapped distance block (M, chunk_n, C) to ~256MB f32: XLA
-    # schedules the lax.map body with double buffering and (at HIGHEST
-    # precision) multi-pass matmul temporaries, so the live footprint is
-    # several times the block — a 2GB block OOM'd a 16GB chip at C=2048
-    chunk_n = 0
-    if n * C * M > (1 << 28):
-        chunk_n = max(512, (1 << 26) // (M * C) // 8 * 8)
-    cents, _ = jax.vmap(lambda xm, km: kmeans(xm, km, C, iters, chunk_n))(xs, keys)
+    if n * C * M <= (1 << 28):
+        cents, _ = jax.vmap(lambda xm, km: kmeans(xm, km, C, iters))(xs, keys)
+        return cents  # (M, C, d_m)
+
+    # Large-n regime (the reference's 256*2^nbits budgets at nbits >= 11):
+    # chunked Lloyd iterations driven from the HOST — one jitted vmapped
+    # iteration per call. A single program with all 25 iterations at the
+    # 1M x C=4096 shape exceeded the remote runtime's execution window
+    # (worker killed); per-iteration programs run ~seconds each. The
+    # chunk bounds the vmapped distance block (M, chunk_n, C) to ~512MB.
+    chunk_n = max(512, (1 << 27) // (M * C) // 8 * 8)
+    sub_cap = 1 << 17
+    xs_sub = xs[:, :: max(n // sub_cap, 1)][:, :sub_cap] if n > sub_cap else xs
+    init = jax.jit(
+        jax.vmap(lambda xm, km: _kmeanspp_init(xm, km, C)),
+        static_argnames=(),
+    )
+    cents = init(xs, keys)
+    step = jax.jit(jax.vmap(
+        lambda xm, xsub, c: _lloyd_iter_large(
+            xm, xsub, c, n=n, C=C, chunk_n=chunk_n
+        )
+    ))
+    for _ in range(iters):
+        cents = step(xs, xs_sub, cents)
     return cents  # (M, C, d_m)
 
 

@@ -432,3 +432,71 @@ def test_decode_step_bucketed_matches_full(rng):
     np.testing.assert_array_equal(np.asarray(lf), np.asarray(lb))
     for k in cf:
         np.testing.assert_array_equal(np.asarray(cf[k]), np.asarray(cb[k]))
+
+
+def test_kernel_outlier_correction_matches_oracle(rng):
+    """Outlier-channel mode (north star): K outliers correct the scores
+    with a dense exact matmul, V outliers return a separate normalized
+    numerator `co`. Parity vs an oracle that attends with corrected scores
+    and exact outlier values."""
+    from million_tpu.ops.pq_attention_pallas import (
+        pq_codes_attention_stacked,
+        to_byte_plane,
+    )
+
+    bs, nh_k, d, M, C = 1, 2, 32, 8, 128  # d_m=4 direct tables (coarse)
+    L, N, n_codes = 2, 512, 300
+    OK = OV = 8
+    scale = 1.0 / np.sqrt(d)
+    q = rng.standard_normal((bs, nh_k, GROUP_PAD, d)).astype(np.float32)
+    kc = rng.integers(0, C, (L, bs, nh_k, M, N)).astype(np.uint8)
+    vc = rng.integers(0, C, (L, bs, nh_k, M, N)).astype(np.uint8)
+    kcent = rng.standard_normal((L, M, C, d // M)).astype(np.float32)
+    vcent = rng.standard_normal((L, M, C, d // M)).astype(np.float32)
+    ko = (rng.standard_normal((L, bs, nh_k, OK, N)) * 2).astype(np.float32)
+    vo = (rng.standard_normal((L, bs, nh_k, OV, N)) * 2).astype(np.float32)
+    koidx = np.sort(rng.choice(d, OK, replace=False)).astype(np.int32)
+    voidx = np.sort(rng.choice(d, OV, replace=False)).astype(np.int32)
+
+    kpack = jax.vmap(lambda c: pack_decode_table(c, direct=True))(jnp.asarray(kcent))
+    vpack = jax.vmap(lambda c: pack_decode_table(c, direct=True))(jnp.asarray(vcent))
+    kw = pack_codes(jnp.asarray(kc))
+    vw = pack_codes(jnp.asarray(vc))
+    li = 1
+    qj = jnp.asarray(q * scale, jnp.bfloat16)
+    qo = qj[..., jnp.asarray(koidx)]
+
+    out, lse, co = pq_codes_attention_stacked(
+        qj, kw, vw, kpack, vpack, jnp.asarray(li), jnp.asarray(n_codes),
+        block=256, direct=True, interpret=True,
+        qo=qo,
+        k_outliers=to_byte_plane(jnp.asarray(ko, jnp.bfloat16)),
+        v_outliers=to_byte_plane(jnp.asarray(vo, jnp.bfloat16)),
+    )
+    merged = np.array(out)
+    merged[..., voidx] = np.asarray(co)
+
+    # oracle (f32 decode at bf16 table precision, exact corrections)
+    kc_n = np.swapaxes(kc[li], -1, -2)[:, :, :n_codes]
+    vc_n = np.swapaxes(vc[li], -1, -2)[:, :, :n_codes]
+    khat = np.asarray(pq_decode(
+        jnp.asarray(kc_n), jnp.asarray(kcent[li]).astype(jnp.bfloat16), "strided"
+    )).astype(np.float32)
+    vhat = np.asarray(pq_decode(
+        jnp.asarray(vc_n), jnp.asarray(vcent[li]).astype(jnp.bfloat16), "strided"
+    )).astype(np.float32)
+    s = np.einsum("bhgk,bhnk->bhgn", q * scale, khat)
+    s = s + np.einsum(
+        "bhgo,bhon->bhgn", (q * scale)[..., koidx], ko[li][..., :n_codes]
+    )
+    m = s.max(-1, keepdims=True)
+    p = np.exp(s - m)
+    l = p.sum(-1, keepdims=True)
+    want = np.einsum("bhgn,bhnk->bhgk", p / l, vhat)
+    corr = np.einsum("bhgn,bhon->bhgo", p / l, vo[li][..., :n_codes])
+    want[..., voidx] = corr
+    want_lse = (m + np.log(l))[..., 0]
+
+    mae = np.abs(merged - want).mean()
+    assert mae < 2e-2, f"outlier kernel MAE {mae}"
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=2e-2, atol=2e-2)
