@@ -112,6 +112,13 @@ class PQCacheConfig:
     # outlier-prone than K, so V can run d_m=4 (half the gathers and code
     # bytes in the kernel) while K keeps d_m=2 score resolution.
     M_v: int | None = None
+    # outlier-channel high precision (north star): OK/OV channels per
+    # K/V head vector excluded from PQ and stored exact in byte-plane
+    # arenas (ops/pq_attention_pallas.py to_byte_plane); the kernel folds
+    # them back with dense MXU corrections. This is what makes the COARSE
+    # d_m=4 geometries (half the gather volume) quality-viable.
+    OK: int = 0
+    OV: int = 0
 
     def __post_init__(self):
         if self.N_max % WORD or self.Lt % WORD:
@@ -130,7 +137,7 @@ def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
     """One layer's empty cache (reference init_cache, pq_utils.py:115-138)."""
     cpe = codes_per_entry(cfg.C)
     cdt = jnp.int16 if wide_codes(cfg.C) else jnp.int32
-    return {
+    st = {
         "key_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.M, cfg.N_max // cpe), cdt),
         "value_codes": jnp.zeros((cfg.bs, cfg.nh_k, cfg.m_v, cfg.N_max // cpe), cdt),
         "key_residual": jnp.zeros((cfg.bs, cfg.nh_k, cfg.Lt, cfg.d), cfg.dtype),
@@ -138,6 +145,15 @@ def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
         "n_codes": jnp.zeros((), jnp.int32),
         "r": jnp.zeros((), jnp.int32),
     }
+    if cfg.OK:
+        st["key_outliers"] = jnp.zeros(
+            (cfg.bs, cfg.nh_k, cfg.OK, WORD, cfg.N_max // WORD), jnp.bfloat16
+        )
+    if cfg.OV:
+        st["value_outliers"] = jnp.zeros(
+            (cfg.bs, cfg.nh_k, cfg.OV, WORD, cfg.N_max // WORD), jnp.bfloat16
+        )
+    return st
 
 
 def init_state(cfg: PQCacheConfig, num_layers: int) -> PQCacheLayerState:
@@ -280,6 +296,9 @@ def stacked_prefix_write(
     vc_t: jax.Array,
     k_tail: jax.Array | None,  # (bs, nh_k, tail, d) exact tail or None
     v_tail: jax.Array | None,
+    k_out_t: jax.Array | None = None,  # (bs, nh_k, OK, 4, n4//4) bf16
+    # byte-plane exact outlier channels (to_byte_plane)
+    v_out_t: jax.Array | None = None,
 ) -> PQCacheLayerState:
     """Append one layer's prefill chunk into the STACKED cache: packed codes
     at word offset n_codes[li]//4, ragged tail into the residual window at
@@ -299,6 +318,17 @@ def stacked_prefix_write(
             cache["value_codes"], store_codes_t(vc_t, wide)[None],
             (li, 0, 0, 0, start_w)
         )
+        w0 = cache["n_codes"][li] // WORD
+        if k_out_t is not None:
+            cache["key_outliers"] = jax.lax.dynamic_update_slice(
+                cache["key_outliers"], k_out_t.astype(jnp.bfloat16)[None],
+                (li, 0, 0, 0, 0, w0),
+            )
+        if v_out_t is not None:
+            cache["value_outliers"] = jax.lax.dynamic_update_slice(
+                cache["value_outliers"], v_out_t.astype(jnp.bfloat16)[None],
+                (li, 0, 0, 0, 0, w0),
+            )
     if k_tail is not None and k_tail.shape[2]:
         r0 = cache["r"][li]
         cache["key_residual"] = jax.lax.dynamic_update_slice(

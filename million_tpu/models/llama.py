@@ -440,10 +440,26 @@ def prefill(
             vc = jnp.swapaxes(
                 runtime_encode(v_enc, vcent, SUBSPACE_LAYOUT, interp), -1, -2
             )
+            # exact outlier-channel slabs for the aligned prefix (byte-plane
+            # arena layout; the residual tail stays fully exact anyway)
+            k_out_t = v_out_t = None
+            if "k_outlier_idx" in cents:
+                from million_tpu.ops.pq_attention_pallas import to_byte_plane
+
+                k_out_t = to_byte_plane(
+                    jnp.swapaxes(k_st[:, :, :n4][..., koidx], -1, -2)
+                )
+            if "v_outlier_idx" in cents:
+                from million_tpu.ops.pq_attention_pallas import to_byte_plane
+
+                v_out_t = to_byte_plane(
+                    jnp.swapaxes(v_st[:, :, :n4][..., oidx], -1, -2)
+                )
             cache = stacked_prefix_write(
                 cache, i, kc[..., :n4], vc[..., :n4],
                 k_st[:, :, n4:] if tail else None,
                 v_st[:, :, n4:] if tail else None,
+                k_out_t=k_out_t, v_out_t=v_out_t,
             )
             if distort_recent:
                 k = pq_decode(
@@ -622,6 +638,21 @@ def decode_step(
             else:
                 from million_tpu.cache.pq_cache import load_codes_t
 
+                out_kw = {}
+                if "key_outliers" in cache:
+                    out_kw["k_outliers"] = jax.lax.dynamic_index_in_dim(
+                        cache["key_outliers"], i, 0, False
+                    )
+                    out_kw["k_oidx"] = jax.lax.dynamic_index_in_dim(
+                        cents["k_outlier_idx"], i, 0, False
+                    )
+                if "value_outliers" in cache:
+                    out_kw["v_outliers"] = jax.lax.dynamic_index_in_dim(
+                        cache["value_outliers"], i, 0, False
+                    )
+                    out_kw["v_oidx"] = jax.lax.dynamic_index_in_dim(
+                        cents["v_outlier_idx"], i, 0, False
+                    )
                 attn = pq_decode_attention_ref(
                     q_att[:, :, 0],
                     load_codes_t(
@@ -637,6 +668,7 @@ def decode_step(
                     start,
                     r + 1,
                     layout=SUBSPACE_LAYOUT,
+                    **out_kw,
                 )
             if Rv_i is not None:
                 attn = _rotate(attn, Rv_i.T)
@@ -710,6 +742,23 @@ def _flush_windows_stacked(cache, cents, interp=None):
             cache[side + "_codes"], store_codes_t(codes_t, wide),
             (0, 0, 0, 0, start_w),
         )
+    # exact outlier channels of the flushed window -> byte-plane arenas
+    for side, key in (("key", "k_outlier_idx"), ("value", "v_outlier_idx")):
+        if side + "_outliers" in cache:
+            from million_tpu.ops.pq_attention_pallas import to_byte_plane
+
+            idx = cents[key]  # (L, O)
+            res = cache[side + "_residual"]  # (L, bs, nh_k, Lt, d)
+            sel = jnp.take_along_axis(
+                res, idx[:, None, None, None, :], axis=-1
+            )  # (L, bs, nh_k, Lt, O)
+            slab = to_byte_plane(
+                jnp.swapaxes(sel, -1, -2).astype(jnp.bfloat16)
+            )  # (L, bs, nh_k, O, 4, Lt//4)
+            ow = cache["n_codes"][0] // WORD
+            cache[side + "_outliers"] = jax.lax.dynamic_update_slice(
+                cache[side + "_outliers"], slab, (0, 0, 0, 0, 0, ow)
+            )
     cache["n_codes"] = cache["n_codes"] + Lt
     cache["r"] = jnp.zeros_like(cache["r"])
     return cache
@@ -745,6 +794,12 @@ def _pq_pallas_attention_stacked(
             sharded_pq_codes_attention_stacked,
         )
 
+        if "key_outliers" in cache or "value_outliers" in cache:
+            raise NotImplementedError(
+                "outlier-channel arenas are not wired into the sharded "
+                "decode path yet — run the outlier geometries single-chip "
+                "(they exist to speed up the bs=1 latency path)"
+            )
         # interpret-mode detection must follow the MESH's devices (a CPU
         # mesh can coexist with an accelerator default backend)
         interp = True if mesh.devices.flat[0].platform == "cpu" else None
@@ -754,11 +809,38 @@ def _pq_pallas_attention_stacked(
             interpret=interp, direct=d_k, v_direct=d_v, n_bucket=n_bucket,
         )
     else:
-        out_c, lse_c = pq_codes_attention_stacked(
+        # outlier-channel corrections (north star): exact q slice for the
+        # K-side score term; V side adds a third kernel output scattered
+        # into the natural-order channels below
+        okw = {}
+        if "key_outliers" in cache:
+            koidx_l = jax.lax.dynamic_index_in_dim(
+                cents["k_outlier_idx"], layer_idx, 0, False
+            )
+            okw["qo"] = jnp.take_along_axis(
+                q_pad, koidx_l[None, None, None, :], axis=-1
+            )
+            okw["k_outliers"] = cache["key_outliers"]
+        if "value_outliers" in cache:
+            okw["v_outliers"] = cache["value_outliers"]
+        res = pq_codes_attention_stacked(
             q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"],
             layer_idx, n_codes, direct=d_k, v_direct=d_v, n_bucket=n_bucket,
+            **okw,
         )
+        if "value_outliers" in cache:
+            out_c, lse_c, co = res
+            voidx_l = jax.lax.dynamic_index_in_dim(
+                cents["v_outlier_idx"], layer_idx, 0, False
+            )
+            # decoded outlier components are exactly 0 (centroids trained
+            # on zeroed channels); the correction IS the channel value.
+            # (when the partial is empty, lse_c = -inf zeroes its weight in
+            # the merge, so the values written here are irrelevant)
+            out_c = out_c.at[..., voidx_l].set(co)
+        else:
+            out_c, lse_c = res
     out_r, lse_r = masked_partial_attention(
         q_pad.astype(jnp.float32),
         jax.lax.dynamic_index_in_dim(cache["key_residual"], layer_idx, 0, False),

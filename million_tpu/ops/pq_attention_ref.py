@@ -86,6 +86,12 @@ def pq_decode_attention_ref(
     r: jax.Array,  # scalar int: valid residual tokens
     scale: float | None = None,
     layout: str = "strided",
+    k_outliers: jax.Array | None = None,  # (bs, nh_k, OK, 4, NW) bf16
+    # byte-plane exact outlier channels + their channel indices — the jnp
+    # oracle of the kernel's outlier-correction mode
+    k_oidx: jax.Array | None = None,  # (OK,)
+    v_outliers: jax.Array | None = None,
+    v_oidx: jax.Array | None = None,
 ) -> jax.Array:
     """Fused PQ decode attention, single query token. Returns (bs, nh, d).
 
@@ -105,11 +111,22 @@ def pq_decode_attention_ref(
     pos = jnp.arange(N)
     code_mask = pos < n_codes  # (N,)
 
+    def from_byte_plane(x):  # (bs, nh_k, O, 4, NW) -> (bs, nh_k, N, O)
+        lin = jnp.swapaxes(x, -1, -2).reshape(*x.shape[:-2], -1)
+        return jnp.moveaxis(lin.astype(jnp.float32), -2, -1)
+
     # --- quantized partial -------------------------------------------------
     lut = build_lut(qf, key_cents, layout)  # (bs, nh, M, C)
     # group query heads onto KV heads for the codes
     kc = _gqa_expand(key_codes, nh)  # (bs, nh, N, M)
     s_q = lut_scores(lut, kc) * scale  # (bs, nh, N) f32
+    if k_outliers is not None:
+        # exact-score correction: q[k_oidx] . K_exact (outlier channels
+        # decode to 0, so this ADD restores the full inner product)
+        ko = _gqa_expand(from_byte_plane(k_outliers), nh)  # (bs, nh, N, OK)
+        s_q = s_q + jnp.einsum(
+            "bho,bhno->bhn", qf[..., k_oidx], ko
+        ) * scale
     s_q = jnp.where(code_mask[None, None, :], s_q, NEG_INF)
     m_q = jnp.max(s_q, axis=-1, keepdims=True)
     # guard fully-masked case (n_codes == 0)
@@ -118,6 +135,9 @@ def pq_decode_attention_ref(
     p_q = jnp.where(code_mask[None, None, :], p_q, 0.0)
     denom_q = jnp.sum(p_q, axis=-1, keepdims=True)
     v_hat = pq_decode(value_codes, value_cents, layout).astype(jnp.float32)  # (bs,nh_k,N,d)
+    if v_outliers is not None:
+        vo = from_byte_plane(v_outliers)  # (bs, nh_k, N, OV)
+        v_hat = v_hat.at[..., v_oidx].set(vo)
     v_hat = _gqa_expand(v_hat, nh)
     out_q = jnp.einsum("bhn,bhnk->bhk", p_q, v_hat) / jnp.maximum(denom_q, 1e-30)
     lse_q = jnp.where(

@@ -369,3 +369,63 @@ def test_qwen2_style_bias_generation(rng):
         sampling=SamplingConfig(temperature=0.0),
     )
     assert np.isfinite(res.tokens).all()
+
+
+def test_outlier_mode_pq_vs_pallas_across_flush(rng):
+    """Outlier-channel runtime (north star): coarse d_m=4 K and V with
+    exact outlier channels — prefill, decode, and the window flush must
+    agree between the jnp oracle path (mode='pq') and the
+    outlier-corrected kernel (mode='pq_pallas')."""
+    from million_tpu.models.llama import build_tables
+    from million_tpu.pq.kmeans import train_pq
+    from million_tpu.pq.ops import select_outlier_channels, zero_channels
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    d = CFG.head_dim
+    M = d // 4  # coarse geometry, C <= 128 -> direct tables
+    L = CFG.num_layers
+    OK = OV = 4
+    # codebooks trained on ZEROED samples (production contract: outlier
+    # components decode to exactly 0)
+    samples = rng.standard_normal((2048, d)).astype(np.float32)
+    samples[:, :2] *= 8.0  # make some channels genuinely heavy
+    koidx = np.stack([
+        np.asarray(select_outlier_channels(jnp.asarray(samples), OK))
+        for _ in range(L)
+    ])
+    zs = np.asarray(zero_channels(jnp.asarray(samples), jnp.asarray(koidx[0])))
+    cents_one = np.asarray(train_pq(jnp.asarray(zs), M=M, nbits=6, iters=8,
+                                    layout="strided"))
+    kc = jnp.asarray(np.stack([cents_one] * L), jnp.float32)
+    cents = {
+        "key": kc, "value": kc,
+        "k_outlier_idx": jnp.asarray(koidx, jnp.int32),
+        "v_outlier_idx": jnp.asarray(koidx, jnp.int32),
+    }
+    tables = build_tables(cents)
+    pq_cfg = PQCacheConfig(
+        bs=1, nh_k=CFG.num_kv_heads, d=d, M=M, C=64, Lt=8, N_max=128,
+        dtype=jnp.float32, OK=OK, OV=OV,
+    )
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 17)), jnp.int32)
+    cache_a = init_state(pq_cfg, L)
+    cache_b = init_state(pq_cfg, L)
+    la, cache_a = prefill(params, CFG, ids, cache_a, cents, mode="pq")
+    lb, cache_b = prefill(params, CFG, ids, cache_b, tables, mode="pq")
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4,
+                               atol=1e-4)
+    toks = rng.integers(0, CFG.vocab_size, 10)  # crosses the Lt=8 flush
+    for t, tok in enumerate(toks):
+        tok_a = jnp.asarray([tok], jnp.int32)
+        pos = jnp.asarray(17 + t, jnp.int32)
+        la, cache_a = decode_step(params, CFG, tok_a, pos, cache_a, cents,
+                                  mode="pq")
+        lb, cache_b = decode_step(params, CFG, tok_a, pos, cache_b, tables,
+                                  mode="pq_pallas")
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=5e-2, atol=5e-2)
+    # both paths flushed the outlier arenas identically
+    np.testing.assert_allclose(
+        np.asarray(cache_a["key_outliers"], np.float32),
+        np.asarray(cache_b["key_outliers"], np.float32),
+    )
