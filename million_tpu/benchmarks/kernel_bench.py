@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--block", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--parity-n", type=int, default=2048)
+    ap.add_argument("--outliers", type=int, default=0,
+                    help="also time the outlier-corrected kernel with this "
+                    "many exact K/V channels (pair with --M d/4 --nbits 7)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -118,6 +121,47 @@ def main():
         f"  ({dense_bytes/dt2/1e9:.0f} GB/s over {dense_bytes/1e6:.1f} MB)"
         f"  -> kernel speedup {dt2/dt:.2f}x"
     )
+
+    if args.outliers:
+        # outlier-corrected kernel timing (stacked wrapper, L=1): the coarse
+        # geometry plus exact outlier slabs — K score correction + V value
+        # output, dense MXU terms replacing half the gathers
+        from million_tpu.ops.pq_attention_pallas import (
+            pq_codes_attention_stacked,
+        )
+
+        OKV = args.outliers
+        kc1, vc1 = kc[None], vc[None]
+        kp1 = jax.tree.map(lambda t: t[None], kpack)
+        vp1 = jax.tree.map(lambda t: t[None], vpack)
+        ko = jnp.asarray(
+            rng.standard_normal((1, bs, nh_k, OKV, 4, N // 4)), jnp.bfloat16
+        )
+        vo = jnp.asarray(
+            rng.standard_normal((1, bs, nh_k, OKV, 4, N // 4)), jnp.bfloat16
+        )
+        qo = qb[..., :OKV]
+        li = jnp.asarray(0, jnp.int32)
+
+        @jax.jit
+        def o_step(qq, kc, vc, ko, vo):
+            o, _, co = pq_codes_attention_stacked(
+                qq, kc, vc, kp1, vp1, li, ncd, block=args.block,
+                direct=direct, qo=qq[..., :OKV], k_outliers=ko, v_outliers=vo,
+            )
+            return jnp.roll(qq, 1, axis=-1) + (
+                (o[0, 0, 0, 0] + co[0, 0, 0, 0]) * 1e-20
+            ).astype(qq.dtype)
+
+        dto = chained_bench(
+            lambda qq: o_step(qq, kc1, vc1, ko, vo), qb, iters=args.iters
+        )
+        ob = code_bytes + 2 * bs * nh_k * OKV * N * 2
+        print(
+            f"outlier-corrected kernel (OK=OV={OKV}): {dto*1e6:.1f} us"
+            f"  ({ob/dto/1e9:.0f} GB/s over {ob/1e6:.1f} MB)"
+            f"  vs dense {dt2/dto:.2f}x, vs plain kernel {dt/dto:.2f}x"
+        )
 
 
 if __name__ == "__main__":
