@@ -75,6 +75,18 @@ _SLOW_PREFIXES = (
     "tests/test_scheduler.py::test_scheduler_skip_ahead_admission",
     "tests/test_scheduler.py::test_chunked_admission_matches_oneshot",
     "tests/test_scheduler.py::test_scheduler_long_prompt_chunked_admission",
+    "tests/test_pallas_kernel.py::test_kernel_asymmetric_kv_geometry",
+    "tests/test_pallas_kernel.py::test_kernel_merge_with_residual_matches_full",
+    "tests/test_pallas_kernel.py::test_kernel_outlier_correction_matches_oracle",
+    "tests/test_checkpoint.py::test_session_resume_across_flush_and_sampling_rng",
+    "tests/test_model.py::test_outlier_mode_pq_vs_pallas_across_flush",
+    "tests/test_model.py::test_opq_rotated_cache_matches_unrotated_exactly_in_residual",
+    "tests/test_model.py::test_pallas_mode_matches_ref_mode_asymmetric",
+    "tests/test_scheduler.py::test_scheduler_preemption_preserves_tokens",
+    "tests/test_scheduler.py::test_scheduler_on_demand_paging_beats_worst_case",
+    "tests/test_pq_core.py::test_outlier_channels_improve_reconstruction",
+    "tests/test_pq_attention_ref.py::test_pq_attention_empty_residual",
+    "tests/test_paged_cache.py::test_write_codes_roundtrip",
 )
 
 
