@@ -135,10 +135,10 @@ def main():
         kp1 = jax.tree.map(lambda t: t[None], kpack)
         vp1 = jax.tree.map(lambda t: t[None], vpack)
         ko = jnp.asarray(
-            rng.standard_normal((1, bs, nh_k, OKV, 4, N // 4)), jnp.bfloat16
+            rng.standard_normal((1, bs, nh_k, 4, OKV, N // 4)), jnp.bfloat16
         )
         vo = jnp.asarray(
-            rng.standard_normal((1, bs, nh_k, OKV, 4, N // 4)), jnp.bfloat16
+            rng.standard_normal((1, bs, nh_k, 4, OKV, N // 4)), jnp.bfloat16
         )
         qo = qb[..., :OKV]
         li = jnp.asarray(0, jnp.int32)

@@ -147,11 +147,11 @@ def init_layer_state(cfg: PQCacheConfig) -> PQCacheLayerState:
     }
     if cfg.OK:
         st["key_outliers"] = jnp.zeros(
-            (cfg.bs, cfg.nh_k, cfg.OK, WORD, cfg.N_max // WORD), jnp.bfloat16
+            (cfg.bs, cfg.nh_k, WORD, cfg.OK, cfg.N_max // WORD), jnp.bfloat16
         )
     if cfg.OV:
         st["value_outliers"] = jnp.zeros(
-            (cfg.bs, cfg.nh_k, cfg.OV, WORD, cfg.N_max // WORD), jnp.bfloat16
+            (cfg.bs, cfg.nh_k, WORD, cfg.OV, cfg.N_max // WORD), jnp.bfloat16
         )
     return st
 
@@ -296,7 +296,7 @@ def stacked_prefix_write(
     vc_t: jax.Array,
     k_tail: jax.Array | None,  # (bs, nh_k, tail, d) exact tail or None
     v_tail: jax.Array | None,
-    k_out_t: jax.Array | None = None,  # (bs, nh_k, OK, 4, n4//4) bf16
+    k_out_t: jax.Array | None = None,  # (bs, nh_k, 4, OK, n4//4) bf16
     # byte-plane exact outlier channels (to_byte_plane)
     v_out_t: jax.Array | None = None,
 ) -> PQCacheLayerState:

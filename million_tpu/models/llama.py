@@ -754,7 +754,7 @@ def _flush_windows_stacked(cache, cents, interp=None):
             )  # (L, bs, nh_k, Lt, O)
             slab = to_byte_plane(
                 jnp.swapaxes(sel, -1, -2).astype(jnp.bfloat16)
-            )  # (L, bs, nh_k, O, 4, Lt//4)
+            )  # (L, bs, nh_k, 4, O, Lt//4)
             ow = cache["n_codes"][0] // WORD
             cache[side + "_outliers"] = jax.lax.dynamic_update_slice(
                 cache[side + "_outliers"], slab, (0, 0, 0, 0, 0, ow)

@@ -116,13 +116,18 @@ WORD = 4  # uint8 codes per packed int32 word
 
 def to_byte_plane(x: jax.Array) -> jax.Array:
     """Linear outlier-channel slab (..., O, n) -> byte-plane layout
-    (..., O, 4, n//4) where [..., b, w] = token 4w+b — the order the
+    (..., 4, O, n//4) where [..., b, :, w] = token 4w+b — the order the
     outlier-corrected kernels consume (matches their slot order; see
-    _make_block_step)."""
+    _make_block_step). The byte axis sits on a MAJOR dim: Mosaic cannot
+    lane-concat slices taken at different sublane offsets ("result/input
+    offset mismatch on non-concat dimension"), so each plane must be a
+    clean offset-0 slab."""
     n = x.shape[-1]
     if n % WORD:
         raise ValueError(f"token count {n} not a multiple of {WORD}")
-    return x.reshape(*x.shape[:-1], n // WORD, WORD).swapaxes(-1, -2)
+    return jnp.moveaxis(
+        x.reshape(*x.shape[:-1], n // WORD, WORD), -1, -3
+    )
 
 
 def check_group(G: int) -> None:
@@ -479,10 +484,11 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
         # numerator under the same online softmax — both replace gathers
         # with dense matmuls, which is the whole trade.
         def slot_tile(slab, t):
-            # (O, 4, bw) -> (O, 4tw) columns ordered b*tw + l, matching the
-            # concat-over-bytes order of the decoded score/value tiles
+            # (4, O, bw) -> (O, 4tw) columns ordered b*tw + l, matching the
+            # concat-over-bytes order of the decoded score/value tiles.
+            # Each plane slab[b] is a major-dim slice (sublane offset 0).
             return jnp.concatenate(
-                [slab[:, b, t * tw : (t + 1) * tw] for b in range(4)], axis=1
+                [slab[b][:, t * tw : (t + 1) * tw] for b in range(4)], axis=1
             )
 
         s_parts = []
@@ -544,7 +550,7 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
             # rescale as acc; x carries the 127*exp weights in SLOT order
             # (bf16 dots — the stored outliers are bf16 anyway)
             xb = x.astype(jnp.bfloat16)
-            cv = jnp.zeros((G, vow.shape[0]), jnp.float32)
+            cv = jnp.zeros((G, vow.shape[1]), jnp.float32)
             for t in range(n_tiles):
                 cv = cv + jax.lax.dot_general(
                     xb[:, t * 4 * tw : (t + 1) * 4 * tw],
@@ -834,10 +840,10 @@ def pq_codes_attention_stacked(
     qo: jax.Array | None = None,  # (bs, nh_k, G, OK) bf16 — exact
     # outlier-channel q (pre-scaled, already sliced to this layer's
     # k_outlier_idx)
-    k_outliers: jax.Array | None = None,  # (L, bs, nh_k, OK, 4, NW) bf16,
-    # BYTE-PLANE layout: [..., b, w] = channel value at token 4w+b (build
-    # from linear (OK, n) via reshape(OK, n//4, 4).swapaxes(-1, -2))
-    v_outliers: jax.Array | None = None,  # (L, bs, nh_k, OV, 4, NW) bf16
+    k_outliers: jax.Array | None = None,  # (L, bs, nh_k, 4, OK, NW) bf16,
+    # BYTE-PLANE layout (to_byte_plane): [..., b, :, w] = channel values
+    # at token 4w+b
+    v_outliers: jax.Array | None = None,  # (L, bs, nh_k, 4, OV, NW) bf16
 ) -> Tuple[jax.Array, ...]:
     """pq_codes_attention over one layer of a STACKED cache, the layer chosen
     by a scalar-prefetched index. This exists because slicing the layer out
@@ -913,14 +919,14 @@ def pq_codes_attention_stacked(
     operands += [key_codes, value_codes]
     if with_ko:
         in_specs.append(pl.BlockSpec(
-            (1, 1, 1, k_outliers.shape[3], 4, bw),
+            (1, 1, 1, 4, k_outliers.shape[4], bw),
             lambda b, h, i, li, nc: (li[0], b, h, 0, 0, i),
         ))
         operands.append(k_outliers)
     if with_vo:
-        OV = v_outliers.shape[3]
+        OV = v_outliers.shape[4]
         in_specs.append(pl.BlockSpec(
-            (1, 1, 1, OV, 4, bw),
+            (1, 1, 1, 4, OV, bw),
             lambda b, h, i, li, nc: (li[0], b, h, 0, 0, i),
         ))
         operands.append(v_outliers)

@@ -86,7 +86,7 @@ def pq_decode_attention_ref(
     r: jax.Array,  # scalar int: valid residual tokens
     scale: float | None = None,
     layout: str = "strided",
-    k_outliers: jax.Array | None = None,  # (bs, nh_k, OK, 4, NW) bf16
+    k_outliers: jax.Array | None = None,  # (bs, nh_k, 4, OK, NW) bf16
     # byte-plane exact outlier channels + their channel indices — the jnp
     # oracle of the kernel's outlier-correction mode
     k_oidx: jax.Array | None = None,  # (OK,)
@@ -111,8 +111,9 @@ def pq_decode_attention_ref(
     pos = jnp.arange(N)
     code_mask = pos < n_codes  # (N,)
 
-    def from_byte_plane(x):  # (bs, nh_k, O, 4, NW) -> (bs, nh_k, N, O)
-        lin = jnp.swapaxes(x, -1, -2).reshape(*x.shape[:-2], -1)
+    def from_byte_plane(x):  # (bs, nh_k, 4, O, NW) -> (bs, nh_k, N, O)
+        y = jnp.moveaxis(x, -3, -1)  # (bs, nh_k, O, NW, 4)
+        lin = y.reshape(*y.shape[:-2], -1)  # (bs, nh_k, O, N), n = 4w+b
         return jnp.moveaxis(lin.astype(jnp.float32), -2, -1)
 
     # --- quantized partial -------------------------------------------------

@@ -64,7 +64,7 @@ def measure_pq_outlier(cfg, params, bs, iters, OKV=16):
     @jax.jit
     def make_outliers(seed):
         tile = jax.random.normal(
-            jax.random.PRNGKey(seed), (L, bs, H, OKV, 4, 1024), jnp.bfloat16
+            jax.random.PRNGKey(seed), (L, bs, H, 4, OKV, 1024), jnp.bfloat16
         )
         return jnp.tile(tile, (1, 1, 1, 1, 1, CTX // 4096))
 
