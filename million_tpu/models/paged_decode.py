@@ -2,8 +2,12 @@
 
 This is what continuous batching runs: S sequence slots decode one token
 each per step, with per-slot lengths/positions, page-table attention
-(pq_paged_attention), per-slot exact residual windows, and per-slot
-residual flushes (a lax.cond per slot so only full windows pay the encode).
+(pq_paged_attention), and per-slot exact residual windows. Encoding is
+window-flush batched (round 3): the decode step never encodes — the
+scheduler runs `flush_paged_slots` (one batched executable for any flush
+combination) when a slot's window fills, and `paged_admit_chunked` admits
+long prompts in bounded-memory chunks against the quantized history in
+the slot's pages.
 
 The reference has no analogue — its batch size is hardcoded 1
 (main_pq.py:338) — this is the scheduler substrate the north star asks for.

@@ -87,14 +87,20 @@ information-theoretically required for d_m=2 tables (a 7-bit lane index
 cannot decode two independent 8-bit codes), so the only paths below this
 floor change the
 quantization geometry: the supported d_m=4 layout halves both gathers and
-code bytes at known quality cost (reference results.jsonl:9: M=d/4 ppl
-degenerate at nbits=8); the ALSO-supported asymmetric K:d_m=2 / V:d_m=4
-split (per-side tables, `v_direct`, PQCacheConfig.M_v) halves only the V
-side — expected ~25% kernel win. Caveat: attention output is LINEAR in V
-(errors pass straight through, unlike K errors which the softmax washes
-out), and the synthetic proxy agrees (quality_bench: K8/V7-dm4 attn MAE
-0.164 vs 0.053 symmetric-d_m=2) — strictly experimental until validated
-on real-model perplexity.
+code bytes, and — round 3 — becomes QUALITY-VIABLE when paired with
+outlier-channel high precision (the north star's own option): OK/OV
+channels per head vector are excluded from PQ, stored exact in bf16
+byte-plane arenas (to_byte_plane), and folded back inside the kernel as
+DENSE MXU terms — an exact score correction qo @ K_out for K and a
+separate normalized numerator output (G, OV) for V, both under the same
+online softmax. Gathers (the measured bottleneck) are replaced by
+matmuls. Measured (2026-08-21, v5e): bs=1/32K full-step TPOT 11.8 ms for
+coarse-d_m=4-both-sides + 16 outlier channels vs 14.6 ms dense and
+14.4 ms production d_m=2 (1.23x vs dense — the bs=1 per-step sign
+flipped); quality gate Δppl +0.92% rel on the d=64 ladder (vs +2.8%
+plain coarse). Plain asymmetry WITHOUT outliers remains experimental:
+attention output is linear in V, errors pass straight through (ladder:
+K2/V4 +2.4% rel).
 """
 
 from __future__ import annotations
