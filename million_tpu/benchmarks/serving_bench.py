@@ -38,12 +38,15 @@ def steady_state(args, cfg, pcfg, make_scheduler):
     S = pcfg.max_seqs
     n = (args.max_prompt // 4) * 4
     rng = np.random.default_rng(args.seed)
-    sched = make_scheduler()
-    # warm compiles on a throwaway scheduler (admission + decode + flush)
+    # warm compiles on a throwaway scheduler (admission + decode + flush);
+    # FREE it before building the measured one — two live page pools plus
+    # weights exceed HBM at the 32K x full-slot shapes
     warm = make_scheduler()
     warm.submit(Request(rid=-1, prompt=np.zeros(n, np.int32),
                         max_new_tokens=pcfg.Lt + 2))
     warm.run_to_completion()
+    del warm
+    sched = make_scheduler()
 
     t_admit0 = time.perf_counter()
     for rid in range(S):
@@ -189,6 +192,7 @@ def main():
     for i, n in enumerate(buckets):
         warm.submit(Request(rid=-1 - i, prompt=np.zeros(n, np.int32), max_new_tokens=2))
     warm.run_to_completion()
+    del warm  # free its page pools before building the measured scheduler
 
     sched = make_scheduler()
     reqs, total_prompt = make_requests()

@@ -451,15 +451,16 @@ def _paged_prefill_chunk(
     pages_row = jnp.where(valid_w & (raw_row >= 0), raw_row, scratch)
     offs = t_w % ps_w
 
-    # history gather pattern: the slot's first hw_bucket words (bucketed
-    # pow2; tokens >= pos_offset are masked inside _history_partial)
+    # history gather pattern: the slot's pages covering the first
+    # hw_bucket words (bucketed pow2; tokens >= pos_offset are masked
+    # inside _history_partial). Gather at PAGE granularity on the leading
+    # axes only — a per-word advanced-index gather over (page, offset)
+    # made XLA relayout-copy the ENTIRE pool (5.5 GB padded, observed
+    # OOM); a leading-axis page gather is a plain row fetch.
     if hw_bucket:
-        h_w = jnp.arange(hw_bucket)
-        h_raw = state["page_table"][
-            seq_id, jnp.clip(h_w // ps_w, 0, pcfg.pages_per_seq - 1)
-        ]
+        nph = -(-hw_bucket // ps_w)  # pages covering the bucket
+        h_raw = state["page_table"][seq_id, : max(nph, 1)]
         h_pages = jnp.where(h_raw >= 0, h_raw, scratch)
-        h_offs = h_w % ps_w
         nb = (hw_bucket * 4) // hist_block
 
     def layer(carry, lp):
@@ -486,10 +487,15 @@ def _paged_prefill_chunk(
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
         if hw_bucket:
-            kw = st["key_pool"][li, h_pages, :, :, h_offs]  # (hw, H, M)
-            vw = st["value_pool"][li, h_pages, :, :, h_offs]
-            arena_k = kw.transpose(1, 2, 0)[None]  # (1, H, M, hw)
-            arena_v = vw.transpose(1, 2, 0)[None]
+            kw = st["key_pool"][li, h_pages]  # (nph, H, M, ps_w)
+            vw = st["value_pool"][li, h_pages]
+
+            def to_arena(w):  # page-major word order == global word order
+                a = jnp.moveaxis(w, 0, 2)  # (H, M, nph, ps_w)
+                return a.reshape(*a.shape[:2], -1)[None, :, :, :hw_bucket]
+
+            arena_k = to_arena(kw)  # (1, H, M, hw_bucket)
+            arena_v = to_arena(vw)
             out_h, lse_h = _history_partial(
                 q_h, arena_k, arena_v, kcent, vcent, pos_offset, scale,
                 nb, hist_block,

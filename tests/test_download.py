@@ -52,9 +52,10 @@ def test_cli_perplexity_on_real_text(tmp_path, rng):
     from million_tpu.cli import main
 
     results = tmp_path / "results.jsonl"
+    cfg_path = Path(__file__).parent.parent / "configs" / "test-tiny.json"
     argv = sys.argv
     sys.argv = [
-        "cli", "-f", "configs/test-tiny.json",
+        "cli", "-f", str(cfg_path),
         "-p", "sampling", "training", "evaluation",
         "-o", f"run.dataset={FIXTURE}",
         "-o", "run.max_length=256", "-o", "run.max_windows=2",
