@@ -221,17 +221,27 @@ def flush_paged_slots(
 
     S = mask.shape[0]
     ps_w = pcfg.page_size // 4
-    Ltw = pcfg.Lt // 4
+    if pcfg.page_size % pcfg.Lt:
+        raise ValueError(
+            "flush_paged_slots needs page_size % Lt == 0 (a residual window "
+            "must land inside one page)"
+        )
     n_codes = state["seq_n_codes"]
-    t_w = n_codes[:, None] // 4 + jnp.arange(Ltw)[None]  # (S, Ltw)
-    pages = jnp.take_along_axis(
-        state["page_table"],
-        jnp.clip(t_w // ps_w, 0, pcfg.pages_per_seq - 1),
-        axis=1,
-    )  # (S, Ltw)
-    offs = t_w % ps_w
     scratch = state["key_pool"].shape[1] - 1
-    pages = jnp.where((pages < 0) | ~mask[:, None], scratch, pages)
+    # per-slot target: ONE contiguous word run inside ONE page (window
+    # never crosses a page boundary given the divisibility above). Writes
+    # go through per-slot dynamic_update_slice, NOT an advanced-index
+    # scatter over (page, offset): separated advanced axes make XLA
+    # relayout-copy the entire pool (observed: a 5.5 GB padded copy per
+    # call at the 3B serving shape).
+    pg_tgt, off_tgt = [], []
+    for si in range(S):
+        w0 = n_codes[si] // 4
+        raw = state["page_table"][
+            si, jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)
+        ]
+        pg_tgt.append(jnp.where((raw < 0) | ~mask[si], scratch, raw))
+        off_tgt.append(w0 % ps_w)
 
     def layer(st, li):
         kres = jax.lax.dynamic_index_in_dim(st["key_residual"], li, 0, False)
@@ -244,12 +254,13 @@ def flush_paged_slots(
         kw = pack_codes(jnp.swapaxes(kc, -1, -2))  # (S, H, M, Ltw)
         vw = pack_codes(jnp.swapaxes(vc, -1, -2))
         st = dict(st)
-        st["key_pool"] = st["key_pool"].at[li, pages, :, :, offs].set(
-            kw.transpose(0, 3, 1, 2)
-        )
-        st["value_pool"] = st["value_pool"].at[li, pages, :, :, offs].set(
-            vw.transpose(0, 3, 1, 2)
-        )
+        kp, vp = st["key_pool"], st["value_pool"]
+        for si in range(S):
+            idx = (li, pg_tgt[si], jnp.int32(0), jnp.int32(0), off_tgt[si])
+            kp = jax.lax.dynamic_update_slice(kp, kw[si][None, None], idx)
+            vp = jax.lax.dynamic_update_slice(vp, vw[si][None, None], idx)
+        st["key_pool"] = kp
+        st["value_pool"] = vp
         return st, None
 
     L = state["key_pool"].shape[0]
@@ -298,22 +309,26 @@ def paged_prefill_seq(
     x = params["embed"][input_ids[0]][None]  # (1, n, D)
 
     ps_w = pcfg.page_size // 4
-    t_w = jnp.arange(n4 // 4)
-    raw_row = state["page_table"][seq_id, t_w // ps_w]
-    if nv is None:
-        pages_row = jnp.maximum(raw_row, 0)
-    else:
-        # padded (or unallocated) words -> the reserved scratch page. Many
-        # padded words can map to the SAME (scratch, offset) slot in one
-        # .at[].set — intentional: JAX's duplicate-index ordering is
-        # unspecified, but the scratch page is WRITE-ONLY (never read), so
-        # whichever duplicate lands last is irrelevant. Do not repurpose
-        # scratch contents.
-        valid_w = t_w < (nv // 4)
-        pages_row = jnp.where(
-            jnp.logical_and(valid_w, raw_row >= 0), raw_row, pcfg.n_pages
-        )
-    offs = t_w % ps_w
+    ncw = n4 // 4
+    npg = -(-ncw // ps_w) if ncw else 0
+    # per-page write plan (admission starts at word 0 of the slot, so page
+    # ordinal j covers words [j*ps_w, (j+1)*ps_w)). Writes go through
+    # per-page dynamic_update_slice, NOT an advanced-index scatter over
+    # (page, offset): separated advanced axes make XLA relayout-copy the
+    # ENTIRE pool (5.5 GB padded at the 3B serving shape — observed OOM).
+    # A page that is unallocated, or whose words are all padded, routes to
+    # the write-only scratch page; a partially-real page is written whole —
+    # words past nv are garbage the attention mask (n_codes) never reads
+    # and the first flushes overwrite.
+    pg_plan = []  # (page_id, static width)
+    for j in range(npg):
+        raw = state["page_table"][seq_id, j]
+        if nv is None:
+            pg = jnp.maximum(raw, 0)
+        else:
+            real = jnp.asarray(j * ps_w, jnp.int32) < ((nv + 3) // 4)
+            pg = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
+        pg_plan.append((pg, min(ps_w, ncw - j * ps_w)))
 
     def layer(carry, lp):
         x, st, li = carry
@@ -335,12 +350,17 @@ def paged_prefill_seq(
             runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
         st = dict(st)
         if n4:
-            st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(
-                pack_codes(kc[..., :n4]).transpose(2, 0, 1)
-            )
-            st["value_pool"] = st["value_pool"].at[li, pages_row, :, :, offs].set(
-                pack_codes(vc[..., :n4]).transpose(2, 0, 1)
-            )
+            kwords = pack_codes(kc[..., :n4])  # (H, M, ncw)
+            vwords = pack_codes(vc[..., :n4])
+            kp, vp = st["key_pool"], st["value_pool"]
+            for j, (pg, w) in enumerate(pg_plan):
+                idx = (li, pg, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                ksl = kwords[None, None, :, :, j * ps_w : j * ps_w + w]
+                vsl = vwords[None, None, :, :, j * ps_w : j * ps_w + w]
+                kp = jax.lax.dynamic_update_slice(kp, ksl, idx)
+                vp = jax.lax.dynamic_update_slice(vp, vsl, idx)
+            st["key_pool"] = kp
+            st["value_pool"] = vp
         if tail:
             # ragged tail -> exact residual window (rotated space, matching
             # the pools); codes are produced later by flush_paged_slots
@@ -440,16 +460,29 @@ def _paged_prefill_chunk(
     ps_w = pcfg.page_size // 4
     scratch = state["key_pool"].shape[1] - 1
 
-    # where this chunk's code words land: global words [s/4, s/4 + nc/4)
-    t_w = pos_offset // 4 + jnp.arange(nc // 4)  # (ncw,)
-    raw_row = state["page_table"][
-        seq_id, jnp.clip(t_w // ps_w, 0, pcfg.pages_per_seq - 1)
-    ]
-    valid_w = t_w < (nv // 4)
-    # padded / unallocated words -> scratch (write-only; see
-    # paged_prefill_seq for the duplicate-index note)
-    pages_row = jnp.where(valid_w & (raw_row >= 0), raw_row, scratch)
-    offs = t_w % ps_w
+    # where this chunk's code words land: global words [s/4, s/4 + nc/4),
+    # written per PAGE via dynamic_update_slice (see paged_prefill_seq for
+    # why an advanced-index (page, offset) scatter is forbidden: it
+    # relayout-copies the whole pool)
+    ncw = nc // 4
+    if nc % pcfg.page_size == 0:
+        npc, cw, sub_page = nc // pcfg.page_size, ps_w, False
+    elif pcfg.page_size % nc == 0:
+        npc, cw, sub_page = 1, ncw, True
+    else:
+        raise ValueError(
+            f"chunk {nc} must be a multiple of page_size {pcfg.page_size} "
+            "(or divide it)"
+        )
+    pg_plan = []  # (page_id, traced in-page word offset)
+    for j in range(npc):
+        w0 = pos_offset // 4 + j * cw
+        raw = state["page_table"][
+            seq_id, jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)
+        ]
+        real = w0 < ((nv + 3) // 4)  # page holds at least one real word
+        pg = jnp.where(real & (raw >= 0), raw, scratch)
+        pg_plan.append((pg, (w0 % ps_w) if sub_page else jnp.int32(0)))
 
     # history gather pattern: the slot's pages covering the first
     # hw_bucket words (bucketed pow2; tokens >= pos_offset are masked
@@ -478,12 +511,17 @@ def _paged_prefill_chunk(
         kc = jnp.swapaxes(runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
         vc = jnp.swapaxes(runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
         st = dict(st)
-        st["key_pool"] = st["key_pool"].at[li, pages_row, :, :, offs].set(
-            pack_codes(kc).transpose(2, 0, 1)
-        )
-        st["value_pool"] = st["value_pool"].at[li, pages_row, :, :, offs].set(
-            pack_codes(vc).transpose(2, 0, 1)
-        )
+        kwords = pack_codes(kc)  # (H, M, ncw)
+        vwords = pack_codes(vc)
+        kp, vp = st["key_pool"], st["value_pool"]
+        for j, (pg, off) in enumerate(pg_plan):
+            idx = (li, pg, jnp.int32(0), jnp.int32(0), off)
+            ksl = kwords[None, None, :, :, j * cw : (j + 1) * cw]
+            vsl = vwords[None, None, :, :, j * cw : (j + 1) * cw]
+            kp = jax.lax.dynamic_update_slice(kp, ksl, idx)
+            vp = jax.lax.dynamic_update_slice(vp, vsl, idx)
+        st["key_pool"] = kp
+        st["value_pool"] = vp
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
         if hw_bucket:

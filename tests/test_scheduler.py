@@ -335,16 +335,21 @@ def test_bucketed_admission_matches_exact_length(rng):
     )
     assert int(st_a["seq_n_codes"][0]) == int(st_b["seq_n_codes"][0]) == 44
     assert int(st_a["seq_r"][0]) == int(st_b["seq_r"][0]) == 1
-    # allocated (real) pages carry identical codes; the padded run's extra
-    # words went to the scratch page (index n_pages), never a real page
+    # allocated pages carry identical codes over the REAL word prefix (the
+    # page-granular writes leave unread garbage past nv in a partially-real
+    # page; attention masks it via n_codes and the first flush overwrites)
     pt = np.asarray(st_a["page_table"][0])
-    real = [p for p in pt if p >= 0]
-    for p in real:
+    ps_w = pcfg.page_size // 4
+    real_w = n // 4
+    for j, p in enumerate(p for p in pt if p >= 0):
+        w = int(np.clip(real_w - j * ps_w, 0, ps_w))
         np.testing.assert_array_equal(
-            np.asarray(st_a["key_pool"][:, p]), np.asarray(st_b["key_pool"][:, p])
+            np.asarray(st_a["key_pool"][:, p, :, :, :w]),
+            np.asarray(st_b["key_pool"][:, p, :, :, :w]),
         )
         np.testing.assert_array_equal(
-            np.asarray(st_a["value_pool"][:, p]), np.asarray(st_b["value_pool"][:, p])
+            np.asarray(st_a["value_pool"][:, p, :, :, :w]),
+            np.asarray(st_b["value_pool"][:, p, :, :, :w]),
         )
     # real residual rows match (rows past the tail are masked by seq_r)
     tail = 1
@@ -414,13 +419,17 @@ def test_chunked_admission_matches_oneshot(rng):
     assert int(st_a["seq_r"][0]) == int(st_b["seq_r"][0]) == 3
     assert int(st_b["seq_active"][0]) == 1
     pt = np.asarray(st_a["page_table"][0])
-    for p in [p for p in pt if p >= 0]:
+    ps_w = pcfg.page_size // 4
+    real_w = n // 4
+    for j, p in enumerate(p for p in pt if p >= 0):
+        w = int(np.clip(real_w - j * ps_w, 0, ps_w))
         np.testing.assert_array_equal(
-            np.asarray(st_a["key_pool"][0, p]), np.asarray(st_b["key_pool"][0, p])
+            np.asarray(st_a["key_pool"][0, p, :, :, :w]),
+            np.asarray(st_b["key_pool"][0, p, :, :, :w]),
         )
         np.testing.assert_array_equal(
-            np.asarray(st_a["value_pool"][0, p]),
-            np.asarray(st_b["value_pool"][0, p]),
+            np.asarray(st_a["value_pool"][0, p, :, :, :w]),
+            np.asarray(st_b["value_pool"][0, p, :, :, :w]),
         )
     np.testing.assert_allclose(
         np.asarray(st_a["key_residual"][0, 0, :, :3]),
