@@ -71,6 +71,54 @@ def _layer_rots(tables, li):
     return Rk_i, Rv_i
 
 
+def _history_partial_pages(q, kw, vw, kcent, vcent, n_prev, scale, page_size):
+    """Full attention of chunk queries against quantized history stored as
+    GATHERED PAGES kw/vw (nph, H, M, ps_w) int32 words — page bi covers
+    tokens [bi*page_size, (bi+1)*page_size). Scans one page at a time
+    (bounded memory, leading-axis page indexing only); positions >=
+    n_prev mask out. Returns ((bs=1, nh, nc, d) f32 normalized, lse)."""
+    from million_tpu.ops.pq_attention_pallas import unpack_codes
+    from million_tpu.ops.pq_attention_ref import _gqa_expand
+    from million_tpu.pq.ops import pq_decode
+
+    nph, H = kw.shape[0], kw.shape[1]
+    bs, nh, nc, d = q.shape
+    qf = q.astype(jnp.float32) * scale
+
+    m0 = jnp.full((bs, nh, nc, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((bs, nh, nc, 1), jnp.float32)
+    acc0 = jnp.zeros((bs, nh, nc, d), jnp.float32)
+
+    def body(carry, bi):
+        m, l, acc = carry
+        kp = jax.lax.dynamic_index_in_dim(kw, bi, 0, False)  # (H, M, ps_w)
+        vp = jax.lax.dynamic_index_in_dim(vw, bi, 0, False)
+        khat = pq_decode(
+            jnp.swapaxes(unpack_codes(kp), -1, -2)[None], kcent,
+            SUBSPACE_LAYOUT,
+        )  # (1, H, page_size, d) f32
+        vhat = pq_decode(
+            jnp.swapaxes(unpack_codes(vp), -1, -2)[None], vcent,
+            SUBSPACE_LAYOUT,
+        )
+        kf = _gqa_expand(khat, nh)
+        vf = _gqa_expand(vhat, nh)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+        kpos = bi * page_size + jnp.arange(page_size)
+        sc = jnp.where((kpos < n_prev)[None, None, None], sc, -1e30)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+        return (m_new, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(nph))
+    safe_l = jnp.maximum(l, 1e-30)
+    lse = jnp.where(l[..., 0] > 0, m[..., 0] + jnp.log(safe_l[..., 0]), -1e30)
+    return acc / safe_l, lse
+
+
 @partial(jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"))
 def paged_decode_step(
     params: Params,
@@ -444,10 +492,7 @@ def _paged_prefill_chunk(
     admissions fit beside the pool (the one-shot paged_prefill_seq
     materializes whole-prompt activations and is kept for short prompts).
     """
-    from million_tpu.models.chunked_prefill import (
-        _causal_partial,
-        _history_partial,
-    )
+    from million_tpu.models.chunked_prefill import _causal_partial
     from million_tpu.ops.pq_attention_pallas import pack_codes
 
     nc = ids.shape[1]
@@ -494,7 +539,6 @@ def _paged_prefill_chunk(
         nph = -(-hw_bucket // ps_w)  # pages covering the bucket
         h_raw = state["page_table"][seq_id, : max(nph, 1)]
         h_pages = jnp.where(h_raw >= 0, h_raw, scratch)
-        nb = (hw_bucket * 4) // hist_block
 
     def layer(carry, lp):
         x, st, li = carry
@@ -525,18 +569,14 @@ def _paged_prefill_chunk(
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
         if hw_bucket:
+            # page-by-page history walk: ONLY leading-axis indexing on the
+            # pool (a gather fused with any transpose/relayout makes XLA
+            # copy the whole multi-GB pool — observed OOM)
             kw = st["key_pool"][li, h_pages]  # (nph, H, M, ps_w)
             vw = st["value_pool"][li, h_pages]
-
-            def to_arena(w):  # page-major word order == global word order
-                a = jnp.moveaxis(w, 0, 2)  # (H, M, nph, ps_w)
-                return a.reshape(*a.shape[:2], -1)[None, :, :, :hw_bucket]
-
-            arena_k = to_arena(kw)  # (1, H, M, hw_bucket)
-            arena_v = to_arena(vw)
-            out_h, lse_h = _history_partial(
-                q_h, arena_k, arena_v, kcent, vcent, pos_offset, scale,
-                nb, hist_block,
+            out_h, lse_h = _history_partial_pages(
+                q_h, kw, vw, kcent, vcent, pos_offset, scale,
+                pcfg.page_size,
             )
             if Rv_i is not None:
                 out_h = _rotate(out_h, Rv_i.T)
