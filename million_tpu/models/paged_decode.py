@@ -248,52 +248,76 @@ def paged_decode_step(
     return logits, new
 
 
-@partial(jax.jit, static_argnames=("pcfg",), donate_argnums=(1,))
-def flush_paged_slots(
-    pcfg: PagedPQCacheConfig,
-    state: Dict[str, jax.Array],
-    tables: Dict[str, jax.Array],
-    mask: jax.Array,  # (S,) bool — slots whose FULL residual window flushes
-) -> Dict[str, jax.Array]:
-    """Encode the full residual windows of the masked slots and scatter the
-    packed words into their pages; advance seq_n_codes by Lt and reset
-    seq_r. One executable for every flush combination (the mask is traced).
+@partial(jax.jit, donate_argnums=(0, 1))
+def _commit_words(key_pool, value_pool, kwords, vwords, pages, off):
+    """Write one admission chunk's packed words for ALL layers into the
+    pools. kwords/vwords (L, H, M, ncw) int32 are ARGUMENTS: producing the
+    update operand inside the same program as the dynamic_update_slice
+    makes XLA's layout assigner relayout-copy the multi-GB pool to the
+    producer's layout (5.5 GB padded at the 3B serving shape — observed
+    compile OOM, reproduced in isolation); argument layouts are natural,
+    so this tiny writer program stays at ~0 temp memory. Pools are donated
+    (in-place). pages (npc,) int32 page ids (scratch-routed by the
+    caller); off () int32 sub-page word offset (0 for page-aligned
+    commits)."""
+    L, H, M_k, ncw = kwords.shape
+    ps_w = key_pool.shape[-1]
+    cw = min(ps_w, ncw)
+    npc = -(-ncw // cw)
+    z = jnp.int32(0)
+    for j in range(npc):
+        w = min(cw, ncw - j * cw)
+        idx = (z, pages[j], z, z, off)
+        key_pool = jax.lax.dynamic_update_slice(
+            key_pool, kwords[:, None, :, :, j * cw : j * cw + w], idx
+        )
+        value_pool = jax.lax.dynamic_update_slice(
+            value_pool, vwords[:, None, :, :, j * cw : j * cw + w], idx
+        )
+    return key_pool, value_pool
 
-    This is the flat path's window-flush (cache/pq_cache.py flush contract)
-    applied to the page pool: encode cost is paid once per Lt tokens per
-    slot instead of every step. Unmasked slots' scatters route to the
-    reserved scratch page. The window must be FULL (seq_r == Lt) for masked
-    slots — the scheduler guarantees it.
-    """
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _commit_flush(key_pool, value_pool, kwords, vwords, pages, offs):
+    """Write flushed residual-window words for ALL layers, per slot.
+    kwords/vwords (L, S, H, M_side, Ltw) int32 ARGUMENTS (see
+    _commit_words for why); pages/offs (S,) int32 per-slot page id +
+    in-page word offset (a window never crosses a page:
+    page_size % Lt == 0)."""
+    S = kwords.shape[1]
+    z = jnp.int32(0)
+    for si in range(S):
+        idx = (z, pages[si], z, z, offs[si])
+        key_pool = jax.lax.dynamic_update_slice(
+            key_pool, kwords[:, si][:, None], idx
+        )
+        value_pool = jax.lax.dynamic_update_slice(
+            value_pool, vwords[:, si][:, None], idx
+        )
+    return key_pool, value_pool
+
+
+def _split_state(state):
+    """(pools, everything-else): compute cores take the substate (plus
+    read-only pool args where needed) and never RETURN pools — an
+    unmodified pass-through output is still a copy without donation, and a
+    pool written inside a producer program triggers the relayout hazard
+    above."""
+    sub = {k: v for k, v in state.items()
+           if k not in ("key_pool", "value_pool")}
+    return (state["key_pool"], state["value_pool"]), sub
+
+
+@partial(jax.jit, static_argnames=("pcfg",))
+def _flush_encode_core(pcfg, sub, tables, mask):
+    """Encode every slot's residual window for all layers; no pool access.
+    Returns (kwords, vwords (L, S, H, M_side, Ltw) int32, new seq_n_codes,
+    new seq_r)."""
     from million_tpu.ops.pq_attention_pallas import pack_codes
 
-    S = mask.shape[0]
-    ps_w = pcfg.page_size // 4
-    if pcfg.page_size % pcfg.Lt:
-        raise ValueError(
-            "flush_paged_slots needs page_size % Lt == 0 (a residual window "
-            "must land inside one page)"
-        )
-    n_codes = state["seq_n_codes"]
-    scratch = state["key_pool"].shape[1] - 1
-    # per-slot target: ONE contiguous word run inside ONE page (window
-    # never crosses a page boundary given the divisibility above). Writes
-    # go through per-slot dynamic_update_slice, NOT an advanced-index
-    # scatter over (page, offset): separated advanced axes make XLA
-    # relayout-copy the entire pool (observed: a 5.5 GB padded copy per
-    # call at the 3B serving shape).
-    pg_tgt, off_tgt = [], []
-    for si in range(S):
-        w0 = n_codes[si] // 4
-        raw = state["page_table"][
-            si, jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)
-        ]
-        pg_tgt.append(jnp.where((raw < 0) | ~mask[si], scratch, raw))
-        off_tgt.append(w0 % ps_w)
-
-    def layer(st, li):
-        kres = jax.lax.dynamic_index_in_dim(st["key_residual"], li, 0, False)
-        vres = jax.lax.dynamic_index_in_dim(st["value_residual"], li, 0, False)
+    def layer(_, li):
+        kres = jax.lax.dynamic_index_in_dim(sub["key_residual"], li, 0, False)
+        vres = jax.lax.dynamic_index_in_dim(sub["value_residual"], li, 0, False)
         kcent = jax.lax.dynamic_index_in_dim(tables["key"], li, 0, False)
         vcent = jax.lax.dynamic_index_in_dim(tables["value"], li, 0, False)
         # windows are stored in codebook (rotated) space already
@@ -301,82 +325,85 @@ def flush_paged_slots(
         vc = runtime_encode(vres, vcent, SUBSPACE_LAYOUT)
         kw = pack_codes(jnp.swapaxes(kc, -1, -2))  # (S, H, M, Ltw)
         vw = pack_codes(jnp.swapaxes(vc, -1, -2))
-        st = dict(st)
-        kp, vp = st["key_pool"], st["value_pool"]
-        for si in range(S):
-            idx = (li, pg_tgt[si], jnp.int32(0), jnp.int32(0), off_tgt[si])
-            kp = jax.lax.dynamic_update_slice(kp, kw[si][None, None], idx)
-            vp = jax.lax.dynamic_update_slice(vp, vw[si][None, None], idx)
-        st["key_pool"] = kp
-        st["value_pool"] = vp
-        return st, None
+        return None, (kw, vw)
 
-    L = state["key_pool"].shape[0]
-    state, _ = jax.lax.scan(layer, state, jnp.arange(L, dtype=jnp.int32))
-    new = dict(state)
-    new["seq_n_codes"] = n_codes + jnp.where(mask, pcfg.Lt, 0)
-    new["seq_r"] = jnp.where(mask, 0, state["seq_r"])
+    L = sub["key_residual"].shape[0]
+    _, (kws, vws) = jax.lax.scan(layer, None, jnp.arange(L, dtype=jnp.int32))
+    n_codes = sub["seq_n_codes"]
+    new_n = n_codes + jnp.where(mask, pcfg.Lt, 0)
+    new_r = jnp.where(mask, 0, sub["seq_r"])
+    return kws, vws, new_n, new_r
+
+
+def flush_paged_slots(
+    pcfg: PagedPQCacheConfig,
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    mask: jax.Array,  # (S,) bool — slots whose FULL residual window flushes
+) -> Dict[str, jax.Array]:
+    """Encode the full residual windows of the masked slots and write the
+    packed words into their pages; advance seq_n_codes by Lt and reset
+    seq_r. Host-side composition of two programs — the encode core (no
+    pool access) and the tiny argument-fed writer (donated pools) — the
+    split exists because a pool written in the producing program gets
+    relayout-copied whole (see _commit_words).
+
+    This is the flat path's window-flush (cache/pq_cache.py flush contract)
+    applied to the page pool: encode cost is paid once per Lt tokens per
+    slot instead of every step. Unmasked slots' writes route to the
+    reserved scratch page. The window must be FULL (seq_r == Lt) for
+    masked slots — the scheduler guarantees it.
+    """
+    if pcfg.page_size % pcfg.Lt:
+        raise ValueError(
+            "flush_paged_slots needs page_size % Lt == 0 (a residual window "
+            "must land inside one page)"
+        )
+    ps_w = pcfg.page_size // 4
+    (kp, vp), sub = _split_state(state)
+    kws, vws, new_n, new_r = _flush_encode_core(pcfg, sub, tables, mask)
+    scratch = kp.shape[1] - 1
+    w0 = state["seq_n_codes"] // 4  # (S,)
+    raw = jnp.take_along_axis(
+        state["page_table"],
+        jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)[:, None],
+        axis=1,
+    )[:, 0]
+    pages = jnp.where((raw < 0) | ~mask, scratch, raw)
+    kp, vp = _commit_flush(kp, vp, kws, vws, pages, w0 % ps_w)
+    new = dict(sub)
+    new["key_pool"], new["value_pool"] = kp, vp
+    new["seq_n_codes"] = new_n
+    new["seq_r"] = new_r
     return new
 
 
-@partial(jax.jit, static_argnames=("cfg", "pcfg"))
-def paged_prefill_seq(
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "has_nv"))
+def _prefill_seq_core(
     params: Params,
     cfg: ModelConfig,
     pcfg: PagedPQCacheConfig,
-    seq_id: jax.Array,  # () int32 — slot being admitted
-    input_ids: jax.Array,  # (1, n) int32 — n may be a PADDED bucket length
-    state: Dict[str, jax.Array],
+    seq_id: jax.Array,
+    input_ids: jax.Array,  # (1, n)
+    sub: Dict[str, jax.Array],  # paged state WITHOUT pools (_split_state)
     tables: Dict[str, jax.Array],
-    n_valid: Optional[jax.Array] = None,  # () int32 — real prompt length
-    # when input_ids is padded to a bucket; None = every token is real
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Admit one sequence: exact-attention prefill whose K/V are encoded and
-    scattered into the slot's (pre-allocated) pages. Returns (last-token
-    logits (1, V), new state). The reference's prefill quantizes everything
-    and leaves the residual empty (pq_utils.py:222-247); same here.
-
-    `n_valid` enables BUCKETED admission (the scheduler pads prompts to
-    power-of-two lengths so the compile count is ~log2(max_prompt), not one
-    executable per distinct prompt length — without it, real traffic plus
-    preemption-readmission lengths caused a compile storm): padded
-    positions sit AFTER every real token so causality masks them out of
-    real rows; their code words route to the pool's reserved scratch page;
-    the returned logits select position n_valid-1; counters advance by the
-    real length only."""
+    nv: jax.Array,  # () int32 real length (== n when not bucketed)
+    has_nv: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array], jax.Array, jax.Array]:
+    """Transformer pass of one-shot admission: exact causal attention,
+    per-layer encode, residual-tail writes, counters. Emits the packed
+    code words (L, H, M_side, ncw) for the separate pool writer
+    (_commit_words) — no pool access here (see _commit_words for why).
+    Returns (last-real-token logits, new substate, kwords, vwords)."""
     from million_tpu.ops.pq_attention_pallas import pack_codes
 
     n = input_ids.shape[1]
-    if n_valid is not None and n % 4:
+    if has_nv and n % 4:
         raise ValueError("bucketed admission requires a 4-aligned bucket")
     n4 = (n // 4) * 4
-    tail = n - n4
-    nv = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
-    S = state["seq_r"].shape[0]
+    tail = 0 if has_nv else n - n4
     pos = jnp.arange(n)
     x = params["embed"][input_ids[0]][None]  # (1, n, D)
-
-    ps_w = pcfg.page_size // 4
-    ncw = n4 // 4
-    npg = -(-ncw // ps_w) if ncw else 0
-    # per-page write plan (admission starts at word 0 of the slot, so page
-    # ordinal j covers words [j*ps_w, (j+1)*ps_w)). Writes go through
-    # per-page dynamic_update_slice, NOT an advanced-index scatter over
-    # (page, offset): separated advanced axes make XLA relayout-copy the
-    # ENTIRE pool (5.5 GB padded at the 3B serving shape — observed OOM).
-    # A page that is unallocated, or whose words are all padded, routes to
-    # the write-only scratch page; a partially-real page is written whole —
-    # words past nv are garbage the attention mask (n_codes) never reads
-    # and the first flushes overwrite.
-    pg_plan = []  # (page_id, static width)
-    for j in range(npg):
-        raw = state["page_table"][seq_id, j]
-        if nv is None:
-            pg = jnp.maximum(raw, 0)
-        else:
-            real = jnp.asarray(j * ps_w, jnp.int32) < ((nv + 3) // 4)
-            pg = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
-        pg_plan.append((pg, min(ps_w, ncw - j * ps_w)))
 
     def layer(carry, lp):
         x, st, li = carry
@@ -396,33 +423,21 @@ def paged_prefill_seq(
             runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
         vc = jnp.swapaxes(
             runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
+        kwords_l = pack_codes(kc[..., :n4]) if n4 else None
+        vwords_l = pack_codes(vc[..., :n4]) if n4 else None
         st = dict(st)
-        if n4:
-            kwords = pack_codes(kc[..., :n4])  # (H, M, ncw)
-            vwords = pack_codes(vc[..., :n4])
-            kp, vp = st["key_pool"], st["value_pool"]
-            for j, (pg, w) in enumerate(pg_plan):
-                idx = (li, pg, jnp.int32(0), jnp.int32(0), jnp.int32(0))
-                ksl = kwords[None, None, :, :, j * ps_w : j * ps_w + w]
-                vsl = vwords[None, None, :, :, j * ps_w : j * ps_w + w]
-                kp = jax.lax.dynamic_update_slice(kp, ksl, idx)
-                vp = jax.lax.dynamic_update_slice(vp, vsl, idx)
-            st["key_pool"] = kp
-            st["value_pool"] = vp
         if tail:
             # ragged tail -> exact residual window (rotated space, matching
             # the pools); codes are produced later by flush_paged_slots
-            kt = k_st[0, :, n4:].astype(st["key_residual"].dtype)  # (nh_k, tail, d)
+            kt = k_st[0, :, n4:].astype(st["key_residual"].dtype)
             vt = v_st[0, :, n4:].astype(st["value_residual"].dtype)
             st["key_residual"] = st["key_residual"].at[li, seq_id, :, :tail].set(kt)
             st["value_residual"] = st["value_residual"].at[li, seq_id, :, :tail].set(vt)
-        if nv is not None:
+        if has_nv:
             # dynamic ragged tail (bucketed admission): the up-to-3 real
             # tokens past the aligned prefix go to the exact residual
             # window. A full 4-row slice is written; rows past the real
-            # tail are garbage masked by seq_r. start is 4-aligned and
-            # <= n-4 whenever the tail is non-empty (clamped otherwise,
-            # where r=0 masks everything).
+            # tail are garbage masked by seq_r.
             start = jnp.minimum((nv // 4) * 4, n - 4)
             kt4 = jax.lax.dynamic_slice_in_dim(k_st[0], start, 4, axis=1)
             vt4 = jax.lax.dynamic_slice_in_dim(v_st[0], start, 4, axis=1)
@@ -437,27 +452,71 @@ def paged_prefill_seq(
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h2, lp).astype(x.dtype)
-        return (x, st, li + 1), None
+        return (x, st, li + 1), (kwords_l, vwords_l)
 
-    (x, state, _), _ = jax.lax.scan(
-        layer, (x, state, jnp.asarray(0, jnp.int32)), params["layers"]
+    (x, sub, _), words = jax.lax.scan(
+        layer, (x, sub, jnp.asarray(0, jnp.int32)), params["layers"]
     )
-    # project ONLY the last real token: the full (1, n, V) f32 logit tensor
-    # is 2.1 GB at a 4096-token prompt x 128K vocab — materializing it per
-    # admission was a per-request HBM spike (the flat path's
-    # last_logit_only rationale, models/llama.py prefill docstring)
-    if nv is None:
-        x_last = x[:, -1:]
-    else:
-        x_last = jax.lax.dynamic_slice_in_dim(x, nv - 1, 1, axis=1)
+    kwords, vwords = words  # (L, H, M_side, ncw) or (None, None)
+    # project ONLY the last real token (the (1, n, V) f32 tensor is 2.1 GB
+    # at 4096 tokens x 128K vocab)
+    x_last = jax.lax.dynamic_slice_in_dim(x, nv - 1, 1, axis=1)
     logits = _logits(params, cfg, x_last)[:, 0]  # (1, V)
 
-    n4_eff = n4 if nv is None else (nv // 4) * 4
-    tail_eff = tail if nv is None else nv - (nv // 4) * 4
-    new = dict(state)
-    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set(n4_eff)
-    new["seq_r"] = state["seq_r"].at[seq_id].set(tail_eff)
-    new["seq_active"] = state["seq_active"].at[seq_id].set(1)
+    new = dict(sub)
+    new["seq_n_codes"] = sub["seq_n_codes"].at[seq_id].set((nv // 4) * 4)
+    new["seq_r"] = sub["seq_r"].at[seq_id].set(nv - (nv // 4) * 4)
+    new["seq_active"] = sub["seq_active"].at[seq_id].set(1)
+    return logits, new, kwords, vwords
+
+
+def paged_prefill_seq(
+    params: Params,
+    cfg: ModelConfig,
+    pcfg: PagedPQCacheConfig,
+    seq_id: jax.Array,  # () int32 — slot being admitted
+    input_ids: jax.Array,  # (1, n) int32 — n may be a PADDED bucket length
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    n_valid: Optional[jax.Array] = None,  # () int32 — real prompt length
+    # when input_ids is padded to a bucket; None = every token is real
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Admit one sequence: exact-attention prefill whose K/V are encoded
+    and written into the slot's (pre-allocated) pages. Returns (last-token
+    logits (1, V), new state). The reference's prefill quantizes everything
+    and leaves the residual empty (pq_utils.py:222-247); same here.
+
+    `n_valid` enables BUCKETED admission (the scheduler pads prompts to
+    bucket lengths so the compile count is ~log2(max_prompt), not one
+    executable per distinct length): padded positions sit AFTER every real
+    token so causality masks them out of real rows; fully-padded or
+    unallocated pages route to the write-only scratch page, and a
+    partially-real page carries unread garbage past n_valid (masked by
+    seq_n_codes, overwritten by the first flushes); the returned logits
+    select position n_valid-1; counters advance by the real length only.
+
+    Host-side composition: transformer core (no pool access) + the tiny
+    argument-fed pool writer — see _commit_words for why the split exists.
+    """
+    n = input_ids.shape[1]
+    has_nv = n_valid is not None
+    nv = jnp.asarray(n_valid if has_nv else n, jnp.int32)
+    (kp, vp), sub = _split_state(state)
+    logits, new_sub, kwords, vwords = _prefill_seq_core(
+        params, cfg, pcfg, jnp.asarray(seq_id, jnp.int32), input_ids, sub,
+        tables, nv, has_nv,
+    )
+    if kwords is not None:
+        ps_w = pcfg.page_size // 4
+        ncw = kwords.shape[-1]
+        npg = -(-ncw // ps_w)
+        j = jnp.arange(npg)
+        raw = state["page_table"][seq_id, :npg]
+        real = (j * ps_w) < ((nv + 3) // 4)
+        pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
+        kp, vp = _commit_words(kp, vp, kwords, vwords, pages, jnp.int32(0))
+    new = dict(new_sub)
+    new["key_pool"], new["value_pool"] = kp, vp
     return logits, new
 
 
@@ -465,32 +524,37 @@ def paged_prefill_seq(
 # Chunked admission: long prompts into pages with bounded activation memory
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "pcfg", "hw_bucket", "hist_block",
-                                   "last_chunk"))
-def _paged_prefill_chunk(
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "hw_bucket", "last_chunk"))
+def _paged_prefill_chunk_core(
     params: Params,
     cfg: ModelConfig,
     pcfg: PagedPQCacheConfig,
     seq_id: jax.Array,  # () int32
     ids: jax.Array,  # (1, nc) int32 — one FULL chunk (nc % 4 == 0)
-    state: Dict[str, jax.Array],
+    key_pool: jax.Array,  # read-only (history pages)
+    value_pool: jax.Array,
+    page_table: jax.Array,
+    sub: Dict[str, jax.Array],  # paged state WITHOUT pools
     tables: Dict[str, jax.Array],
     pos_offset: jax.Array,  # () int32 — global position of ids[:, 0]
     n_valid: jax.Array,  # () int32 — real prompt length (global)
-    hw_bucket: int,  # STATIC: history WORDS gathered from the slot's pages
+    hw_bucket: int,  # STATIC: history WORDS read from the slot's pages
     # (power-of-two bucket >= pos_offset//4, so executables are shared
     # across chunk indices and admissions)
-    hist_block: int,  # STATIC: tokens decoded per history block
     last_chunk: bool,
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+) -> Tuple[jax.Array, Dict[str, jax.Array], jax.Array, jax.Array]:
     """One admission chunk for the PAGED cache (VERDICT r2 item 3): the
     flat chunked_prefill decomposition (exact causal within the chunk +
-    blockwise attention against the QUANTIZED history, LSE-merged —
-    models/chunked_prefill.py) with the history read from and the codes
-    scattered to the slot's page table. Activation memory is bounded by
-    (nc, hist_block), independent of total prompt length, so 16-32K
-    admissions fit beside the pool (the one-shot paged_prefill_seq
-    materializes whole-prompt activations and is kept for short prompts).
+    page-by-page attention against the QUANTIZED history, LSE-merged —
+    models/chunked_prefill.py) with the history read from the slot's page
+    table. Activation memory is bounded by (nc, page_size), independent of
+    total prompt length, so 16-32K admissions fit beside the pool (the
+    one-shot paged_prefill_seq is kept for short prompts).
+
+    Pools are READ-ONLY inputs; the chunk's packed code words come back as
+    outputs (L, H, M_side, ncw) for the separate argument-fed writer
+    (_commit_words — see it for why writes must not live here). Returns
+    (logits, new substate, kwords, vwords).
     """
     from million_tpu.models.chunked_prefill import _causal_partial
     from million_tpu.ops.pq_attention_pallas import pack_codes
@@ -503,41 +567,14 @@ def _paged_prefill_chunk(
     pos = pos_offset + jnp.arange(nc)
     x = params["embed"][ids[0]][None]  # (1, nc, D)
     ps_w = pcfg.page_size // 4
-    scratch = state["key_pool"].shape[1] - 1
+    scratch = key_pool.shape[1] - 1
 
-    # where this chunk's code words land: global words [s/4, s/4 + nc/4),
-    # written per PAGE via dynamic_update_slice (see paged_prefill_seq for
-    # why an advanced-index (page, offset) scatter is forbidden: it
-    # relayout-copies the whole pool)
-    ncw = nc // 4
-    if nc % pcfg.page_size == 0:
-        npc, cw, sub_page = nc // pcfg.page_size, ps_w, False
-    elif pcfg.page_size % nc == 0:
-        npc, cw, sub_page = 1, ncw, True
-    else:
-        raise ValueError(
-            f"chunk {nc} must be a multiple of page_size {pcfg.page_size} "
-            "(or divide it)"
-        )
-    pg_plan = []  # (page_id, traced in-page word offset)
-    for j in range(npc):
-        w0 = pos_offset // 4 + j * cw
-        raw = state["page_table"][
-            seq_id, jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)
-        ]
-        real = w0 < ((nv + 3) // 4)  # page holds at least one real word
-        pg = jnp.where(real & (raw >= 0), raw, scratch)
-        pg_plan.append((pg, (w0 % ps_w) if sub_page else jnp.int32(0)))
-
-    # history gather pattern: the slot's pages covering the first
-    # hw_bucket words (bucketed pow2; tokens >= pos_offset are masked
-    # inside _history_partial). Gather at PAGE granularity on the leading
-    # axes only — a per-word advanced-index gather over (page, offset)
-    # made XLA relayout-copy the ENTIRE pool (5.5 GB padded, observed
-    # OOM); a leading-axis page gather is a plain row fetch.
+    # history read pattern: the slot's pages covering the first hw_bucket
+    # words (bucketed pow2; tokens >= pos_offset are masked inside
+    # _history_partial_pages). PAGE-granularity leading-axis gathers only.
     if hw_bucket:
         nph = -(-hw_bucket // ps_w)  # pages covering the bucket
-        h_raw = state["page_table"][seq_id, : max(nph, 1)]
+        h_raw = page_table[seq_id, : max(nph, 1)]
         h_pages = jnp.where(h_raw >= 0, h_raw, scratch)
 
     def layer(carry, lp):
@@ -554,26 +591,14 @@ def _paged_prefill_chunk(
 
         kc = jnp.swapaxes(runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
         vc = jnp.swapaxes(runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
+        kwords_l = pack_codes(kc)  # (H, M, ncw)
+        vwords_l = pack_codes(vc)
         st = dict(st)
-        kwords = pack_codes(kc)  # (H, M, ncw)
-        vwords = pack_codes(vc)
-        kp, vp = st["key_pool"], st["value_pool"]
-        for j, (pg, off) in enumerate(pg_plan):
-            idx = (li, pg, jnp.int32(0), jnp.int32(0), off)
-            ksl = kwords[None, None, :, :, j * cw : (j + 1) * cw]
-            vsl = vwords[None, None, :, :, j * cw : (j + 1) * cw]
-            kp = jax.lax.dynamic_update_slice(kp, ksl, idx)
-            vp = jax.lax.dynamic_update_slice(vp, vsl, idx)
-        st["key_pool"] = kp
-        st["value_pool"] = vp
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
         if hw_bucket:
-            # page-by-page history walk: ONLY leading-axis indexing on the
-            # pool (a gather fused with any transpose/relayout makes XLA
-            # copy the whole multi-GB pool — observed OOM)
-            kw = st["key_pool"][li, h_pages]  # (nph, H, M, ps_w)
-            vw = st["value_pool"][li, h_pages]
+            kw = key_pool[li, h_pages]  # (nph, H, M, ps_w)
+            vw = value_pool[li, h_pages]
             out_h, lse_h = _history_partial_pages(
                 q_h, kw, vw, kcent, vcent, pos_offset, scale,
                 pcfg.page_size,
@@ -587,7 +612,7 @@ def _paged_prefill_chunk(
         if last_chunk:
             # ragged real tail (up to 3 tokens) -> exact residual window;
             # a full 4-row slice is written, rows past the tail are masked
-            # by seq_r (same contract as paged_prefill_seq's nv branch)
+            # by seq_r (same contract as paged_prefill_seq)
             start = jnp.clip((nv // 4) * 4 - pos_offset, 0, nc - 4)
             kt4 = jax.lax.dynamic_slice_in_dim(k_st[0], start, 4, axis=1)
             vt4 = jax.lax.dynamic_slice_in_dim(v_st[0], start, 4, axis=1)
@@ -602,22 +627,22 @@ def _paged_prefill_chunk(
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h2, lp).astype(x.dtype)
-        return (x, st, li + 1), None
+        return (x, st, li + 1), (kwords_l, vwords_l)
 
-    (x, state, _), _ = jax.lax.scan(
-        layer, (x, state, jnp.asarray(0, jnp.int32)), params["layers"]
+    (x, sub, _), (kwords, vwords) = jax.lax.scan(
+        layer, (x, sub, jnp.asarray(0, jnp.int32)), params["layers"]
     )
     if not last_chunk:
-        return jnp.zeros((1, cfg.vocab_size), jnp.float32), state
+        return jnp.zeros((1, cfg.vocab_size), jnp.float32), sub, kwords, vwords
     x_last = jax.lax.dynamic_slice_in_dim(
         x, jnp.clip(nv - 1 - pos_offset, 0, nc - 1), 1, axis=1
     )
     logits = _logits(params, cfg, x_last)[:, 0]  # (1, V)
-    new = dict(state)
-    new["seq_n_codes"] = state["seq_n_codes"].at[seq_id].set((nv // 4) * 4)
-    new["seq_r"] = state["seq_r"].at[seq_id].set(nv - (nv // 4) * 4)
-    new["seq_active"] = state["seq_active"].at[seq_id].set(1)
-    return logits, new
+    new = dict(sub)
+    new["seq_n_codes"] = sub["seq_n_codes"].at[seq_id].set((nv // 4) * 4)
+    new["seq_r"] = sub["seq_r"].at[seq_id].set(nv - (nv // 4) * 4)
+    new["seq_active"] = sub["seq_active"].at[seq_id].set(1)
+    return logits, new, kwords, vwords
 
 
 def paged_admit_chunked(
@@ -630,18 +655,25 @@ def paged_admit_chunked(
     tables: Dict[str, jax.Array],
     *,
     chunk: int = 2048,
-    hist_block: int = 2048,
+    hist_block: int = 2048,  # kept for API compat; history walks pages
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Host-scheduled chunked admission of one long prompt into a slot's
     pages. The prompt is padded to a multiple of `chunk`; executables
     specialize on (history bucket, last_chunk) only, so all long
     admissions share ~log2(max_prompt/chunk) compiles. The slot's pages
     must already be allocated (allocate_pages) for the full prompt.
-    Returns (last-real-token logits (1, V), new state)."""
+    Per chunk: transformer core (pools read-only) then the argument-fed
+    pool writer (_commit_words). Returns (last-real-token logits (1, V),
+    new state)."""
     import numpy as np
 
-    if chunk % 4 or hist_block % 4:
-        raise ValueError("chunk and hist_block must be multiples of 4")
+    if chunk % 4:
+        raise ValueError("chunk must be a multiple of 4")
+    if chunk % pcfg.page_size and pcfg.page_size % chunk:
+        raise ValueError(
+            f"chunk {chunk} must be a multiple of page_size "
+            f"{pcfg.page_size} (or divide it)"
+        )
     prompt = np.asarray(prompt, np.int32)
     n = len(prompt)
     if n == 0:
@@ -651,19 +683,34 @@ def paged_admit_chunked(
     ids[0, :n] = prompt
     sid = jnp.asarray(seq_id, jnp.int32)
     nvj = jnp.asarray(n, jnp.int32)
-    cap_w = pcfg.pages_per_seq * (pcfg.page_size // 4)
+    ps_w = pcfg.page_size // 4
+    cap_w = pcfg.pages_per_seq * ps_w
+    kp, vp = state["key_pool"], state["value_pool"]
+    _, sub = _split_state(state)
+    page_table = state["page_table"]
     logits = None
-    for s in range(0, n_pad, chunk):
-        hw = s // 4
+    for s0 in range(0, n_pad, chunk):
+        hw = s0 // 4
         hw_b = 1
         while hw_b < hw:
             hw_b *= 2
         hw_b = min(hw_b if hw else 0, cap_w)
-        hb = min(hist_block, max(hw_b * 4, 4))
-        logits, state = _paged_prefill_chunk(
-            params, cfg, pcfg, sid, jnp.asarray(ids[:, s : s + chunk]),
-            state, tables, jnp.asarray(s, jnp.int32), nvj,
-            hw_bucket=hw_b, hist_block=hb,
-            last_chunk=(s + chunk == n_pad),
+        logits, sub, kwords, vwords = _paged_prefill_chunk_core(
+            params, cfg, pcfg, sid, jnp.asarray(ids[:, s0 : s0 + chunk]),
+            kp, vp, page_table, sub, tables, jnp.asarray(s0, jnp.int32),
+            nvj, hw_bucket=hw_b, last_chunk=(s0 + chunk == n_pad),
         )
-    return logits, state
+        # commit this chunk's words before the next chunk reads history
+        ncw = kwords.shape[-1]
+        cw = min(ps_w, ncw)
+        npc = -(-ncw // cw)
+        j = jnp.arange(npc)
+        w0 = s0 // 4 + j * cw
+        raw = page_table[sid, jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)]
+        real = w0 < ((nvj + 3) // 4)
+        pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
+        off = jnp.asarray((s0 // 4) % ps_w if cw < ps_w else 0, jnp.int32)
+        kp, vp = _commit_words(kp, vp, kwords, vwords, pages, off)
+    new = dict(sub)
+    new["key_pool"], new["value_pool"] = kp, vp
+    return logits, new

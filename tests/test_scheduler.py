@@ -366,7 +366,7 @@ def test_scheduler_bucketing_compile_reuse(rng):
     instead just assert both complete and produce sane counters)."""
     params, cents, tables, pcfg = build(rng, n_pages=8, max_seqs=2)
     sched = Scheduler(params, CFG, pcfg, tables)
-    from million_tpu.models.paged_decode import paged_prefill_seq
+    from million_tpu.models.paged_decode import _prefill_seq_core
 
     for rid, n in enumerate((37, 51)):  # same 64-bucket
         sched.submit(Request(
@@ -375,12 +375,12 @@ def test_scheduler_bucketing_compile_reuse(rng):
             max_new_tokens=4,
         ))
     sched.step()  # admits rid 0 and 1 (2 slots): first bucket compile(s)
-    compiles_after_first = paged_prefill_seq._cache_size()
+    compiles_after_first = _prefill_seq_core._cache_size()
     while sched.step():
         pass
     # the second same-bucket admission must NOT have added an executable
     # (ADVICE r2: assert on the compile counter, not just completion)
-    assert paged_prefill_seq._cache_size() == compiles_after_first
+    assert _prefill_seq_core._cache_size() == compiles_after_first
     done = {f.rid: f for f in sched.finished}
     assert set(done) == {0, 1}
     assert all(len(done[r].tokens) == 4 for r in done)
