@@ -119,7 +119,8 @@ def _history_partial_pages(q, kw, vw, kcent, vcent, n_prev, scale, page_size):
     return acc / safe_l, lse
 
 
-@partial(jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"))
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"),
+         donate_argnums=(5,))
 def paged_decode_step(
     params: Params,
     cfg: ModelConfig,
