@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--block", type=int, default=16384)
+    ap.add_argument("--ttft-only", action="store_true",
+                    help="skip the decode-TPOT phase (run TTFT in its own "
+                    "process: the decode bench's arena lingers in the "
+                    "allocator and the two phases together exceed HBM at "
+                    "128K)")
+    ap.add_argument("--ttft-hist-block", type=int, default=2048,
+                    help="history block for the chunked-prefill TTFT pass "
+                    "(the (nh, chunk, hist) f32 score transient must fit "
+                    "beside the 128K arena)")
     ap.add_argument("--ttft-chunk", type=int, default=0,
                     help="also measure TTFT via chunked prefill with this "
                     "chunk size (0 = skip; one-shot prefill at 128K would "
@@ -113,8 +122,11 @@ def main():
         )
         return (jnp.argmax(logits, -1).astype(jnp.int32), cache)
 
-    dt = chained_bench(lambda st: step(params, tables, st), make_state, iters=args.iters)
-    log(f"TPOT {dt*1e3:.2f} ms at ctx={CTX} bs={bs}")
+    if args.ttft_only:
+        dt = float("nan")
+    else:
+        dt = chained_bench(lambda st: step(params, tables, st), make_state, iters=args.iters)
+        log(f"TPOT {dt*1e3:.2f} ms at ctx={CTX} bs={bs}")
 
     ttft = None
     if args.ttft_chunk:
@@ -130,13 +142,13 @@ def main():
         # reported number is prefill compute, not XLA compile time
         logits, _ = chunked_prefill(
             params, cfg, ids, init_state(pq_cfg, L), cents,
-            chunk=args.ttft_chunk,
+            chunk=args.ttft_chunk, hist_block=args.ttft_hist_block,
         )
         np.asarray(logits[0, :4])
         t0 = time.perf_counter()
         logits, _ = chunked_prefill(
             params, cfg, ids, init_state(pq_cfg, L), cents,
-            chunk=args.ttft_chunk,
+            chunk=args.ttft_chunk, hist_block=args.ttft_hist_block,
         )
         np.asarray(logits[0, :4])  # force through any async tunnel
         ttft = time.perf_counter() - t0
