@@ -208,7 +208,8 @@ def _history_partial_sharded(
     return fn(q, key_codes, value_codes, kcent, vcent, n_prev.reshape(1))
 
 
-@partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk", "mesh"))
+@partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk", "mesh"),
+         donate_argnums=(3,))
 def _prefill_one_chunk(
     params: Params,
     cfg: ModelConfig,
