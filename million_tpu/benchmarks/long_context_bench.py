@@ -139,15 +139,17 @@ def main():
             jnp.int32,
         )
         # warmup: compile every per-chunk graph on a throwaway cache so the
-        # reported number is prefill compute, not XLA compile time
+        # reported number is prefill compute, not XLA compile time.
+        # `tables` (not raw cents) so the history partial runs the Pallas
+        # chunk kernel (round 4 — build_tables provides kpack/vpack)
         logits, _ = chunked_prefill(
-            params, cfg, ids, init_state(pq_cfg, L), cents,
+            params, cfg, ids, init_state(pq_cfg, L), tables,
             chunk=args.ttft_chunk, hist_block=args.ttft_hist_block,
         )
         np.asarray(logits[0, :4])
         t0 = time.perf_counter()
         logits, _ = chunked_prefill(
-            params, cfg, ids, init_state(pq_cfg, L), cents,
+            params, cfg, ids, init_state(pq_cfg, L), tables,
             chunk=args.ttft_chunk, hist_block=args.ttft_hist_block,
         )
         np.asarray(logits[0, :4])  # force through any async tunnel

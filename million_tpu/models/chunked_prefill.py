@@ -42,11 +42,53 @@ from million_tpu.models.llama import (
     _rotate,
 )
 from million_tpu.cache.pq_cache import stacked_prefix_write
-from million_tpu.ops.pq_attention_pallas import WORD, pack_codes, unpack_codes
+from million_tpu.ops.pq_attention_pallas import (
+    DecodeTable,
+    WORD,
+    pack_codes,
+    pq_chunk_history_attention,
+    unpack_codes,
+)
 from million_tpu.ops.pq_attention_ref import _gqa_expand, merge_two_partials
 from million_tpu.pq.ops import pq_decode, runtime_encode
 
 from functools import partial
+
+
+def history_kernel_block(n_tokens: int, interpret: bool = False) -> int | None:
+    """Largest history-block size usable by pq_chunk_attention for an
+    n_tokens bucket: a divisor of the bucket, word-aligned, and >= 512 for
+    the compiled kernel (interpret mode takes any word-aligned divisor).
+    None -> no legal block; callers fall back to the jnp path."""
+    if interpret:
+        return n_tokens if (n_tokens % WORD == 0) else None
+    for b in (4096, 2048, 1024, 512):
+        if n_tokens % b == 0:
+            return b
+    return None
+
+
+def _table_layer(pack, li):
+    """Per-layer slice of a stacked DecodeTable (tab (L, PM, 128), scales
+    (L, 4PM))."""
+    return DecodeTable(
+        *(jax.lax.dynamic_index_in_dim(t, li, 0, False) for t in pack)
+    )
+
+
+def use_history_kernel(cents, n_bucket_tokens: int) -> bool:
+    """Static dispatch for the admission history attention: the Pallas
+    chunk kernel (VERDICT r3 item 1) when packed tables exist (C <= 256,
+    build_tables) and the bucket admits a legal block; the jnp scan path
+    (_history_partial) otherwise — wide codebooks and the oracle tests.
+    On CPU the kernel runs in interpret mode, which is slower than jnp, so
+    auto-dispatch keeps jnp there (tests opt in explicitly)."""
+    if "kpack" not in cents:
+        return False
+    interpret = jax.default_backend() == "cpu"
+    if interpret:
+        return False
+    return history_kernel_block(n_bucket_tokens, interpret) is not None
 
 
 def _causal_partial(q, k, v, scale, block: int = 1024):
@@ -63,9 +105,15 @@ def _causal_partial(q, k, v, scale, block: int = 1024):
     block = min(block, nc)
     if nc % block:
         block = nc  # odd chunk sizes fall back to one block
-    kf = _gqa_expand(k, nh).astype(jnp.float32)
-    vf = _gqa_expand(v, nh).astype(jnp.float32)
-    qf = q.astype(jnp.float32) * scale
+    # bf16 matmul inputs, f32 accumulation — on TPU only, mirroring
+    # causal_attention (the flat flash path runs q/k/v in bf16 there while
+    # CPU/test runs keep exact f32): the bf16 MXU pass is ~4x the f32 rate
+    # on v5e and this partial was the admission path's second-largest term
+    # after the history walk.
+    mm_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    kf = _gqa_expand(k, nh).astype(mm_dtype)
+    vf = _gqa_expand(v, nh).astype(mm_dtype)
+    qf = (q.astype(jnp.float32) * scale).astype(mm_dtype)
     qpos = jnp.arange(nc)[:, None]
 
     m0 = jnp.full((bs, nh, nc, 1), -1e30, jnp.float32)
@@ -76,14 +124,19 @@ def _causal_partial(q, k, v, scale, block: int = 1024):
         m, l, acc = carry
         kb = jax.lax.dynamic_slice_in_dim(kf, bi * block, block, axis=2)
         vb = jax.lax.dynamic_slice_in_dim(vf, bi * block, block, axis=2)
-        sc = jnp.einsum("bhqd,bhkd->bhqk", qf, kb)
+        sc = jnp.einsum(
+            "bhqd,bhkd->bhqk", qf, kb, preferred_element_type=jnp.float32
+        )
         kpos = bi * block + jnp.arange(block)[None, :]
         sc = jnp.where((qpos >= kpos)[None, None], sc, -1e30)
         m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
         p = jnp.exp(sc - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+        acc = acc * alpha + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(mm_dtype), vb,
+            preferred_element_type=jnp.float32,
+        )
         return (m_new, l, acc), None
 
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(nc // block))
@@ -155,13 +208,18 @@ def _causal_partial_sharded(q, k, v, scale, mesh):
 
 def _history_partial_sharded(
     q, key_codes, value_codes, kcent, vcent, n_prev, scale, nb, hist_block,
-    mesh,
+    mesh, kernel_tables=None,
 ):
     """History attention with the code arena SEQUENCE-SHARDED: each (dcn,
     sp) shard scans only its own contiguous arena slice (the same
     ownership layout as sharded decode) and the per-shard partials merge
     with the associative LSE combine — so chunked admission composes with
-    the multi-chip cache without ever gathering the arena."""
+    the multi-chip cache without ever gathering the arena.
+
+    kernel_tables = (kpack_l, vpack_l, direct_k, direct_v) routes each
+    shard's scan through the Pallas chunk kernel (pq_chunk_history_attention)
+    instead of the jnp block scan; None keeps the jnp path (wide codebooks,
+    oracle tests)."""
     from jax.sharding import PartitionSpec as P
 
     from million_tpu.parallel.sharded_decode import (
@@ -182,13 +240,31 @@ def _history_partial_sharded(
             f"({n_local} tokens across {n_shards} sequence shards)"
         )
     nb_loc = max(min(nb, n_local // hist_block), 1)
+    interp = True if mesh.devices.flat[0].platform == "cpu" else None
+    blk = history_kernel_block(n_local, bool(interp))
+    if kernel_tables is not None and blk is None:
+        kernel_tables = None  # no legal block for this local span
 
-    def local_fn(q, kc, vc, kcent, vcent, n_prev):
+    use_kernel = kernel_tables is not None
+    if use_kernel:
+        kpack_l, vpack_l, d_k, d_v = kernel_tables
+        tabs = (kpack_l, vpack_l)
+    else:
+        tabs = (kcent, vcent)  # placeholder slot with matching arity
+
+    def local_fn(q, kc, vc, kcent, vcent, tabs, n_prev):
         i = _linear_shard_index(mesh, seq_axes)
         local_valid = jnp.clip(n_prev[0] - i * n_local, 0, n_local)
-        out, lse = _history_partial(
-            q, kc, vc, kcent, vcent, local_valid, scale, nb_loc, hist_block
-        )
+        if use_kernel:
+            out, lse = pq_chunk_history_attention(
+                q, kc, vc, tabs[0], tabs[1], local_valid, scale,
+                block=blk, interpret=interp, direct=d_k, v_direct=d_v,
+            )
+        else:
+            out, lse = _history_partial(
+                q, kc, vc, kcent, vcent, local_valid, scale, nb_loc,
+                hist_block,
+            )
         return _merge_over(out, lse, seq_axes)
 
     fn = jax.shard_map(
@@ -200,15 +276,18 @@ def _history_partial_sharded(
             P("dp", "tp", None, seq_axes),
             P(),
             P(),
+            (P(), P()),                      # decode tables (replicated)
             P(),
         ),
         out_specs=(P("dp", "tp", None, None), P("dp", "tp", None)),
         check_vma=False,
     )
-    return fn(q, key_codes, value_codes, kcent, vcent, n_prev.reshape(1))
+    return fn(q, key_codes, value_codes, kcent, vcent, tabs,
+              n_prev.reshape(1))
 
 
-@partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk", "mesh"),
+@partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk",
+                                   "mesh", "use_kernel"),
          donate_argnums=(3,))
 def _prefill_one_chunk(
     params: Params,
@@ -221,6 +300,8 @@ def _prefill_one_chunk(
     hist_block: int,
     last_chunk: bool,
     mesh=None,  # jax.sharding.Mesh -> sharded in-chunk/history attention
+    use_kernel: bool = False,  # STATIC: Pallas chunk kernel for the history
+    # partial (use_history_kernel decides at the chunked_prefill call site)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     bs, nc = ids.shape
     scale = 1.0 / (cfg.head_dim**0.5)
@@ -284,10 +365,27 @@ def _prefill_one_chunk(
         if nb:
             kc_l = jax.lax.dynamic_index_in_dim(cache["key_codes"], li, 0, False)
             vc_l = jax.lax.dynamic_index_in_dim(cache["value_codes"], li, 0, False)
+            if use_kernel:
+                ktabs = (
+                    _table_layer(cents["kpack"], li),
+                    _table_layer(cents["vpack"], li),
+                    cents["key"].shape[-2] <= 128,
+                    cents["value"].shape[-2] <= 128,
+                )
             if mesh is not None:
                 out_h, lse_h = _history_partial_sharded(
                     q_h, kc_l, vc_l, kcent, vcent, n_prev, scale, nb,
                     hist_block, mesh,
+                    kernel_tables=ktabs if use_kernel else None,
+                )
+            elif use_kernel:
+                out_h, lse_h = pq_chunk_history_attention(
+                    q_h, kc_l, vc_l, ktabs[0], ktabs[1], n_prev, scale,
+                    n_bucket=nb * hist_block,
+                    block=history_kernel_block(
+                        nb * hist_block, jax.default_backend() == "cpu"
+                    ),
+                    direct=ktabs[2], v_direct=ktabs[3],
                 )
             else:
                 out_h, lse_h = _history_partial(
@@ -326,6 +424,8 @@ def chunked_prefill(
     hist_block: int = 4096,
     mesh=None,  # jax.sharding.Mesh -> (dp, tp)-sharded chunk attention +
     # sequence-sharded history scan (the arena stays in its mesh sharding)
+    use_kernel: bool | None = None,  # history partial via the Pallas chunk
+    # kernel; None = auto (packed tables present + not on CPU)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Prefill `input_ids` in `chunk`-token pieces (host-scheduled loop).
 
@@ -387,9 +487,19 @@ def chunked_prefill(
         # n_prev contribute nothing)
         nb_exact = -(-s // hist_block)
         nb = min(bucket_pow2(nb_exact), n_max // hist_block) if nb_exact else 0
+        uk = use_kernel
+        if uk is None:
+            uk = use_history_kernel(cents, nb * hist_block) if nb else False
+        elif uk and (
+            "kpack" not in cents
+            or history_kernel_block(
+                nb * hist_block, jax.default_backend() == "cpu"
+            ) is None
+        ):
+            uk = False
         logits, cache = _prefill_one_chunk(
             params, cfg, input_ids[:, s:e], cache, cents,
             jnp.asarray(s, jnp.int32), nb=nb, hist_block=hist_block,
-            last_chunk=(e == n), mesh=mesh,
+            last_chunk=(e == n), mesh=mesh, use_kernel=uk and nb > 0,
         )
     return logits, cache

@@ -119,6 +119,32 @@ def _history_partial_pages(q, kw, vw, kcent, vcent, n_prev, scale, page_size):
     return acc / safe_l, lse
 
 
+def _history_pages_kernel(q, kw, vw, tables, li, n_prev, scale, page_size):
+    """Pallas chunk-kernel form of _history_partial_pages (VERDICT r3
+    item 1): the gathered pages (nph, H, M, ps_w) are page-major and
+    token-contiguous within each page, so stacking them along the word
+    axis yields a flat arena (1, H, M, nph*ps_w) whose token t lives at
+    global position t — exactly pq_chunk_attention's layout; positions
+    >= n_prev (scratch/garbage pages included) mask out via n_codes."""
+    from million_tpu.models.chunked_prefill import (
+        _table_layer,
+        history_kernel_block,
+    )
+    from million_tpu.ops.pq_attention_pallas import pq_chunk_history_attention
+
+    nph, H = kw.shape[0], kw.shape[1]
+    arena_k = kw.transpose(1, 2, 0, 3).reshape(1, H, kw.shape[2], -1)
+    arena_v = vw.transpose(1, 2, 0, 3).reshape(1, H, vw.shape[2], -1)
+    interpret = jax.default_backend() == "cpu"
+    blk = history_kernel_block(nph * page_size, interpret)
+    d_k, d_v = direct_flags(tables)
+    return pq_chunk_history_attention(
+        q, arena_k, arena_v,
+        _table_layer(tables["kpack"], li), _table_layer(tables["vpack"], li),
+        n_prev, scale, block=blk, direct=d_k, v_direct=d_v,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"),
          donate_argnums=(5,))
 def paged_decode_step(
@@ -525,7 +551,8 @@ def paged_prefill_seq(
 # Chunked admission: long prompts into pages with bounded activation memory
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "pcfg", "hw_bucket", "last_chunk"))
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "hw_bucket", "last_chunk",
+                                   "use_kernel"))
 def _paged_prefill_chunk_core(
     params: Params,
     cfg: ModelConfig,
@@ -543,6 +570,8 @@ def _paged_prefill_chunk_core(
     # (power-of-two bucket >= pos_offset//4, so executables are shared
     # across chunk indices and admissions)
     last_chunk: bool,
+    use_kernel: bool = False,  # STATIC: history partial via the Pallas
+    # chunk kernel (_history_pages_kernel) instead of the jnp page walk
 ) -> Tuple[jax.Array, Dict[str, jax.Array], jax.Array, jax.Array]:
     """One admission chunk for the PAGED cache (VERDICT r2 item 3): the
     flat chunked_prefill decomposition (exact causal within the chunk +
@@ -600,10 +629,16 @@ def _paged_prefill_chunk_core(
         if hw_bucket:
             kw = key_pool[li, h_pages]  # (nph, H, M, ps_w)
             vw = value_pool[li, h_pages]
-            out_h, lse_h = _history_partial_pages(
-                q_h, kw, vw, kcent, vcent, pos_offset, scale,
-                pcfg.page_size,
-            )
+            if use_kernel:
+                out_h, lse_h = _history_pages_kernel(
+                    q_h, kw, vw, tables, li, pos_offset, scale,
+                    pcfg.page_size,
+                )
+            else:
+                out_h, lse_h = _history_partial_pages(
+                    q_h, kw, vw, kcent, vcent, pos_offset, scale,
+                    pcfg.page_size,
+                )
             if Rv_i is not None:
                 out_h = _rotate(out_h, Rv_i.T)
             attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
@@ -657,6 +692,8 @@ def paged_admit_chunked(
     *,
     chunk: int = 2048,
     hist_block: int = 2048,  # kept for API compat; history walks pages
+    use_kernel: bool | None = None,  # history partial via the Pallas chunk
+    # kernel; None = auto (packed tables present + not on CPU)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Host-scheduled chunked admission of one long prompt into a slot's
     pages. The prompt is padded to a multiple of `chunk`; executables
@@ -696,10 +733,23 @@ def paged_admit_chunked(
         while hw_b < hw:
             hw_b *= 2
         hw_b = min(hw_b if hw else 0, cap_w)
+        uk = use_kernel
+        if hw_b:
+            from million_tpu.models.chunked_prefill import history_kernel_block
+
+            interp = jax.default_backend() == "cpu"
+            nph = -(-hw_b // ps_w)
+            legal = ("kpack" in tables) and (
+                history_kernel_block(nph * pcfg.page_size, interp) is not None
+            )
+            uk = (legal and not interp) if uk is None else (uk and legal)
+        else:
+            uk = False
         logits, sub, kwords, vwords = _paged_prefill_chunk_core(
             params, cfg, pcfg, sid, jnp.asarray(ids[:, s0 : s0 + chunk]),
             kp, vp, page_table, sub, tables, jnp.asarray(s0, jnp.int32),
             nvj, hw_bucket=hw_b, last_chunk=(s0 + chunk == n_pad),
+            use_kernel=uk,
         )
         # commit this chunk's words before the next chunk reads history
         ncw = kwords.shape[-1]

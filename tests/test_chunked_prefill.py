@@ -261,3 +261,34 @@ def test_generate_chunked_prefill_with_mesh(rng, setup):
         sampling=SamplingConfig(temperature=0.0),
     )
     np.testing.assert_array_equal(res_m.tokens, res_ref.tokens)
+
+
+def test_chunked_prefill_kernel_history_matches_jnp(rng, setup):
+    """use_kernel=True (Pallas chunk kernel, interpret on CPU) tracks the
+    jnp history partial through a multi-chunk prefill: identical codes
+    (encode is unaffected) and logits within the int8-table decode noise
+    (the kernel decodes with int8-quantized centroids — the engine's
+    decode-path numerics)."""
+    from million_tpu.models.llama import build_tables
+
+    params, M, cents, pq_cfg = setup
+    tables = build_tables(cents)
+    n = 96  # 3 chunks of 32 -> history engages from chunk 2
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, n)), jnp.int32)
+    l_j, c_j = chunked_prefill(
+        params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
+        chunk=32, hist_block=32, use_kernel=False,
+    )
+    l_k, c_k = chunked_prefill(
+        params, CFG, ids, init_state(pq_cfg, CFG.num_layers), tables,
+        chunk=32, hist_block=32, use_kernel=True,
+    )
+    # chunk-1 codes see no history -> identical; later chunks' activations
+    # carry the int8-table decode noise, so near-tie codes may flip there
+    np.testing.assert_array_equal(
+        np.asarray(c_j["key_codes"][..., :8]),
+        np.asarray(c_k["key_codes"][..., :8]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_k), np.asarray(l_j), rtol=5e-2, atol=5e-2
+    )

@@ -286,3 +286,22 @@ def test_speedtest_oom_guard(rng, monkeypatch):
     rows = out["results"]
     assert rows[0].get("oom") is True
     assert rows[1]["prefill_length"] == 24 and np.isfinite(rows[1]["tpot_s"])
+
+
+def test_longbench_metric_reference_semantics():
+    """Fraction-of-numbers scoring, exactly the reference's
+    retrieval_score/count_score (longbench.py:49-67): every number in the
+    prediction counts, matches score proportionally."""
+    # two numbers, one matching the paragraph id -> 0.5
+    assert retrieval_score("Paragraph 7 or maybe 9", "Paragraph 7") == 0.5
+    # the id is parsed from the GROUND TRUTH pattern, not the prediction
+    assert retrieval_score("the answer is 7", "Paragraph 7") == 1.0
+    assert retrieval_score("no numbers here", "Paragraph 7") == 0.0
+    assert retrieval_score("7", "no paragraph marker") == 0.0
+    # count: 3 numbers, 1 correct -> 1/3
+    assert abs(count_score("12 or 13 or 14", "13") - 1 / 3) < 1e-9
+    assert count_score("none", "13") == 0.0
+    # code-sim: first COMMENT-FREE line is compared (reference skips
+    # lines containing backticks, #, //)
+    assert code_sim_score("# comment\nreturn x\n", "return x") == 1.0
+    assert code_sim_score("```\nall commented #\n", "return x") < 1.0

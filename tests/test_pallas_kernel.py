@@ -500,3 +500,97 @@ def test_kernel_outlier_correction_matches_oracle(rng):
     mae = np.abs(merged - want).mean()
     assert mae < 2e-2, f"outlier kernel MAE {mae}"
     np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=2e-2, atol=2e-2)
+
+
+# --------------------------------------------------------------------------
+# chunk-query kernel (admission history attention)
+# --------------------------------------------------------------------------
+
+def oracle_chunk_history(q, kc, vc, kcent, vcent, n_prev, scale):
+    """Many-query oracle: q (bs, nh, nc, d) f32 raw; codes transposed
+    (bs, nh_k, M, N) uint8; attends to the first n_prev tokens. Returns
+    (out (bs, nh, nc, d), lse (bs, nh, nc)) with bf16-decoded tables."""
+    from million_tpu.ops.pq_attention_ref import _gqa_expand
+
+    bs, nh, nc, d = q.shape
+    kcn = np.swapaxes(kc, -1, -2)[:, :, :n_prev]
+    vcn = np.swapaxes(vc, -1, -2)[:, :, :n_prev]
+    khat = np.asarray(pq_decode(
+        jnp.asarray(kcn), jnp.asarray(kcent).astype(jnp.bfloat16), "strided"
+    )).astype(np.float32)
+    vhat = np.asarray(pq_decode(
+        jnp.asarray(vcn), jnp.asarray(vcent).astype(jnp.bfloat16), "strided"
+    )).astype(np.float32)
+    kf = np.asarray(_gqa_expand(jnp.asarray(khat), nh))
+    vf = np.asarray(_gqa_expand(jnp.asarray(vhat), nh))
+    s = np.einsum("bhqk,bhnk->bhqn", q * scale, kf)
+    m = s.max(-1, keepdims=True)
+    p = np.exp(s - m)
+    l = p.sum(-1, keepdims=True)
+    out = np.einsum("bhqn,bhnk->bhqk", p / l, vf)
+    return out, (m + np.log(l))[..., 0]
+
+
+@pytest.mark.parametrize("n_prev", [384, 512, 4])
+def test_chunk_kernel_matches_oracle(rng, n_prev):
+    from million_tpu.ops.pq_attention_pallas import pq_chunk_history_attention
+
+    bs, nh_k, d, M, C, N = 1, 2, 32, 16, 256, 512
+    nh, nc = 4, 24  # G = 2, odd row count exercises q-block padding
+    q = rng.standard_normal((bs, nh, nc, d)).astype(np.float32)
+    kc = rng.integers(0, C, (bs, nh_k, M, N)).astype(np.uint8)
+    vc = rng.integers(0, C, (bs, nh_k, M, N)).astype(np.uint8)
+    kcent = rng.standard_normal((M, C, d // M)).astype(np.float32)
+    vcent = rng.standard_normal((M, C, d // M)).astype(np.float32)
+    scale = 1.0 / d**0.5
+    out, lse = pq_chunk_history_attention(
+        jnp.asarray(q),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        pack_decode_table(jnp.asarray(kcent)),
+        pack_decode_table(jnp.asarray(vcent)),
+        jnp.asarray(n_prev, jnp.int32), scale,
+        block=128, q_block=16, interpret=True,
+    )
+    want_out, want_lse = oracle_chunk_history(q, kc, vc, kcent, vcent, n_prev, scale)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=0.05, atol=0.05)
+
+
+def test_chunk_kernel_matches_jnp_history_partial(rng):
+    """Kernel vs the jnp _history_partial it replaces in chunked_prefill —
+    same inputs, same (out, lse) contract (history masked at n_prev)."""
+    from million_tpu.models.chunked_prefill import _history_partial
+    from million_tpu.ops.pq_attention_pallas import (
+        dequantize_table,
+        pq_chunk_history_attention,
+    )
+
+    bs, nh_k, d, M, C, N = 1, 2, 32, 16, 256, 512
+    nh, nc, n_prev = 4, 32, 400
+    d_m = d // M
+    q = rng.standard_normal((bs, nh, nc, d)).astype(np.float32)
+    kc = rng.integers(0, C, (bs, nh_k, M, N)).astype(np.uint8)
+    vc = rng.integers(0, C, (bs, nh_k, M, N)).astype(np.uint8)
+    kcent = rng.standard_normal((M, C, d_m)).astype(np.float32)
+    vcent = rng.standard_normal((M, C, d_m)).astype(np.float32)
+    scale = 1.0 / d**0.5
+    kpack = pack_decode_table(jnp.asarray(kcent))
+    vpack = pack_decode_table(jnp.asarray(vcent))
+    out, lse = pq_chunk_history_attention(
+        jnp.asarray(q),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        kpack, vpack, jnp.asarray(n_prev, jnp.int32), scale,
+        block=128, q_block=16, interpret=True,
+    )
+    # jnp path decoding with the kernel's effective (int8-quantized) tables
+    want_out, want_lse = _history_partial(
+        jnp.asarray(q),
+        pack_codes(jnp.asarray(kc)), pack_codes(jnp.asarray(vc)),
+        dequantize_table(kpack, C=C, d_m=d_m),
+        dequantize_table(vpack, C=C, d_m=d_m),
+        jnp.asarray(n_prev), scale, nb=4, hist_block=128,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               rtol=2e-2, atol=2e-2)

@@ -488,3 +488,40 @@ def test_scheduler_rejects_over_capacity_prompt(rng):
             prompt=rng.integers(0, 300, cap + 1).astype(np.int32),
             max_new_tokens=1,
         ))
+
+
+def test_chunked_admission_kernel_matches_jnp(rng):
+    """paged_admit_chunked with the Pallas history kernel (use_kernel=True,
+    interpret on CPU) matches the jnp page-walk path: identical pool
+    contents/counters, logits within int8-table decode noise."""
+    from million_tpu.cache.paged_pq_cache import allocate_pages, init_paged_state
+    from million_tpu.models.paged_decode import paged_admit_chunked
+
+    params, cents, tables, pcfg = build(rng)
+    n = 275
+    prompt = rng.integers(0, CFG.vocab_size, n).astype(np.int32)
+    sid = jnp.asarray(0)
+    need = -(-(n + pcfg.Lt) // pcfg.page_size)
+
+    st_j = allocate_pages(init_paged_state(pcfg), sid, need)
+    logits_j, st_j = paged_admit_chunked(
+        params, CFG, pcfg, 0, prompt, st_j, tables, chunk=128,
+        use_kernel=False,
+    )
+    st_k = allocate_pages(init_paged_state(pcfg), sid, need)
+    logits_k, st_k = paged_admit_chunked(
+        params, CFG, pcfg, 0, prompt, st_k, tables, chunk=128,
+        use_kernel=True,
+    )
+    # layer 0's k/v depend only on embeddings -> codes identical; deeper
+    # layers carry the int8-table decode noise through the activations
+    np.testing.assert_array_equal(
+        np.asarray(st_j["key_pool"][0]), np.asarray(st_k["key_pool"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_j["value_pool"][0]), np.asarray(st_k["value_pool"][0])
+    )
+    assert int(st_j["seq_n_codes"][0]) == int(st_k["seq_n_codes"][0])
+    np.testing.assert_allclose(
+        np.asarray(logits_k), np.asarray(logits_j), rtol=5e-2, atol=5e-2
+    )
