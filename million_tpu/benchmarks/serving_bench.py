@@ -61,8 +61,14 @@ def steady_state(args, cfg, pcfg, make_scheduler):
     act = sum(r is not None for r in sched.slot_req)
     log(f"admitted {act}/{S} slots of {n}-token prompts in {admit_wall:.2f}s")
 
+    # pipelined pacing (round 4): the scheduler overlaps each tick's token
+    # readback with the next tick's device compute, so the bench must NOT
+    # force a per-tick sync — after the first tick, step() self-paces at
+    # one-tick lag and the inter-step wall IS the device tick time (flush
+    # attribution shifts by one tick; with 40 ticks the p50 is robust).
     ticks = []
     flush_ticks = []
+    T0 = time.perf_counter()
     for t in range(args.steady):
         t0 = time.perf_counter()
         will_flush = any(
@@ -70,11 +76,11 @@ def steady_state(args, cfg, pcfg, make_scheduler):
             for i, r in enumerate(sched.slot_req) if r is not None
         )
         sched.step()
-        np.asarray(sched.last_token)  # host sync: count the real tick cost
         dt = time.perf_counter() - t0
         (flush_ticks if will_flush else ticks).append(dt)
+    jax.block_until_ready(sched.last_token)  # drain the pipeline
+    total = time.perf_counter() - T0
     p50 = float(np.median(ticks))
-    total = sum(ticks) + sum(flush_ticks)
     n_tok = act * args.steady
     print(json.dumps({
         "metric": f"steady-state serving decode, {args.preset}, {act} slots "
@@ -89,6 +95,7 @@ def steady_state(args, cfg, pcfg, make_scheduler):
         "admission_ttft_s": round(admit_wall, 2),
         "ticks": args.steady,
         "preemptions": sched.preemptions,
+        "geometry": getattr(args, "geometry", "dm2"),
     }))
 
 
@@ -110,6 +117,12 @@ def main():
                     "shrink below the worst-case demand to exercise "
                     "on-demand growth and preemption")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--geometry", default="dm2",
+                    choices=["dm2", "dm4_outlier"],
+                    help="dm2: production M=d/2 symmetric; dm4_outlier: "
+                    "coarse d_m=4 both sides + 16 exact outlier channels "
+                    "per side (the round-3 flat bs=1 winner, served "
+                    "through the paged path — VERDICT r3 item 3)")
     ap.add_argument("--steady", type=int, default=0, metavar="TICKS",
                     help="steady-state mode (VERDICT r2 item 4): admit "
                     "max_seqs requests of max-prompt length, then time "
@@ -133,15 +146,37 @@ def main():
     cfg = PRESETS[args.preset]
     rng = np.random.default_rng(args.seed)
     params = init_params(cfg, jax.random.PRNGKey(args.seed))
-    M = cfg.head_dim // 2
-    cents = {
-        "key": jnp.asarray(
-            rng.standard_normal((cfg.num_layers, M, 256, 2)), jnp.float32
-        ),
-        "value": jnp.asarray(
-            rng.standard_normal((cfg.num_layers, M, 256, 2)), jnp.float32
-        ),
-    }
+    L, d = cfg.num_layers, cfg.head_dim
+    OK = OV = 0
+    if args.geometry == "dm4_outlier":
+        M = d // 4
+        OK = OV = 16
+        ck = rng.standard_normal((L, M, 256, 4)).astype(np.float32)
+        cv = rng.standard_normal((L, M, 256, 4)).astype(np.float32)
+        koidx = np.sort(rng.choice(d, OK, replace=False)).astype(np.int32)
+        voidx = np.sort(rng.choice(d, OV, replace=False)).astype(np.int32)
+        # codebooks trained on zeroed channels have exactly-zero centroid
+        # components there (strided layout: channel c -> subspace c % M,
+        # component c // M)
+        for c in koidx:
+            ck[:, c % M, :, c // M] = 0.0
+        for c in voidx:
+            cv[:, c % M, :, c // M] = 0.0
+        cents = {
+            "key": jnp.asarray(ck), "value": jnp.asarray(cv),
+            "k_outlier_idx": jnp.asarray(np.stack([koidx] * L)),
+            "v_outlier_idx": jnp.asarray(np.stack([voidx] * L)),
+        }
+    else:
+        M = d // 2
+        cents = {
+            "key": jnp.asarray(
+                rng.standard_normal((L, M, 256, 2)), jnp.float32
+            ),
+            "value": jnp.asarray(
+                rng.standard_normal((L, M, 256, 2)), jnp.float32
+            ),
+        }
     tables = build_tables(cents)
     pcfg = PagedPQCacheConfig(
         max_seqs=args.max_seqs,
@@ -154,6 +189,8 @@ def main():
         M=M,
         C=256,
         Lt=128,
+        OK=OK,
+        OV=OV,
     )
     def make_scheduler():
         return Scheduler(params, cfg, pcfg, tables, SamplingConfig(temperature=0.0))

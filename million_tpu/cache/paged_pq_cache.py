@@ -55,6 +55,13 @@ class PagedPQCacheConfig:
     # asymmetric geometry: V-side subspace count (None -> M); see
     # ops/pq_attention_pallas.py header for the quality caveat
     M_v: int | None = None
+    # outlier-channel high precision (round 4, the flat path's round-3
+    # OK/OV option ported to serving): OK/OV channels per head vector are
+    # excluded from PQ and stored exact in bf16 byte-plane POOLS beside
+    # the code pools, folded back inside the paged kernel as dense MXU
+    # terms (ops/pq_attention_pallas.py header)
+    OK: int = 0
+    OV: int = 0
 
     @property
     def m_v(self) -> int:
@@ -67,7 +74,19 @@ class PagedPQCacheConfig:
 
 def init_paged_state(cfg: PagedPQCacheConfig) -> PagedState:
     L = cfg.num_layers
+    st_out = {}
+    if cfg.OK:
+        st_out["key_outlier_pool"] = jnp.zeros(
+            (L, cfg.n_pages + 1, cfg.nh_k, WORD, cfg.OK,
+             cfg.page_size // WORD), jnp.bfloat16
+        )
+    if cfg.OV:
+        st_out["value_outlier_pool"] = jnp.zeros(
+            (L, cfg.n_pages + 1, cfg.nh_k, WORD, cfg.OV,
+             cfg.page_size // WORD), jnp.bfloat16
+        )
     return {
+        **st_out,
         # one slab per layer; K and V pools separate. Slab index n_pages is
         # a reserved SCRATCH page: masked-out scatters (inactive slots,
         # unallocated table entries) are routed there instead of corrupting
@@ -212,23 +231,13 @@ def paged_prefill(
         vc = jnp.swapaxes(jax.vmap(_enc, in_axes=(0, 0, None))(v, value_cents, layout), -1, -2)
     new = write_codes_to_pages(state, seq_id, kc[..., :n4], vc[..., :n4], cfg)
     if tail:
+        # ragged tail -> exact residual window only; its codes are
+        # produced by the NEXT window flush (round-3 window-flush design:
+        # no incremental window-code buffers exist anymore)
         kt = k[:, :, n4:].astype(new["key_residual"].dtype)  # (L, nh_k, tail, d)
         vt = v[:, :, n4:].astype(new["value_residual"].dtype)
         new["key_residual"] = new["key_residual"].at[:, seq_id, :, :tail].set(kt)
         new["value_residual"] = new["value_residual"].at[:, seq_id, :, :tail].set(vt)
-        # pack the tail codes into the window-code words (bytes 0..tail-1)
-        def pack_tail(codes_tail):  # (L, nh_k, M, tail)
-            pad = jnp.zeros(codes_tail.shape[:-1] + (WORD - tail,), codes_tail.dtype)
-            return pack_codes(jnp.concatenate([codes_tail, pad], axis=-1))  # (..., 1)
-        Ltw = new["key_residual_codes"].shape[-1]
-        krc0 = pack_tail(kc[..., n4:])
-        vrc0 = pack_tail(vc[..., n4:])
-        new["key_residual_codes"] = new["key_residual_codes"].at[
-            :, seq_id, :, :, :1
-        ].set(krc0)
-        new["value_residual_codes"] = new["value_residual_codes"].at[
-            :, seq_id, :, :, :1
-        ].set(vrc0)
         new["seq_r"] = new["seq_r"].at[seq_id].set(tail)
     new["seq_active"] = new["seq_active"].at[seq_id].set(1)
     return new

@@ -119,13 +119,18 @@ def _history_partial_pages(q, kw, vw, kcent, vcent, n_prev, scale, page_size):
     return acc / safe_l, lse
 
 
-def _history_pages_kernel(q, kw, vw, tables, li, n_prev, scale, page_size):
+def _history_pages_kernel(q, kw, vw, tables, li, n_prev, scale, page_size,
+                          ko_pages=None, koidx=None,
+                          vo_pages=None, voidx=None):
     """Pallas chunk-kernel form of _history_partial_pages (VERDICT r3
     item 1): the gathered pages (nph, H, M, ps_w) are page-major and
     token-contiguous within each page, so stacking them along the word
     axis yields a flat arena (1, H, M, nph*ps_w) whose token t lives at
     global position t — exactly pq_chunk_attention's layout; positions
-    >= n_prev (scratch/garbage pages included) mask out via n_codes."""
+    >= n_prev (scratch/garbage pages included) mask out via n_codes.
+    ko_pages/vo_pages (nph, H, 4, O, ps_w) byte-plane outlier pages stack
+    the same way and fold in as dense corrections (round-4 outlier
+    serving)."""
     from million_tpu.models.chunked_prefill import (
         _table_layer,
         history_kernel_block,
@@ -138,16 +143,23 @@ def _history_pages_kernel(q, kw, vw, tables, li, n_prev, scale, page_size):
     interpret = jax.default_backend() == "cpu"
     blk = history_kernel_block(nph * page_size, interpret)
     d_k, d_v = direct_flags(tables)
+    okw = {}
+    if ko_pages is not None:
+        okw["k_outliers"] = ko_pages.transpose(1, 2, 3, 0, 4).reshape(
+            1, H, 4, ko_pages.shape[3], -1)
+        okw["koidx"] = koidx
+    if vo_pages is not None:
+        okw["v_outliers"] = vo_pages.transpose(1, 2, 3, 0, 4).reshape(
+            1, H, 4, vo_pages.shape[3], -1)
+        okw["voidx"] = voidx
     return pq_chunk_history_attention(
         q, arena_k, arena_v,
         _table_layer(tables["kpack"], li), _table_layer(tables["vpack"], li),
-        n_prev, scale, block=blk, direct=d_k, v_direct=d_v,
+        n_prev, scale, block=blk, direct=d_k, v_direct=d_v, **okw,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"),
-         donate_argnums=(5,))
-def paged_decode_step(
+def _paged_decode_step_impl(
     params: Params,
     cfg: ModelConfig,
     pcfg: PagedPQCacheConfig,
@@ -239,12 +251,32 @@ def paged_decode_step(
         qg = (q_att[:, :, 0].astype(jnp.float32) * scale).reshape(S, nh_k, G, dh)
         q_pad = jnp.zeros((S, nh_k, GROUP_PAD, dh), jnp.bfloat16)
         q_pad = q_pad.at[:, :, :G].set(qg.astype(jnp.bfloat16))
-        out_c, lse_c = pq_paged_attention_stacked(
+        # outlier-channel corrections (round 4: the flat kernel's OK/OV
+        # option served through the paged path — VERDICT r3 item 3)
+        okw = {}
+        if "key_outlier_pool" in st:
+            koidx_l = jax.lax.dynamic_index_in_dim(
+                tables["k_outlier_idx"], li, 0, False)
+            okw["qo"] = jnp.take_along_axis(
+                q_pad, koidx_l[None, None, None, :], axis=-1)
+            okw["k_outliers"] = st["key_outlier_pool"]
+        if "value_outlier_pool" in st:
+            okw["v_outliers"] = st["value_outlier_pool"]
+        res = pq_paged_attention_stacked(
             q_pad, st["key_pool"], st["value_pool"],
             tables["kpack"], tables["vpack"], li,
             state["page_table"], n_codes,
-            direct=d_k, v_direct=d_v, p_bucket=p_bucket,
+            direct=d_k, v_direct=d_v, p_bucket=p_bucket, **okw,
         )
+        if "value_outlier_pool" in st:
+            out_c, lse_c, co = res
+            voidx_l = jax.lax.dynamic_index_in_dim(
+                tables["v_outlier_idx"], li, 0, False)
+            # decoded outlier components are exactly 0 (centroids trained
+            # on zeroed channels); the correction IS the channel value
+            out_c = out_c.at[..., voidx_l].set(co)
+        else:
+            out_c, lse_c = res
         # valid residual entries per slot: [0, wr] (token just appended)
         rmask = jnp.arange(pcfg.Lt)[None] <= jnp.where(active, wr, -1)[:, None]
         out_r, lse_r = masked_partial_attention(
@@ -275,72 +307,90 @@ def paged_decode_step(
     return logits, new
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _commit_words(key_pool, value_pool, kwords, vwords, pages, off):
-    """Write one admission chunk's packed words for ALL layers into the
-    pools. kwords/vwords (L, H, M, ncw) int32 are ARGUMENTS: producing the
+# public jitted form; the unjitted _paged_decode_step_impl exists so the
+# scheduler's fused tick (decode + sample + key split in ONE program,
+# runtime/scheduler.py _fused_tick) can inline it without nested-jit
+# donation warnings
+paged_decode_step = partial(
+    jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"), donate_argnums=(5,)
+)(_paged_decode_step_impl)
+
+
+POOL_KEYS = ("key_pool", "value_pool", "key_outlier_pool",
+             "value_outlier_pool")
+
+
+def _put_page(pool, upd, page, off):
+    """dynamic_update_slice of one page's slab: pool (L, P+1, ..., ps_w),
+    upd (L, 1, ..., w) — index (0, page, 0, ..., off)."""
+    z = jnp.int32(0)
+    idx = (z, page) + (z,) * (pool.ndim - 3) + (off,)
+    return jax.lax.dynamic_update_slice(pool, upd, idx)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _commit_words(pools, updates, pages, off):
+    """Write one admission chunk's packed words (and outlier slabs) for
+    ALL layers into the pools. `pools` is the dict of page pools (codes +
+    optional byte-plane outlier pools), donated; `updates` maps the same
+    keys to ARGUMENT slabs with the page axis removed — codes
+    (L, H, M, ncw) int32, outliers (L, H, 4, O, ncw) bf16. Producing the
     update operand inside the same program as the dynamic_update_slice
     makes XLA's layout assigner relayout-copy the multi-GB pool to the
     producer's layout (5.5 GB padded at the 3B serving shape — observed
     compile OOM, reproduced in isolation); argument layouts are natural,
-    so this tiny writer program stays at ~0 temp memory. Pools are donated
-    (in-place). pages (npc,) int32 page ids (scratch-routed by the
-    caller); off () int32 sub-page word offset (0 for page-aligned
-    commits)."""
-    L, H, M_k, ncw = kwords.shape
-    ps_w = key_pool.shape[-1]
+    so this tiny writer program stays at ~0 temp memory. pages (npc,)
+    int32 page ids (scratch-routed by the caller); off () int32 sub-page
+    word offset (0 for page-aligned commits)."""
+    ncw = updates["key_pool"].shape[-1]
+    ps_w = pools["key_pool"].shape[-1]
     cw = min(ps_w, ncw)
     npc = -(-ncw // cw)
-    z = jnp.int32(0)
+    out = dict(pools)
     for j in range(npc):
         w = min(cw, ncw - j * cw)
-        idx = (z, pages[j], z, z, off)
-        key_pool = jax.lax.dynamic_update_slice(
-            key_pool, kwords[:, None, :, :, j * cw : j * cw + w], idx
-        )
-        value_pool = jax.lax.dynamic_update_slice(
-            value_pool, vwords[:, None, :, :, j * cw : j * cw + w], idx
-        )
-    return key_pool, value_pool
+        for key, upd in updates.items():
+            out[key] = _put_page(
+                out[key], upd[:, None, ..., j * cw : j * cw + w], pages[j], off
+            )
+    return out
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _commit_flush(key_pool, value_pool, kwords, vwords, pages, offs):
-    """Write flushed residual-window words for ALL layers, per slot.
-    kwords/vwords (L, S, H, M_side, Ltw) int32 ARGUMENTS (see
-    _commit_words for why); pages/offs (S,) int32 per-slot page id +
-    in-page word offset (a window never crosses a page:
-    page_size % Lt == 0)."""
-    S = kwords.shape[1]
-    z = jnp.int32(0)
+@partial(jax.jit, donate_argnums=(0,))
+def _commit_flush(pools, updates, pages, offs):
+    """Write flushed residual-window words (and outlier slabs) for ALL
+    layers, per slot. `updates` maps pool keys to (L, S, H, ..., Ltw)
+    ARGUMENT slabs (see _commit_words for why); pages/offs (S,) int32
+    per-slot page id + in-page word offset (a window never crosses a
+    page: page_size % Lt == 0)."""
+    S = updates["key_pool"].shape[1]
+    out = dict(pools)
     for si in range(S):
-        idx = (z, pages[si], z, z, offs[si])
-        key_pool = jax.lax.dynamic_update_slice(
-            key_pool, kwords[:, si][:, None], idx
-        )
-        value_pool = jax.lax.dynamic_update_slice(
-            value_pool, vwords[:, si][:, None], idx
-        )
-    return key_pool, value_pool
+        for key, upd in updates.items():
+            out[key] = _put_page(
+                out[key], upd[:, si][:, None], pages[si], offs[si]
+            )
+    return out
 
 
 def _split_state(state):
-    """(pools, everything-else): compute cores take the substate (plus
-    read-only pool args where needed) and never RETURN pools — an
+    """(pools dict, everything-else): compute cores take the substate
+    (plus read-only pool args where needed) and never RETURN pools — an
     unmodified pass-through output is still a copy without donation, and a
     pool written inside a producer program triggers the relayout hazard
     above."""
-    sub = {k: v for k, v in state.items()
-           if k not in ("key_pool", "value_pool")}
-    return (state["key_pool"], state["value_pool"]), sub
+    pools = {k: state[k] for k in POOL_KEYS if k in state}
+    sub = {k: v for k, v in state.items() if k not in pools}
+    return pools, sub
 
 
 @partial(jax.jit, static_argnames=("pcfg",))
 def _flush_encode_core(pcfg, sub, tables, mask):
     """Encode every slot's residual window for all layers; no pool access.
-    Returns (kwords, vwords (L, S, H, M_side, Ltw) int32, new seq_n_codes,
-    new seq_r)."""
-    from million_tpu.ops.pq_attention_pallas import pack_codes
+    Returns (updates dict keyed like the pools — code words
+    (L, S, H, M_side, Ltw) int32 + optional byte-plane outlier slabs
+    (L, S, H, 4, O, Ltw) bf16 — new seq_n_codes, new seq_r)."""
+    from million_tpu.ops.pq_attention_pallas import pack_codes, to_byte_plane
 
     def layer(_, li):
         kres = jax.lax.dynamic_index_in_dim(sub["key_residual"], li, 0, False)
@@ -350,16 +400,33 @@ def _flush_encode_core(pcfg, sub, tables, mask):
         # windows are stored in codebook (rotated) space already
         kc = runtime_encode(kres, kcent, SUBSPACE_LAYOUT)  # (S, H, Lt, M)
         vc = runtime_encode(vres, vcent, SUBSPACE_LAYOUT)
-        kw = pack_codes(jnp.swapaxes(kc, -1, -2))  # (S, H, M, Ltw)
-        vw = pack_codes(jnp.swapaxes(vc, -1, -2))
-        return None, (kw, vw)
+        out = {
+            "key_pool": pack_codes(jnp.swapaxes(kc, -1, -2)),  # (S, H, M, Ltw)
+            "value_pool": pack_codes(jnp.swapaxes(vc, -1, -2)),
+        }
+        # exact outlier channels of the window -> byte-plane slabs
+        # (channels were zeroed before codebook training, so the codes
+        # already spend no mass on them — llama.prefill's round-3 contract)
+        if "k_outlier_idx" in tables:
+            koidx = jax.lax.dynamic_index_in_dim(
+                tables["k_outlier_idx"], li, 0, False)
+            out["key_outlier_pool"] = to_byte_plane(
+                jnp.swapaxes(kres[..., koidx], -1, -2)
+            ).astype(jnp.bfloat16)  # (S, H, 4, OK, Ltw)
+        if "v_outlier_idx" in tables:
+            voidx = jax.lax.dynamic_index_in_dim(
+                tables["v_outlier_idx"], li, 0, False)
+            out["value_outlier_pool"] = to_byte_plane(
+                jnp.swapaxes(vres[..., voidx], -1, -2)
+            ).astype(jnp.bfloat16)
+        return None, out
 
     L = sub["key_residual"].shape[0]
-    _, (kws, vws) = jax.lax.scan(layer, None, jnp.arange(L, dtype=jnp.int32))
+    _, updates = jax.lax.scan(layer, None, jnp.arange(L, dtype=jnp.int32))
     n_codes = sub["seq_n_codes"]
     new_n = n_codes + jnp.where(mask, pcfg.Lt, 0)
     new_r = jnp.where(mask, 0, sub["seq_r"])
-    return kws, vws, new_n, new_r
+    return updates, new_n, new_r
 
 
 def flush_paged_slots(
@@ -387,9 +454,9 @@ def flush_paged_slots(
             "must land inside one page)"
         )
     ps_w = pcfg.page_size // 4
-    (kp, vp), sub = _split_state(state)
-    kws, vws, new_n, new_r = _flush_encode_core(pcfg, sub, tables, mask)
-    scratch = kp.shape[1] - 1
+    pools, sub = _split_state(state)
+    updates, new_n, new_r = _flush_encode_core(pcfg, sub, tables, mask)
+    scratch = pools["key_pool"].shape[1] - 1
     w0 = state["seq_n_codes"] // 4  # (S,)
     raw = jnp.take_along_axis(
         state["page_table"],
@@ -397,9 +464,9 @@ def flush_paged_slots(
         axis=1,
     )[:, 0]
     pages = jnp.where((raw < 0) | ~mask, scratch, raw)
-    kp, vp = _commit_flush(kp, vp, kws, vws, pages, w0 % ps_w)
+    pools = _commit_flush(pools, updates, pages, w0 % ps_w)
     new = dict(sub)
-    new["key_pool"], new["value_pool"] = kp, vp
+    new.update(pools)
     new["seq_n_codes"] = new_n
     new["seq_r"] = new_r
     return new
@@ -416,13 +483,15 @@ def _prefill_seq_core(
     tables: Dict[str, jax.Array],
     nv: jax.Array,  # () int32 real length (== n when not bucketed)
     has_nv: bool,
-) -> Tuple[jax.Array, Dict[str, jax.Array], jax.Array, jax.Array]:
+) -> Tuple[jax.Array, Dict[str, jax.Array], Dict[str, jax.Array]]:
     """Transformer pass of one-shot admission: exact causal attention,
     per-layer encode, residual-tail writes, counters. Emits the packed
-    code words (L, H, M_side, ncw) for the separate pool writer
-    (_commit_words) — no pool access here (see _commit_words for why).
-    Returns (last-real-token logits, new substate, kwords, vwords)."""
-    from million_tpu.ops.pq_attention_pallas import pack_codes
+    code words (L, H, M_side, ncw) — plus byte-plane outlier slabs
+    (L, H, 4, O, ncw) for outlier geometries — keyed like the pools, for
+    the separate pool writer (_commit_words); no pool access here (see
+    _commit_words for why). Returns (last-real-token logits, new
+    substate, updates dict or None)."""
+    from million_tpu.ops.pq_attention_pallas import pack_codes, to_byte_plane
 
     n = input_ids.shape[1]
     if has_nv and n % 4:
@@ -450,8 +519,24 @@ def _prefill_seq_core(
             runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
         vc = jnp.swapaxes(
             runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
-        kwords_l = pack_codes(kc[..., :n4]) if n4 else None
-        vwords_l = pack_codes(vc[..., :n4]) if n4 else None
+        upd_l = None
+        if n4:
+            upd_l = {
+                "key_pool": pack_codes(kc[..., :n4]),
+                "value_pool": pack_codes(vc[..., :n4]),
+            }
+            if "k_outlier_idx" in tables:
+                koidx = jax.lax.dynamic_index_in_dim(
+                    tables["k_outlier_idx"], li, 0, False)
+                upd_l["key_outlier_pool"] = to_byte_plane(
+                    jnp.swapaxes(k_st[0, :, :n4][..., koidx], -1, -2)
+                ).astype(jnp.bfloat16)  # (H, 4, OK, n4//4)
+            if "v_outlier_idx" in tables:
+                voidx = jax.lax.dynamic_index_in_dim(
+                    tables["v_outlier_idx"], li, 0, False)
+                upd_l["value_outlier_pool"] = to_byte_plane(
+                    jnp.swapaxes(v_st[0, :, :n4][..., voidx], -1, -2)
+                ).astype(jnp.bfloat16)
         st = dict(st)
         if tail:
             # ragged tail -> exact residual window (rotated space, matching
@@ -479,12 +564,11 @@ def _prefill_seq_core(
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h2, lp).astype(x.dtype)
-        return (x, st, li + 1), (kwords_l, vwords_l)
+        return (x, st, li + 1), upd_l
 
-    (x, sub, _), words = jax.lax.scan(
+    (x, sub, _), updates = jax.lax.scan(
         layer, (x, sub, jnp.asarray(0, jnp.int32)), params["layers"]
-    )
-    kwords, vwords = words  # (L, H, M_side, ncw) or (None, None)
+    )  # updates: dict of (L, ...) slabs, or None when n4 == 0
     # project ONLY the last real token (the (1, n, V) f32 tensor is 2.1 GB
     # at 4096 tokens x 128K vocab)
     x_last = jax.lax.dynamic_slice_in_dim(x, nv - 1, 1, axis=1)
@@ -494,7 +578,7 @@ def _prefill_seq_core(
     new["seq_n_codes"] = sub["seq_n_codes"].at[seq_id].set((nv // 4) * 4)
     new["seq_r"] = sub["seq_r"].at[seq_id].set(nv - (nv // 4) * 4)
     new["seq_active"] = sub["seq_active"].at[seq_id].set(1)
-    return logits, new, kwords, vwords
+    return logits, new, updates
 
 
 def paged_prefill_seq(
@@ -528,22 +612,22 @@ def paged_prefill_seq(
     n = input_ids.shape[1]
     has_nv = n_valid is not None
     nv = jnp.asarray(n_valid if has_nv else n, jnp.int32)
-    (kp, vp), sub = _split_state(state)
-    logits, new_sub, kwords, vwords = _prefill_seq_core(
+    pools, sub = _split_state(state)
+    logits, new_sub, updates = _prefill_seq_core(
         params, cfg, pcfg, jnp.asarray(seq_id, jnp.int32), input_ids, sub,
         tables, nv, has_nv,
     )
-    if kwords is not None:
+    if updates is not None:
         ps_w = pcfg.page_size // 4
-        ncw = kwords.shape[-1]
+        ncw = updates["key_pool"].shape[-1]
         npg = -(-ncw // ps_w)
         j = jnp.arange(npg)
         raw = state["page_table"][seq_id, :npg]
         real = (j * ps_w) < ((nv + 3) // 4)
         pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
-        kp, vp = _commit_words(kp, vp, kwords, vwords, pages, jnp.int32(0))
+        pools = _commit_words(pools, updates, pages, jnp.int32(0))
     new = dict(new_sub)
-    new["key_pool"], new["value_pool"] = kp, vp
+    new.update(pools)
     return logits, new
 
 
@@ -561,6 +645,8 @@ def _paged_prefill_chunk_core(
     ids: jax.Array,  # (1, nc) int32 — one FULL chunk (nc % 4 == 0)
     key_pool: jax.Array,  # read-only (history pages)
     value_pool: jax.Array,
+    k_out_pool,  # read-only byte-plane outlier pools (or None): history
+    v_out_pool,  # attention corrections for outlier geometries
     page_table: jax.Array,
     sub: Dict[str, jax.Array],  # paged state WITHOUT pools
     tables: Dict[str, jax.Array],
@@ -587,7 +673,7 @@ def _paged_prefill_chunk_core(
     (logits, new substate, kwords, vwords).
     """
     from million_tpu.models.chunked_prefill import _causal_partial
-    from million_tpu.ops.pq_attention_pallas import pack_codes
+    from million_tpu.ops.pq_attention_pallas import pack_codes, to_byte_plane
 
     nc = ids.shape[1]
     if nc % 4:
@@ -621,8 +707,23 @@ def _paged_prefill_chunk_core(
 
         kc = jnp.swapaxes(runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
         vc = jnp.swapaxes(runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
-        kwords_l = pack_codes(kc)  # (H, M, ncw)
-        vwords_l = pack_codes(vc)
+        upd_l = {
+            "key_pool": pack_codes(kc),  # (H, M, ncw)
+            "value_pool": pack_codes(vc),
+        }
+        koidx = voidx = None
+        if "k_outlier_idx" in tables:
+            koidx = jax.lax.dynamic_index_in_dim(
+                tables["k_outlier_idx"], li, 0, False)
+            upd_l["key_outlier_pool"] = to_byte_plane(
+                jnp.swapaxes(k_st[0][..., koidx], -1, -2)
+            ).astype(jnp.bfloat16)  # (H, 4, OK, ncw)
+        if "v_outlier_idx" in tables:
+            voidx = jax.lax.dynamic_index_in_dim(
+                tables["v_outlier_idx"], li, 0, False)
+            upd_l["value_outlier_pool"] = to_byte_plane(
+                jnp.swapaxes(v_st[0][..., voidx], -1, -2)
+            ).astype(jnp.bfloat16)
         st = dict(st)
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
@@ -630,9 +731,16 @@ def _paged_prefill_chunk_core(
             kw = key_pool[li, h_pages]  # (nph, H, M, ps_w)
             vw = value_pool[li, h_pages]
             if use_kernel:
+                okw = {}
+                if k_out_pool is not None:
+                    okw["ko_pages"] = k_out_pool[li, h_pages]
+                    okw["koidx"] = koidx
+                if v_out_pool is not None:
+                    okw["vo_pages"] = v_out_pool[li, h_pages]
+                    okw["voidx"] = voidx
                 out_h, lse_h = _history_pages_kernel(
                     q_h, kw, vw, tables, li, pos_offset, scale,
-                    pcfg.page_size,
+                    pcfg.page_size, **okw,
                 )
             else:
                 out_h, lse_h = _history_partial_pages(
@@ -663,13 +771,13 @@ def _paged_prefill_chunk_core(
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h2, lp).astype(x.dtype)
-        return (x, st, li + 1), (kwords_l, vwords_l)
+        return (x, st, li + 1), upd_l
 
-    (x, sub, _), (kwords, vwords) = jax.lax.scan(
+    (x, sub, _), updates = jax.lax.scan(
         layer, (x, sub, jnp.asarray(0, jnp.int32)), params["layers"]
     )
     if not last_chunk:
-        return jnp.zeros((1, cfg.vocab_size), jnp.float32), sub, kwords, vwords
+        return jnp.zeros((1, cfg.vocab_size), jnp.float32), sub, updates
     x_last = jax.lax.dynamic_slice_in_dim(
         x, jnp.clip(nv - 1 - pos_offset, 0, nc - 1), 1, axis=1
     )
@@ -678,7 +786,7 @@ def _paged_prefill_chunk_core(
     new["seq_n_codes"] = sub["seq_n_codes"].at[seq_id].set((nv // 4) * 4)
     new["seq_r"] = sub["seq_r"].at[seq_id].set(nv - (nv // 4) * 4)
     new["seq_active"] = sub["seq_active"].at[seq_id].set(1)
-    return logits, new, kwords, vwords
+    return logits, new, updates
 
 
 def paged_admit_chunked(
@@ -723,8 +831,7 @@ def paged_admit_chunked(
     nvj = jnp.asarray(n, jnp.int32)
     ps_w = pcfg.page_size // 4
     cap_w = pcfg.pages_per_seq * ps_w
-    kp, vp = state["key_pool"], state["value_pool"]
-    _, sub = _split_state(state)
+    pools, sub = _split_state(state)
     page_table = state["page_table"]
     logits = None
     for s0 in range(0, n_pad, chunk):
@@ -745,14 +852,16 @@ def paged_admit_chunked(
             uk = (legal and not interp) if uk is None else (uk and legal)
         else:
             uk = False
-        logits, sub, kwords, vwords = _paged_prefill_chunk_core(
+        logits, sub, updates = _paged_prefill_chunk_core(
             params, cfg, pcfg, sid, jnp.asarray(ids[:, s0 : s0 + chunk]),
-            kp, vp, page_table, sub, tables, jnp.asarray(s0, jnp.int32),
+            pools["key_pool"], pools["value_pool"],
+            pools.get("key_outlier_pool"), pools.get("value_outlier_pool"),
+            page_table, sub, tables, jnp.asarray(s0, jnp.int32),
             nvj, hw_bucket=hw_b, last_chunk=(s0 + chunk == n_pad),
             use_kernel=uk,
         )
         # commit this chunk's words before the next chunk reads history
-        ncw = kwords.shape[-1]
+        ncw = updates["key_pool"].shape[-1]
         cw = min(ps_w, ncw)
         npc = -(-ncw // cw)
         j = jnp.arange(npc)
@@ -761,7 +870,7 @@ def paged_admit_chunked(
         real = w0 < ((nvj + 3) // 4)
         pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
         off = jnp.asarray((s0 // 4) % ps_w if cw < ps_w else 0, jnp.int32)
-        kp, vp = _commit_words(kp, vp, kwords, vwords, pages, off)
+        pools = _commit_words(pools, updates, pages, off)
     new = dict(sub)
-    new["key_pool"], new["value_pool"] = kp, vp
+    new.update(pools)
     return logits, new

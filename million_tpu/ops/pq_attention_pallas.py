@@ -473,7 +473,12 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
     only the V-side gather volume.
 
     q8 (G, 4M_k) int8 (prepare_q), ss (G, 1) f32 score scale, vo (G, 4M_v)
-    f32 per-row PV output scale (zero at filler rows)."""
+    f32 per-row PV output scale (zero at filler rows).
+
+    block_step's kw/vw accept either an (M, block//4) word array or a
+    CALLABLE tile getter `f(t) -> (M, tw)` words of tile t — the
+    multi-page kernel's page-group scratch is (KPP, M, ps_w), not a
+    contiguous (M, block//4) slab, so it reads tiles through a getter."""
     if v_direct is None:
         v_direct = direct
     G = q8.shape[0]
@@ -482,6 +487,8 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
     n_tiles = block // (4 * tw)
 
     def block_step(bi, kw, vw, kow=None, vow=None):
+        kw_at = kw if callable(kw) else (lambda t: kw[:, t * tw:(t + 1) * tw])
+        vw_at = vw if callable(vw) else (lambda t: vw[:, t * tw:(t + 1) * tw])
         # kow/vow: exact outlier-channel slabs for this block in BYTE-PLANE
         # layout (O, 4, bw) bf16 — [.., b, w] is token 4w+b — matching the
         # kernel's slot order (tile-major, byte-major within a tile; see
@@ -499,9 +506,8 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
 
         s_parts = []
         for t in range(n_tiles):
-            wsl = slice(t * tw, (t + 1) * tw)
             kd = jnp.concatenate(
-                [_decode_words(kt, kw[:, wsl], b, interpret, direct) for b in range(4)],
+                [_decode_words(kt, kw_at(t), b, interpret, direct) for b in range(4)],
                 axis=1,
             )  # (M, 4tw) i32: decoded K of 4tw tokens
             k8 = _expand_i8(kd, interpret)  # (4M, 4tw) i8
@@ -535,10 +541,9 @@ def _make_block_step(block, tw, q8, ss, vo, kt, vt, acc, m_s, l_s, n_codes,
         )  # (2G, block)
         dd = jnp.zeros((2 * G, 4 * vt.shape[0]), jnp.int32)
         for t in range(n_tiles):
-            wsl = slice(t * tw, (t + 1) * tw)
             tsl = slice(t * 4 * tw, (t + 1) * 4 * tw)
             vd = jnp.concatenate(
-                [_decode_words(vt, vw[:, wsl], b, interpret, v_direct) for b in range(4)],
+                [_decode_words(vt, vw_at(t), b, interpret, v_direct) for b in range(4)],
                 axis=1,
             )
             v8 = _expand_i8(vd, interpret)  # (4M, 4tw) i8
@@ -990,26 +995,36 @@ def pq_codes_attention_stacked(
 # --------------------------------------------------------------------------
 
 def _pq_chunk_attn_kernel(
-    nc_ref,  # (1, 1) int32 SMEM — valid quantized history tokens
-    q_ref,  # (1, 1, QB, 4PM) int8 — one q block (prepare_q output rows)
-    ss_ref,  # (1, 1, QB, 128) f32 per-row score scale, lane-broadcast
-    kc_ref,  # (1, 1, M, block//4) int32 words — one history block
-    vc_ref,
-    kt_ref,  # (M, 128) int32 quad-packed decode table
-    vt_ref,
-    vo_ref,  # (QB, 4M_v) f32 PV output row scales
-    out_ref,  # (1, 1, QB, 4M_v) f32 (kernel-row order)
-    lse_ref,  # (1, 1, QB, 128) f32, lane-broadcast
-    acc_ref,
-    m_ref,
-    l_ref,
-    *,
+    *refs,
+    # ref order (flags select optional ones): nc | q, ss, [qo], kc, vc,
+    # [ko, ] [vo2, ] kt, vt, vo | out, lse, [co] | acc, m, l, [co_acc]
+    # nc (1, 1) int32 SMEM valid history tokens; q (1, 1, QB, 4PM) int8
+    # one q block (prepare_q rows); ss (1, 1, QB, 128) f32 lane-broadcast
+    # scale; qo (1, 1, QB, OK) bf16 exact outlier-q rows; kc/vc
+    # (1, 1, M, block//4) int32 history-block words; ko/vo2
+    # (1, 1, 4, O, block//4) bf16 byte-plane outlier slabs; kt/vt (M, 128)
+    # decode tables; vo (QB, 4M_v) f32 PV row scales; co (1, 1, QB, OV).
     block: int,
     tw: int,
     interpret: bool,
     direct: bool = False,
     v_direct: bool | None = None,
+    with_ko: bool = False,
+    with_vo: bool = False,
 ):
+    it = iter(refs)
+    nc_ref = next(it)
+    q_ref, ss_ref = next(it), next(it)
+    qo_ref = next(it) if with_ko else None
+    kc_ref, vc_ref = next(it), next(it)
+    ko_ref = next(it) if with_ko else None
+    vo2_ref = next(it) if with_vo else None
+    kt_ref, vt_ref, vo_ref = next(it), next(it), next(it)
+    out_ref, lse_ref = next(it), next(it)
+    co_ref = next(it) if with_vo else None
+    acc_ref, m_ref, l_ref = next(it), next(it), next(it)
+    co_acc_ref = next(it) if with_vo else None
+
     i = pl.program_id(3)
     nb = pl.num_programs(3)
     n_codes = nc_ref[0, 0]
@@ -1019,20 +1034,30 @@ def _pq_chunk_attn_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if with_vo:
+            co_acc_ref[:] = jnp.zeros_like(co_acc_ref)
 
     block_step = _make_block_step(
         block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
         v_direct,
+        qo=qo_ref[0, 0] if with_ko else None,
+        co_acc=co_acc_ref if with_vo else None,
     )
 
     @pl.when(i * block < n_codes)
     def _():
-        block_step(i, kc_ref[0, 0], vc_ref[0, 0])
+        block_step(
+            i, kc_ref[0, 0], vc_ref[0, 0],
+            kow=ko_ref[0, 0] if with_ko else None,
+            vow=vo2_ref[0, 0] if with_vo else None,
+        )
 
     @pl.when(i == nb - 1)
     def _():
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
+        if with_vo:
+            _finish_co(co_ref, co_acc_ref, l_ref)
 
 
 @functools.partial(
@@ -1054,10 +1079,20 @@ def pq_chunk_attention(
     interpret: bool | None = None,
     direct: bool = False,
     v_direct: bool | None = None,
-) -> Tuple[jax.Array, jax.Array]:
+    qo: jax.Array | None = None,  # (bs, nh_k, QR, OK) bf16 — exact
+    # outlier-channel q rows (pre-scaled, sliced to k_outlier_idx)
+    k_outliers: jax.Array | None = None,  # (bs, nh_k, 4, OK, NW) bf16
+    # byte-plane outlier arena (to_byte_plane layout)
+    v_outliers: jax.Array | None = None,  # (bs, nh_k, 4, OV, NW) bf16
+) -> Tuple[jax.Array, ...]:
     """Many-query partial attention over a quantized code arena — the
     admission/chunked-prefill analogue of pq_codes_attention (VERDICT r3
     item 1: the decode kernel's math with a q-block axis).
+
+    Outlier-channel mode: with k_outliers/qo the scores gain the exact
+    dense correction; with v_outliers a third output co (bs, nh_k, QR,
+    OV) f32 carries the normalized exact outlier-channel values — the
+    caller scatters them at v_outlier_idx. Returns (out, lse[, co]).
 
     The decode kernels carry GROUP_PAD=8 q rows per kv head; here the row
     axis QR is a whole chunk of queries (q_pos-major, GQA-group-minor —
@@ -1094,6 +1129,10 @@ def pq_chunk_attention(
     R = 4 * kpack.tab.shape[-2]
     R_out = 4 * vpack.tab.shape[-2]
     vd = direct if v_direct is None else v_direct
+    with_ko = k_outliers is not None
+    with_vo = v_outliers is not None
+    if with_ko and qo is None:
+        raise ValueError("k_outliers requires qo (exact outlier-channel q)")
 
     q8, ss = prepare_q(q, kpack, d // M, direct)  # (bs, nh_k, QR, 4PM), (.., 1)
     ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
@@ -1103,43 +1142,87 @@ def pq_chunk_attention(
     nc = n_codes.astype(jnp.int32).reshape(1, 1)
     kernel = functools.partial(
         _pq_chunk_attn_kernel, block=block, tw=tw, interpret=interpret,
-        direct=direct, v_direct=v_direct,
+        direct=direct, v_direct=v_direct, with_ko=with_ko, with_vo=with_vo,
     )
-    out, lse = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda b, h, j, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, q_block, R), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_block, LANES), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [nc, q8, ss_b]
+    if with_ko:
+        OK = qo.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((1, 1, q_block, OK), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(qo.astype(jnp.bfloat16))
+    in_specs += [
+        pl.BlockSpec((1, 1, M, bw), lambda b, h, j, i: (b, h, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, M_v, bw), lambda b, h, j, i: (b, h, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [key_codes, value_codes]
+    if with_ko:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 4, k_outliers.shape[3], bw),
+                         lambda b, h, j, i: (b, h, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(k_outliers)
+    if with_vo:
+        OV = v_outliers.shape[3]
+        in_specs.append(
+            pl.BlockSpec((1, 1, 4, OV, bw),
+                         lambda b, h, j, i: (b, h, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(v_outliers)
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands += [kpack.tab, vpack.tab, vo]
+    out_specs = [
+        pl.BlockSpec((1, 1, q_block, R_out), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_block, LANES), lambda b, h, j, i: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bs, nh_k, QR, R_out), jnp.float32),
+        jax.ShapeDtypeStruct((bs, nh_k, QR, LANES), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((q_block, R_out), jnp.float32),
+        pltpu.VMEM((q_block, LANES), jnp.float32),
+        pltpu.VMEM((q_block, LANES), jnp.float32),
+    ]
+    if with_vo:
+        out_specs.append(
+            pl.BlockSpec((1, 1, q_block, OV), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bs, nh_k, QR, OV), jnp.float32))
+        scratch.append(pltpu.VMEM((q_block, OV), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(bs, nh_k, nq, nb),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, j, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, q_block, R), lambda b, h, j, i: (b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_block, LANES), lambda b, h, j, i: (b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M, bw), lambda b, h, j, i: (b, h, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M_v, bw), lambda b, h, j, i: (b, h, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, q_block, R_out), lambda b, h, j, i: (b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_block, LANES), lambda b, h, j, i: (b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, QR, R_out), jnp.float32),
-            jax.ShapeDtypeStruct((bs, nh_k, QR, LANES), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((q_block, R_out), jnp.float32),
-            pltpu.VMEM((q_block, LANES), jnp.float32),
-            pltpu.VMEM((q_block, LANES), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(nc, q8, ss_b, key_codes, value_codes, kpack.tab, vpack.tab, vo)
-    return _select_natural(out, d // M_v, vd), lse[..., 0]
+    )(*operands)
+    out, lse = res[0], res[1]
+    nat = _select_natural(out, d // M_v, vd)
+    if with_vo:
+        return nat, lse[..., 0], res[2]
+    return nat, lse[..., 0]
 
 
 def pq_chunk_history_attention(
@@ -1157,11 +1240,19 @@ def pq_chunk_history_attention(
     interpret: bool | None = None,
     direct: bool = False,
     v_direct: bool | None = None,
+    koidx: jax.Array | None = None,  # (OK,) outlier channel indices -> the
+    # wrapper builds qo and applies the score correction
+    k_outliers: jax.Array | None = None,  # (bs, nh_k, 4, OK, NW) bf16
+    voidx: jax.Array | None = None,  # (OV,) -> co scattered back at these
+    v_outliers: jax.Array | None = None,  # (bs, nh_k, 4, OV, NW) bf16
 ) -> Tuple[jax.Array, jax.Array]:
     """GQA-aware wrapper of pq_chunk_attention for the admission call
     sites: regroups (bs, nh, nc, d) chunk queries by kv head with rows
     ordered (q_pos, group) — row r = q_pos * G + g — pads the row count to
-    a q_block multiple, and undoes both on the way out. Returns
+    a q_block multiple, and undoes both on the way out. Outlier channels
+    (koidx/voidx + byte-plane arenas) fold in as in the decode path: the
+    K side corrects the scores, the V side's exact values are scattered
+    over the decoded-zero channels. Returns
     (out (bs, nh, nc, d) f32 normalized, lse (bs, nh, nc) f32)."""
     bs, nh, nc, d = q.shape
     nh_k = key_codes.shape[1]
@@ -1175,11 +1266,23 @@ def pq_chunk_history_attention(
     pad = (-QR) % qb
     if pad:
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    out, lse = pq_chunk_attention(
+    okw = {}
+    if k_outliers is not None:
+        okw["qo"] = jnp.take_along_axis(
+            qs, koidx[None, None, None, :], axis=-1)
+        okw["k_outliers"] = k_outliers
+    if v_outliers is not None:
+        okw["v_outliers"] = v_outliers
+    res = pq_chunk_attention(
         qs, key_codes, value_codes, kpack, vpack, n_prev,
         q_block=qb, block=block, n_bucket=n_bucket, interpret=interpret,
-        direct=direct, v_direct=v_direct,
+        direct=direct, v_direct=v_direct, **okw,
     )
+    out, lse = res[0], res[1]
+    if v_outliers is not None:
+        # decoded outlier components are exactly 0 (centroids trained on
+        # zeroed channels); the correction IS the channel value
+        out = out.at[..., voidx].set(res[2])
     out = out[:, :, :QR].reshape(bs, nh_k, nc, G, d)
     out = jnp.swapaxes(out, 2, 3).reshape(bs, nh, nc, d)
     lse = lse[:, :, :QR].reshape(bs, nh_k, nc, G)
@@ -1331,29 +1434,236 @@ def pq_paged_attention(
     return _select_natural(out, d // M_v, vd), lse[..., 0]
 
 
-def _pq_paged_attn_kernel_stacked(
-    li_ref,  # (1,) layer index (consumed by the index maps)
-    pt_ref,  # (bs, P_max) page table
+def _pq_paged_attn_kernel_stacked_mp(
+    li_ref,  # (1,) layer index
+    pt_ref,  # (bs, P_pad) page table (scalar prefetch, clamped >= 0)
     nc_ref,  # (bs,) per-sequence valid codes
-    q_ref,
-    ss_ref,
-    kc_ref,  # (1, 1, 1, M, ps_w) int32
-    vc_ref,
-    kt_ref,  # (M, 128) int32 — current layer's table (sliced in XLA)
+    q_ref,  # (1, 1, GROUP_PAD, 4M) int8
+    ss_ref,  # (1, 1, GROUP_PAD, 128) f32
+    kp_ref,  # FULL pool stack (L, n_pages+1, nh_k, M, ps_w) — stays in HBM
+    vp_ref,
+    kt_ref,  # (M, 128) int32 current layer's table
     vt_ref,
-    vo_ref,  # (GROUP_PAD, 4M) f32
+    vo_ref,  # (GROUP_PAD, 4M_v) f32
     out_ref,
     lse_ref,
+    kbuf,  # VMEM (2, KPP, M, ps_w) int32 — double-buffered page group
+    vbuf,  # VMEM (2, KPP, M_v, ps_w)
     acc_ref,
     m_ref,
     l_ref,
+    ksem,  # DMA sems (2, KPP)
+    vsem,
     *,
+    page_size: int,
+    tw: int,
+    KPP: int,
+    interpret: bool,
+    direct: bool = False,
+    v_direct: bool | None = None,
+):
+    """Multi-page paged decode kernel (VERDICT r3 item 2): each grid step
+    walks KPP page-table entries, DMAing the page group from the HBM pools
+    into a double-buffered VMEM scratch (group g+1 streams while group g
+    computes) and running ONE fused block step over the whole
+    KPP*page_size-token block — so block-start overhead (per-block softmax
+    stats, grid machinery) stops scaling with page count. With KPP chosen
+    so KPP*page_size == 16384, the block interior is IDENTICAL to the flat
+    kernel's; the single-page BlockSpec variant paid one block start per
+    page (16x more at 2048-token pages over 32K)."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    g = pl.program_id(2)
+    ng = pl.num_programs(2)
+    n_codes = nc_ref[b]
+    li = li_ref[0]
+    P_pad = pt_ref.shape[1]
+    block = KPP * page_size
+    tpp = (page_size // WORD) // tw  # word-tiles per page
+
+    def group_dmas(gi, slot):
+        out = []
+        for j in range(KPP):
+            idx = gi * KPP + j
+            if P_pad > 1:
+                idx = jnp.minimum(idx, P_pad - 1)
+            pid = pt_ref[b, idx]
+            out.append(pltpu.make_async_copy(
+                kp_ref.at[li, pid, h], kbuf.at[slot, j], ksem.at[slot, j]))
+            out.append(pltpu.make_async_copy(
+                vp_ref.at[li, pid, h], vbuf.at[slot, j], vsem.at[slot, j]))
+        return out
+
+    @pl.when(g == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        for dma in group_dmas(0, 0):
+            dma.start()
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g + 1 < ng)
+    def _():
+        for dma in group_dmas(g + 1, jax.lax.rem(g + 1, 2)):
+            dma.start()
+
+    for dma in group_dmas(g, slot):
+        dma.wait()
+
+    def kw_at(t):
+        return kbuf[slot, t // tpp, :, (t % tpp) * tw:(t % tpp + 1) * tw]
+
+    def vw_at(t):
+        return vbuf[slot, t // tpp, :, (t % tpp) * tw:(t % tpp + 1) * tw]
+
+    block_step = _make_block_step(
+        block, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
+        kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret,
+        direct, v_direct,
+    )
+
+    @pl.when(g * block < n_codes)
+    def _():
+        block_step(g, kw_at, vw_at)
+
+    @pl.when(g == ng - 1)
+    def _():
+        _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "direct", "v_direct", "p_bucket", "kpp"),
+)
+def pq_paged_attention_stacked_mp(
+    q: jax.Array,  # (bs, nh_k, GROUP_PAD, d) bf16, pre-scaled
+    key_pool: jax.Array,  # (L, n_pages+1, nh_k, M, ps_w) int32 — FULL stack
+    value_pool: jax.Array,
+    kpack: DecodeTable,  # stacked (L, ...)
+    vpack: DecodeTable,
+    layer: jax.Array,  # () int32
+    page_table: jax.Array,  # (bs, P_max) int32, -1 = unallocated
+    n_codes: jax.Array,  # (bs,) int32
+    *,
+    interpret: bool | None = None,
+    direct: bool = False,
+    v_direct: bool | None = None,
+    p_bucket: int | None = None,
+    kpp: int | None = None,  # pages per grid step (None -> cover 16384
+    # tokens per block, the flat kernel's geometry)
+) -> Tuple[jax.Array, jax.Array]:
+    """pq_paged_attention_stacked with multi-page kernel blocks: manual
+    double-buffered page-group DMA instead of one BlockSpec block per page
+    (see _pq_paged_attn_kernel_stacked_mp). Same (out, lse) contract."""
+    bs, nh_k, G, d = q.shape
+    L, n_pages_p1, _, M, ps_w = key_pool.shape
+    M_v = value_pool.shape[3]
+    page_size = ps_w * WORD
+    P_max = page_table.shape[1]
+    if p_bucket is not None:
+        P_max = min(P_max, max(p_bucket, 1))
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if kpp is None:
+        kpp = max(16384 // page_size, 1)
+    kpp = min(kpp, P_max)
+    ng = -(-P_max // kpp)
+    tw = _block_geometry(page_size, ps_w, interpret)
+    if (ps_w % tw) != 0:
+        raise ValueError(f"page_size {page_size} not tileable (ps_w % tw)")
+    R = 4 * kpack.tab.shape[-2]
+    R_out = 4 * vpack.tab.shape[-2]
+    vd = direct if v_direct is None else v_direct
+
+    kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
+    kt_l = jax.lax.dynamic_index_in_dim(kpack.tab, layer, 0, False)
+    vt_l = jax.lax.dynamic_index_in_dim(vpack.tab, layer, 0, False)
+    vo_l = jax.lax.dynamic_index_in_dim(vpack.out_scale, layer, 0, False)
+    q8, ss = prepare_q(q, DecodeTable(kt_l, kq_l, kq_l), d // M, direct)
+    ss_b = jnp.broadcast_to(ss, (*ss.shape[:-1], LANES)).astype(jnp.float32)
+    vo_b = jnp.broadcast_to(vo_l, (G, R_out)).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _pq_paged_attn_kernel_stacked_mp, page_size=page_size, tw=tw,
+        KPP=kpp, interpret=interpret, direct=direct, v_direct=v_direct,
+    )
+    pt = jnp.maximum(page_table, 0).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bs, nh_k, ng),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # pools stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, kpp, M, ps_w), jnp.int32),
+            pltpu.VMEM((2, kpp, M_v, ps_w), jnp.int32),
+            pltpu.VMEM((G, R_out), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+            pltpu.VMEM((G, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, kpp)),
+            pltpu.SemaphoreType.DMA((2, kpp)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        layer.reshape(1).astype(jnp.int32),
+        pt,
+        n_codes.astype(jnp.int32),
+        q8, ss_b, key_pool, value_pool, kt_l, vt_l, vo_b,
+    )
+    return _select_natural(out, d // M_v, vd), lse[..., 0]
+
+
+def _pq_paged_attn_kernel_stacked(
+    *refs,
+    # ref order (flags select optional ones): li, pt, nc | q, ss, [qo],
+    # kc, vc, [ko, ] [vo2, ] kt, vt, vo | out, lse, [co] | acc, m, l,
+    # [co_acc] — the paged mirror of _pq_attn_kernel_stacked: ko/vo2 are
+    # PAGE blocks (1, 1, 1, 4, O, ps_w) bf16 of the byte-plane outlier
+    # pools, selected by the same pt[b, i] index map as the code pages.
     page_size: int,
     tw: int,
     interpret: bool,
     direct: bool = False,
     v_direct: bool | None = None,
+    with_ko: bool = False,
+    with_vo: bool = False,
 ):
+    it = iter(refs)
+    li_ref, pt_ref, nc_ref = next(it), next(it), next(it)
+    q_ref, ss_ref = next(it), next(it)
+    qo_ref = next(it) if with_ko else None
+    kc_ref, vc_ref = next(it), next(it)
+    ko_ref = next(it) if with_ko else None
+    vo2_ref = next(it) if with_vo else None
+    kt_ref, vt_ref, vo_ref = next(it), next(it), next(it)
+    out_ref, lse_ref = next(it), next(it)
+    co_ref = next(it) if with_vo else None
+    acc_ref, m_ref, l_ref = next(it), next(it), next(it)
+    co_acc_ref = next(it) if with_vo else None
+
     b = pl.program_id(0)
     i = pl.program_id(2)
     nb = pl.num_programs(2)
@@ -1364,20 +1674,30 @@ def _pq_paged_attn_kernel_stacked(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if with_vo:
+            co_acc_ref[:] = jnp.zeros_like(co_acc_ref)
 
     block_step = _make_block_step(
         page_size, tw, q_ref[0, 0], ss_ref[0, 0][:, :1], vo_ref[:],
         kt_ref[:], vt_ref[:], acc_ref, m_ref, l_ref, n_codes, interpret, direct,
         v_direct,
+        qo=qo_ref[0, 0] if with_ko else None,
+        co_acc=co_acc_ref if with_vo else None,
     )
 
     @pl.when(i * page_size < n_codes)
     def _():
-        block_step(i, kc_ref[0, 0, 0], vc_ref[0, 0, 0])
+        block_step(
+            i, kc_ref[0, 0, 0], vc_ref[0, 0, 0],
+            kow=ko_ref[0, 0, 0] if with_ko else None,
+            vow=vo2_ref[0, 0, 0] if with_vo else None,
+        )
 
     @pl.when(i == nb - 1)
     def _():
         _finish(out_ref, lse_ref, acc_ref, m_ref, l_ref)
+        if with_vo:
+            _finish_co(co_ref, co_acc_ref, l_ref)
 
 
 @functools.partial(
@@ -1398,10 +1718,22 @@ def pq_paged_attention_stacked(
     v_direct: bool | None = None,
     p_bucket: int | None = None,  # static page-walk bound (see
     # pq_paged_attention)
-) -> Tuple[jax.Array, jax.Array]:
+    qo: jax.Array | None = None,  # (bs, nh_k, G, OK) bf16 — exact
+    # outlier-channel q, pre-scaled + sliced to this layer's k_outlier_idx
+    k_outliers: jax.Array | None = None,  # (L, n_pages+1, nh_k, 4, OK,
+    # ps_w) bf16 byte-plane outlier POOL (page layout of to_byte_plane)
+    v_outliers: jax.Array | None = None,  # (L, n_pages+1, nh_k, 4, OV, ps_w)
+) -> Tuple[jax.Array, ...]:
     """pq_paged_attention over one layer of the stacked page pools, the layer
     selected via scalar prefetch (same rationale as
-    pq_codes_attention_stacked: no layer-slice copies in the decode loop)."""
+    pq_codes_attention_stacked: no layer-slice copies in the decode loop).
+
+    Outlier-channel mode (round 4 — the serving-path port of the flat
+    kernel's OK/OV option): k_outliers/v_outliers are page POOLS beside
+    the code pools; pages stream through the same pt[b, i] index maps and
+    the kernel folds them in as dense MXU terms. With v_outliers a third
+    output co (bs, nh_k, G, OV) carries the normalized exact values for
+    the caller to scatter at v_outlier_idx. Returns (out, lse[, co])."""
     bs, nh_k, G, d = q.shape
     L, n_pages_p1, _, M, ps_w = key_pool.shape
     M_v = value_pool.shape[3]  # may differ: asymmetric K/V geometry
@@ -1415,6 +1747,10 @@ def pq_paged_attention_stacked(
     R = 4 * kpack.tab.shape[-2]  # 4 * P_k * M
     R_out = 4 * vpack.tab.shape[-2]
     vd = direct if v_direct is None else v_direct
+    with_ko = k_outliers is not None
+    with_vo = v_outliers is not None
+    if with_ko and qo is None:
+        raise ValueError("k_outliers requires qo (exact outlier-channel q)")
 
     kq_l = jax.lax.dynamic_index_in_dim(kpack.q_scale, layer, 0, False)
     kt_l = jax.lax.dynamic_index_in_dim(kpack.tab, layer, 0, False)
@@ -1427,48 +1763,90 @@ def pq_paged_attention_stacked(
     kernel = functools.partial(
         _pq_paged_attn_kernel_stacked, page_size=page_size, tw=tw,
         interpret=interpret, direct=direct, v_direct=v_direct,
+        with_ko=with_ko, with_vo=with_vo,
     )
     pt = jnp.maximum(page_table, 0).astype(jnp.int32)
 
     def codes_map(b, h, i, li, pt, nc):
         return (li[0], pt[b, i], h, 0, 0)
 
+    def planes_map(b, h, i, li, pt, nc):
+        return (li[0], pt[b, i], h, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+    ]
+    operands = [q8, ss_b]
+    if with_ko:
+        OK = qo.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((1, 1, G, OK), lambda b, h, i, li, pt, nc: (b, h, 0, 0))
+        )
+        operands.append(qo.astype(jnp.bfloat16))
+    in_specs += [
+        pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
+        pl.BlockSpec((1, 1, 1, M_v, ps_w), codes_map),
+    ]
+    operands += [key_pool, value_pool]
+    if with_ko:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, 4, k_outliers.shape[4], ps_w), planes_map)
+        )
+        operands.append(k_outliers)
+    if with_vo:
+        OV = v_outliers.shape[4]
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, 4, OV, ps_w), planes_map)
+        )
+        operands.append(v_outliers)
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands += [kt_l, vt_l, vo_b]
+    out_specs = [
+        pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
+        pl.BlockSpec(
+            (1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
+        jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((G, R_out), jnp.float32),
+        pltpu.VMEM((G, LANES), jnp.float32),
+        pltpu.VMEM((G, LANES), jnp.float32),
+    ]
+    if with_vo:
+        out_specs.append(
+            pl.BlockSpec((1, 1, G, OV), lambda b, h, i, li, pt, nc: (b, h, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bs, nh_k, G, OV), jnp.float32))
+        scratch.append(pltpu.VMEM((G, OV), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bs, nh_k, P_max),
-        in_specs=[
-            pl.BlockSpec((1, 1, G, R), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, M, ps_w), codes_map),
-            pl.BlockSpec((1, 1, 1, M_v, ps_w), codes_map),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, G, R_out), lambda b, h, i, li, pt, nc: (b, h, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, G, LANES), lambda b, h, i, li, pt, nc: (b, h, 0, 0)
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((G, R_out), jnp.float32),
-            pltpu.VMEM((G, LANES), jnp.float32),
-            pltpu.VMEM((G, LANES), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    out, lse = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((bs, nh_k, G, R_out), jnp.float32),
-            jax.ShapeDtypeStruct((bs, nh_k, G, LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(
         layer.reshape(1).astype(jnp.int32),
         pt,
         n_codes.astype(jnp.int32),
-        q8, ss_b, key_pool, value_pool, kt_l, vt_l, vo_b,
+        *operands,
     )
-    return _select_natural(out, d // M_v, vd), lse[..., 0]
+    out, lse = res[0], res[1]
+    nat = _select_natural(out, d // M_v, vd)
+    if with_vo:
+        return nat, lse[..., 0], res[2]
+    return nat, lse[..., 0]

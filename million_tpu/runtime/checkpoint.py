@@ -83,6 +83,9 @@ def save_session(path: str, sched: Scheduler) -> None:
     """Snapshot a live Scheduler: device cache state, host slot mirrors,
     in-flight and queued requests, generated-so-far tokens, and the
     sampling RNG key."""
+    # drain the pipelined token readback: in-flight sampled tokens must
+    # land in the generated lists before they are serialized
+    sched._process_pending()
     arrays = {_PREFIX_STATE + k: np.asarray(v) for k, v in sched.state.items()}
     arrays[_PREFIX_HOST + "slot_pos"] = sched.slot_pos
     arrays[_PREFIX_HOST + "slot_pages"] = sched.slot_pages

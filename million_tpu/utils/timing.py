@@ -64,3 +64,47 @@ def chained_bench(
     t_long = run(iters)
     t_short = run(short)
     return max((t_long - t_short) / (iters - short), 1e-9)
+
+
+def chained_bench_stats(
+    step: Callable[[Any], Any],
+    init_state: Any,
+    iters: int = 30,
+    warmup: int = 2,
+    repeats: int = 5,
+) -> dict:
+    """chained_bench repeated `repeats` times WITHIN one invocation,
+    returning {"p50", "p10", "p90", "samples"} seconds-per-call. The
+    tunnel-host variance between sessions is ~25% (BENCH_r01-03 headline
+    wobble, VERDICT r3 weak #7); a median-of-N inside the run separates
+    that session noise from real regressions."""
+    factory = init_state if callable(init_state) else (lambda: init_state)
+
+    s = factory()
+    for _ in range(warmup):
+        s = step(s)
+    _force(s)
+    del s
+
+    def run(n: int) -> float:
+        st = factory()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st = step(st)
+        _force(st)
+        del st
+        return time.perf_counter() - t0
+
+    short = max(1, iters // 4)
+    samples = []
+    for _ in range(repeats):
+        t_long = run(iters)
+        t_short = run(short)
+        samples.append(max((t_long - t_short) / (iters - short), 1e-9))
+    arr = np.asarray(samples)
+    return {
+        "p50": float(np.median(arr)),
+        "p10": float(np.percentile(arr, 10)),
+        "p90": float(np.percentile(arr, 90)),
+        "samples": [float(x) for x in arr],
+    }

@@ -119,3 +119,34 @@ def test_small_pages_rejected_on_compiled_backend(rng, monkeypatch):
         Scheduler(params, cfg, _paged_cfg(page_size=128), tables)
     monkeypatch.undo()
     Scheduler(params, cfg, _paged_cfg(page_size=128), tables)  # cpu ok
+
+
+def test_scheduler_rejects_oversized_pages():
+    """page_size >> admit_chunk must be rejected at construction: the
+    chunked-admission transients OOM at the serving shape (measured at
+    8192-token pages) — fail loud, not mid-admission (VERDICT r3 item 9)."""
+    import jax
+    import pytest
+
+    from million_tpu.cache.paged_pq_cache import PagedPQCacheConfig
+    from million_tpu.models.llama import PRESETS, init_params, build_tables
+    from million_tpu.runtime.scheduler import Scheduler
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = PRESETS["test-tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M = cfg.head_dim // 2
+    rng = np.random.default_rng(0)
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((cfg.num_layers, M, 32, 2)), jnp.float32),
+    }
+    tables = build_tables(cents)
+    pcfg = PagedPQCacheConfig(
+        num_layers=cfg.num_layers, nh_k=cfg.num_kv_heads, d=cfg.head_dim,
+        M=M, C=32, Lt=8, page_size=8192, n_pages=4, max_seqs=2,
+        pages_per_seq=2,
+    )
+    with pytest.raises(ValueError, match="admit_chunk"):
+        Scheduler(params, cfg, pcfg, tables)

@@ -594,3 +594,47 @@ def test_chunk_kernel_matches_jnp_history_partial(rng):
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("kpp", [2, 4])
+def test_paged_mp_kernel_matches_single_page(rng, kpp):
+    """Multi-page paged kernel (manual double-buffered page-group DMA)
+    vs the single-page BlockSpec variant — identical inputs, same
+    results (they share the block-step interior)."""
+    from million_tpu.ops.pq_attention_pallas import (
+        pq_paged_attention_stacked,
+        pq_paged_attention_stacked_mp,
+    )
+
+    L, bs, nh_k, d, M, C = 3, 2, 2, 32, 16, 256
+    page_size, P_seq = 128, 6
+    ps_w = page_size // 4
+    n_pages = bs * P_seq
+    q = rng.standard_normal((bs, nh_k, GROUP_PAD, d)).astype(np.float32) * 0.3
+    kcent = rng.standard_normal((L, M, C, d // M)).astype(np.float32)
+    vcent = rng.standard_normal((L, M, C, d // M)).astype(np.float32)
+    kpack = jax.vmap(pack_decode_table)(jnp.asarray(kcent))
+    vpack = jax.vmap(pack_decode_table)(jnp.asarray(vcent))
+    kp = jnp.asarray(
+        rng.integers(-(2**31), 2**31, (L, n_pages + 1, nh_k, M, ps_w)),
+        jnp.int32)
+    vp = jnp.asarray(
+        rng.integers(-(2**31), 2**31, (L, n_pages + 1, nh_k, M, ps_w)),
+        jnp.int32)
+    # shuffled page tables + ragged per-seq lengths
+    perm = rng.permutation(n_pages)
+    pt = jnp.asarray(perm.reshape(bs, P_seq), jnp.int32)
+    n_codes = jnp.asarray([5 * page_size + 37, 2 * page_size], jnp.int32)
+    li = jnp.asarray(1, jnp.int32)
+    qj = jnp.asarray(q, jnp.bfloat16)
+
+    out_a, lse_a = pq_paged_attention_stacked(
+        qj, kp, vp, kpack, vpack, li, pt, n_codes, interpret=True)
+    out_b, lse_b = pq_paged_attention_stacked_mp(
+        qj, kp, vp, kpack, vpack, li, pt, n_codes, interpret=True, kpp=kpp)
+    # the wider block changes online-softmax accumulation order and the
+    # p-plane quantization boundaries -> ~1e-4 noise, not exact equality
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(lse_b), np.asarray(lse_a),
+                               rtol=1e-3, atol=1e-3)
