@@ -26,6 +26,11 @@ import numpy as np
 
 CTX = 32768
 HBM_BUDGET = 13.5e9  # bytes usable for weights+cache on a 16 GB chip
+FLUSH_CHUNK = 16  # sub-window flush size (VERDICT r3 item 6): flush the
+# oldest 16 tokens when the window fills instead of all 128 — the flush
+# spike (dominated by the (rows, M, C) distance transient of the encode)
+# shrinks ~8x at the same amortized cost, and the exact-recent window
+# never drops below Lt-16 (llama.flush_windows)
 REPEATS = 5  # median-of-N within one run (VERDICT r3 weak #7: the
 # session-to-session tunnel variance is ~25%; the in-run median + p10/p90
 # make the headline defensible against it)
@@ -105,30 +110,76 @@ def measure_pq(cfg, params, bs, iters):
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("flush",))
-    def step(params, tables, state, flush=False):
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(params, tables, state):
         tok, cache = state
         logits, cache = decode_step(
             params, cfg, tok, jnp.asarray(CTX - 500, jnp.int32), cache, tables,
-            mode="pq_pallas", flush=flush,
+            mode="pq_pallas",
         )
         return (jnp.argmax(logits, -1).astype(jnp.int32), cache)
+
+    from million_tpu.models.llama import flush_windows
+
+    def flush_cycle(st):
+        # ONE production flush cycle: a sub-window flush followed by
+        # FLUSH_CHUNK decode steps — the cadence generate actually runs.
+        # Timing the flush as a lone 3-program composition is
+        # host-dispatch-bound on this tunneled runtime (every device-side
+        # change to the flush moved the number by ~0, while the profiler
+        # showed ~2-4 ms of real flush device work); amortizing it inside
+        # a device-bound chain hides the host exactly as production does.
+        tok, cache = st
+        cache = flush_windows(cache, tables, n=FLUSH_CHUNK)
+        st = (tok, cache)
+        for _ in range(FLUSH_CHUNK):
+            st = step(params, tables, st)
+        return st
 
     stats = chained_bench_stats(
         lambda st: step(params, tables, st), make_state, iters=iters,
         repeats=REPEATS,
     )
     dt = stats["p50"]
-    # One step in Lt carries the residual-window flush (fused-kernel batch
-    # encode + slab write); amortize its extra cost into the reported TPOT
-    # so the number is a true steady-state decode average. The flush step
-    # is also the worst-case (tail) per-token latency: with Lt=128 it sits
-    # at p99.2, so flush/p50 is the serving jitter ratio.
-    Lt = pq_cfg.Lt
-    dt_flush = chained_bench(
-        lambda st: step(params, tables, st, flush=True), make_state, iters=8
-    )
-    log(f"flush step: {dt_flush*1e3:.2f} ms (amortized /{Lt}; "
+    # One step in FLUSH_CHUNK carries a sub-window residual flush (batch
+    # encode of the oldest 32 rows + slab write + roll); amortize its
+    # extra cost into the reported TPOT so the number is a true
+    # steady-state decode average. The flush step is also the worst-case
+    # (tail) per-token latency, so flush/p50 is the serving jitter ratio.
+    Lt = FLUSH_CHUNK
+    cyc = chained_bench_stats(flush_cycle, make_state, iters=4, repeats=3)
+    dt_cycle = cyc["p50"] / FLUSH_CHUNK
+    # latency of the step that carries the flush (the tail a serving
+    # client sees), reconstructed from the amortized cycle cost. The
+    # reconstruction multiplies per-step noise by FLUSH_CHUNK, so ALSO
+    # measure the flush program's device time directly from the hardware
+    # profile (trace_op_breakdown) — that is the tail a pipelined/async
+    # client actually experiences (~2 ms at F=16, i.e. ~1.05x p50).
+    dt_flush = dt + max(dt_cycle - dt, 0.0) * FLUSH_CHUNK
+    flush_dev_ms = None
+    try:
+        from million_tpu.utils.profiling import trace_op_breakdown
+
+        st_p = make_state()
+        st_p = (st_p[0], flush_windows(st_p[1], tables, n=FLUSH_CHUNK))
+        # drain EVERYTHING in flight before tracing: the async chain from
+        # the cycle bench otherwise leaks its ops into the profile window
+        jax.block_until_ready(st_p[1]["n_codes"])
+
+        def _prof():
+            s = st_p[1]
+            for _ in range(4):
+                s = flush_windows(s, tables, n=FLUSH_CHUNK)
+            return s
+
+        br = trace_op_breakdown(_prof)
+        vals = [v for v in br.values() if isinstance(v, float)]
+        if vals:
+            flush_dev_ms = round(sum(vals) / 4, 3)
+        del st_p
+    except Exception:  # noqa: BLE001 — profiling is best-effort
+        pass
+    log(f"flush step: {dt_flush*1e3:.2f} ms (amortized /{Lt} sub-window; "
         f"tail ratio flush/p50 = {dt_flush/dt:.2f}x)")
     global FLUSH_STATS
     FLUSH_STATS = {"p50_ms": round(dt * 1e3, 3),
@@ -136,6 +187,13 @@ def measure_pq(cfg, params, bs, iters):
                    "p90_ms": round(stats["p90"] * 1e3, 3),
                    "flush_step_ms": round(dt_flush * 1e3, 3),
                    "flush_over_p50": round(dt_flush / dt, 3)}
+    if flush_dev_ms is not None:
+        # device-side flush cost from the hardware profile: the tail an
+        # async/pipelined serving client sees is p50 + this
+        FLUSH_STATS["flush_device_ms"] = flush_dev_ms
+        FLUSH_STATS["flush_over_p50_device"] = round(
+            (dt * 1e3 + flush_dev_ms) / (dt * 1e3), 3
+        )
     return dt + max(dt_flush - dt, 0.0) / Lt
 
 

@@ -54,6 +54,11 @@ class ByteTokenizer:
         return bytes(int(i) & 0xFF for i in ids).decode("latin-1")
 
 
+def _text(a: np.ndarray) -> str:
+    """Corpus slice (int32 byte values) -> str."""
+    return a.astype(np.uint8).tobytes().decode("latin-1")
+
+
 def _at(corpus: np.ndarray, o: int, n: int) -> np.ndarray:
     """Fixed-size corpus slice, position wrapped to stay in bounds (the
     small smoke corpus is only a few MB)."""
@@ -66,7 +71,7 @@ def _paragraphs(corpus: np.ndarray, start: int, k: int, size: int) -> List[str]:
     out = []
     for j in range(k):
         o = start + j * (size + 997)
-        out.append(bytes(_at(corpus, o, size)).decode("latin-1"))
+        out.append(_text(_at(corpus, o, size)))
     return out
 
 
@@ -82,9 +87,9 @@ def build_task_rows(corpus: np.ndarray, task: str, n_rows: int, rng) -> List[dic
             span = corpus[o : o + 3072]
             nl = np.where(span == 10)[0]
             end = int(nl[-1]) + 1 if len(nl) else len(span)
-            ctx = bytes(corpus[o : o + end]).decode("latin-1")
+            ctx = _text(corpus[o : o + end])
             ctx = ctx.rjust(3072)  # fixed prompt length (left-pad spaces)
-            rest = bytes(corpus[o + end : o + end + 256]).decode("latin-1")
+            rest = _text(corpus[o + end : o + end + 256])
             answer = rest.split("\n", 1)[0][:64]
             rows.append({"context": ctx, "input": "", "answers": [answer],
                          "all_classes": None})

@@ -25,6 +25,7 @@ from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from million_tpu.cache.pq_cache import (
@@ -516,7 +517,8 @@ def prefill(
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "mode", "mesh", "flush", "n_bucket")
+    jax.jit,
+    static_argnames=("cfg", "mode", "mesh", "flush", "n_bucket", "flush_n"),
 )
 def decode_step(
     params: Params,
@@ -527,9 +529,15 @@ def decode_step(
     cents: Optional[Dict[str, jax.Array]] = None,
     mode: str = "pq",
     mesh=None,  # jax.sharding.Mesh -> sequence-sharded kernel attention
-    flush: bool = False,  # STATIC: encode+flush the full residual window first
+    flush: bool = False,  # STATIC: encode+flush the residual window first
     n_bucket: Optional[int] = None,  # STATIC: arena scan bound (tokens) —
     # host-picked via ops.pq_attention_pallas.bucket_for_length (l2Ns analogue)
+    flush_n: int = 0,  # STATIC: sub-window flush size — 0 flushes the FULL
+    # window (reference semantics); F < Lt flushes only the OLDEST F tokens
+    # and shifts the rest down, so the flush-step tail shrinks ~Lt/F-fold
+    # while the exact-recent window never drops below Lt - F (BETTER
+    # recency than the reference's empty-after-flush window). See
+    # _flush_windows_stacked.
 ) -> Tuple[jax.Array, PQCacheLayerState]:
     """One decode token. Returns (logits (bs, V) f32, updated cache).
 
@@ -587,6 +595,7 @@ def decode_step(
                         and mesh.devices.flat[0].platform == "cpu"
                         else None
                     ),
+                    n=flush_n,
                 )
         start_s = cache["n_codes"][0]
         r_s = cache["r"][0]
@@ -702,65 +711,209 @@ def decode_step(
     return _logits(params, cfg, x)[:, 0], cache
 
 
-def _flush_windows_stacked(cache, cents, interp=None):
-    """Flush every layer's residual window into the stacked code arenas
-    (decode_step's static-flush path; single-layer analogue:
-    cache/pq_cache.py flush_window). One batched encode per side over ALL
-    layer banks (chunked jnp/VPU encode by default — the fused Pallas
-    encode measured ~2x slower here, see pq/ops.py RUNTIME_FUSED_ENCODE),
-    then ONE contiguous word-slab dynamic_update_slice per side. n_codes
-    is layer-uniform in the decode path, so a single (stack-wide) offset
-    is exact. Measured 19 ms for all 28x2 layer-sides at the 3B/32K bench
-    shape — the flush-step tail is p50 + 19 ms, amortized /Lt per token."""
+@partial(jax.jit, donate_argnums=(0,))
+def _flush_write_flat(arenas, slabs, start_w, start_ow):
+    """Argument-fed arena writer with DONATED arenas: a dynamic_update_slice
+    whose update value is produced in the same program makes XLA
+    relayout-copy the multi-GB arena (measured +21 ms of `copy` in the
+    flush-step profile at 3B/32K — the same hazard the paged path's
+    _commit_words documents). Slabs arrive as arguments with natural
+    layouts, so this tiny program runs at ~0 temp memory."""
+    z = jnp.int32(0)
+    out = {}
+    for k, arena in arenas.items():
+        if k.endswith("_outliers"):
+            idx = (z, z, z, z, z, start_ow)
+        else:
+            idx = (z, z, z, z, start_w)
+        out[k] = jax.lax.dynamic_update_slice(arena, slabs[k], idx)
+    return out
+
+
+@partial(jax.jit, static_argnames=("n", "wide", "interp"))
+def _flush_encode_core_flat(kres, vres, cents, n_codes, r, n, wide,
+                            interp=None):
+    """Encode the oldest n rows of every layer's residual window — NO
+    arena access (see _flush_write_flat). Returns (slabs dict keyed like
+    the arenas, rolled/cleared residuals, new n_codes, new r)."""
     from million_tpu.pq.ops import RUNTIME_FUSED_ENCODE
 
-    cache = dict(cache)
-    Lt = cache["key_residual"].shape[3]
-    wide = cache["key_codes"].dtype == jnp.int16
-    start_w = cache["n_codes"][0] // (1 if wide else WORD)
-    for side in ("key", "value"):
+    Lt = kres.shape[3]
+    full = n >= Lt
+    slabs = {}
+    for side, res in (("key", kres), ("value", vres)):
+        window = res[:, :, :, :n]
         if RUNTIME_FUSED_ENCODE:
             from million_tpu.ops.pq_encode_pallas import pq_encode_fused_stacked
 
             codes_t = jnp.swapaxes(
                 pq_encode_fused_stacked(
-                    cache[side + "_residual"], cents[side], SUBSPACE_LAYOUT,
+                    window, cents[side], SUBSPACE_LAYOUT,
+                    precision=RUNTIME_ENCODE_PRECISION, interpret=interp,
+                ), -1, -2,
+            )
+        else:
+            # batched_cents over layer groups (one distance/argmin kernel
+            # per group; the transient is bounded to ~2 GB — small groups
+            # measured a ~0.8 ms FIXED cost per call that dominated the
+            # sub-window flush)
+            L = window.shape[0]
+            rows = int(np.prod(window.shape[1:-1]))
+            grp = max(1, min(L, 32768 // max(rows, 1)))
+            parts = [
+                pq_encode(window[g0:g0 + grp], cents[side][g0:g0 + grp],
+                          SUBSPACE_LAYOUT, batched_cents=True,
+                          precision=RUNTIME_ENCODE_PRECISION)
+                for g0 in range(0, L, grp)
+            ]
+            codes_t = jnp.swapaxes(jnp.concatenate(parts, axis=0), -1, -2)
+        slabs[side + "_codes"] = store_codes_t(codes_t, wide)
+    for side, res, key in (("key", kres, "k_outlier_idx"),
+                           ("value", vres, "v_outlier_idx")):
+        if key in cents:
+            from million_tpu.ops.pq_attention_pallas import to_byte_plane
+
+            sel = jnp.take_along_axis(
+                res[:, :, :, :n], cents[key][:, None, None, None, :], axis=-1
+            )
+            slabs[side + "_outliers"] = to_byte_plane(
+                jnp.swapaxes(sel, -1, -2).astype(jnp.bfloat16)
+            )
+    if full:
+        new_r = jnp.zeros_like(r)
+        kres_o, vres_o = kres, vres
+    else:
+        new_r = r - n
+        kres_o = jnp.roll(kres, -n, axis=3)
+        vres_o = jnp.roll(vres, -n, axis=3)
+    return slabs, kres_o, vres_o, n_codes + n, new_r
+
+
+def flush_windows(cache, cents, n: int = 0, interp=None):
+    """Host-split residual-window flush: encode core (no arena access) +
+    argument-fed writer with donated arenas. Functionally identical to
+    decode_step's in-program flush=True path but without the arena
+    relayout copies that path pays (see _flush_write_flat); generate and
+    bench.py call this between decode steps. n as in
+    _flush_windows_stacked (0 = full window, F < Lt = sub-window)."""
+    cache = dict(cache)
+    Lt = cache["key_residual"].shape[3]
+    if n <= 0 or n >= Lt:
+        n = Lt
+    if n % WORD:
+        raise ValueError(f"flush size {n} must be word-aligned")
+    wide = cache["key_codes"].dtype == jnp.int16
+    arena_keys = [k for k in ("key_codes", "value_codes", "key_outliers",
+                              "value_outliers") if k in cache]
+    arenas = {k: cache.pop(k) for k in arena_keys}
+    cents_core = {k: cents[k] for k in
+                  ("key", "value", "k_outlier_idx", "v_outlier_idx")
+                  if k in cents}
+    slabs, kres, vres, new_n, new_r = _flush_encode_core_flat(
+        cache["key_residual"], cache["value_residual"], cents_core,
+        cache["n_codes"], cache["r"], n, wide, interp,
+    )
+    start = cache["n_codes"][0]
+    start_w = start // (1 if wide else WORD)
+    arenas = _flush_write_flat(arenas, slabs, start_w, start // WORD)
+    cache.update(arenas)
+    cache["key_residual"], cache["value_residual"] = kres, vres
+    cache["n_codes"], cache["r"] = new_n, new_r
+    return cache
+
+
+def _flush_windows_stacked(cache, cents, interp=None, n: int = 0):
+    """Flush residual windows into the stacked code arenas (decode_step's
+    static-flush path; single-layer analogue: cache/pq_cache.py
+    flush_window). One batched encode per side over ALL layer banks
+    (chunked jnp/VPU encode by default — the fused Pallas encode measured
+    ~2x slower here, see pq/ops.py RUNTIME_FUSED_ENCODE), then ONE
+    contiguous word-slab dynamic_update_slice per side. n_codes is
+    layer-uniform in the decode path, so a single (stack-wide) offset is
+    exact. Measured 19 ms for all 28x2 layer-sides at the 3B/32K bench
+    shape at full-window flushes — the flush-step tail is p50 + 19 ms,
+    amortized /Lt per token.
+
+    n = 0 flushes the FULL window and resets r (reference semantics,
+    pq_utils.py:288-302: residual empty after flush). 0 < n < Lt flushes
+    only the OLDEST n tokens (rows [0, n)) and rolls the remaining rows
+    down — the flush spike shrinks ~Lt/n-fold at the same amortized cost,
+    and the exact-recent window never drops below Lt - n (strictly better
+    recency than the reference's empty-after-flush window). The roll is a
+    ~1.5 MB/layer-side copy — microseconds next to the encode."""
+    from million_tpu.pq.ops import RUNTIME_FUSED_ENCODE
+
+    cache = dict(cache)
+    Lt = cache["key_residual"].shape[3]
+    if n <= 0 or n >= Lt:
+        n = Lt
+    if n % WORD:
+        raise ValueError(f"flush size {n} must be word-aligned")
+    wide = cache["key_codes"].dtype == jnp.int16
+    start_w = cache["n_codes"][0] // (1 if wide else WORD)
+    for side in ("key", "value"):
+        window = cache[side + "_residual"][:, :, :, :n]
+        if RUNTIME_FUSED_ENCODE:
+            from million_tpu.ops.pq_encode_pallas import pq_encode_fused_stacked
+
+            codes_t = jnp.swapaxes(
+                pq_encode_fused_stacked(
+                    window, cents[side], SUBSPACE_LAYOUT,
                     precision=RUNTIME_ENCODE_PRECISION, interpret=interp,
                 ),
                 -1, -2,
-            )  # (L, bs, nh_k, M, Lt)
+            )  # (L, bs, nh_k, M, n)
         else:
-            def enc(args):
-                res, cen = args  # (bs, nh_k, Lt, d), (M, C, d_m)
-                return jnp.swapaxes(
-                    pq_encode(res, cen, SUBSPACE_LAYOUT,
-                              precision=RUNTIME_ENCODE_PRECISION),
-                    -1, -2,
+            # batched_cents over LAYER GROUPS: one distance/argmin kernel
+            # per group instead of one per layer. At sub-window flush
+            # sizes the per-layer fixed cost (56 small launches) dominated
+            # the whole flush (~11 of 15 ms measured at n=32, 3B shape);
+            # the group size bounds the (rows, M, C) distance transient
+            # to ~512 MB.
+            L = window.shape[0]
+            rows = int(np.prod(window.shape[1:-1]))
+            grp = max(1, min(L, 8192 // max(rows, 1)))
+            parts = []
+            for g0 in range(0, L, grp):
+                w_g = window[g0 : g0 + grp]
+                c_g = cents[side][g0 : g0 + grp]
+                parts.append(
+                    pq_encode(w_g, c_g, SUBSPACE_LAYOUT, batched_cents=True,
+                              precision=RUNTIME_ENCODE_PRECISION)
                 )
-            codes_t = jax.lax.map(enc, (cache[side + "_residual"], cents[side]))
+            codes_t = jnp.swapaxes(jnp.concatenate(parts, axis=0), -1, -2)
         cache[side + "_codes"] = jax.lax.dynamic_update_slice(
             cache[side + "_codes"], store_codes_t(codes_t, wide),
             (0, 0, 0, 0, start_w),
         )
-    # exact outlier channels of the flushed window -> byte-plane arenas
+    # exact outlier channels of the flushed rows -> byte-plane arenas
     for side, key in (("key", "k_outlier_idx"), ("value", "v_outlier_idx")):
         if side + "_outliers" in cache:
             from million_tpu.ops.pq_attention_pallas import to_byte_plane
 
             idx = cents[key]  # (L, O)
-            res = cache[side + "_residual"]  # (L, bs, nh_k, Lt, d)
+            res = cache[side + "_residual"][:, :, :, :n]
             sel = jnp.take_along_axis(
                 res, idx[:, None, None, None, :], axis=-1
-            )  # (L, bs, nh_k, Lt, O)
+            )  # (L, bs, nh_k, n, O)
             slab = to_byte_plane(
                 jnp.swapaxes(sel, -1, -2).astype(jnp.bfloat16)
-            )  # (L, bs, nh_k, 4, O, Lt//4)
+            )  # (L, bs, nh_k, 4, O, n//4)
             ow = cache["n_codes"][0] // WORD
             cache[side + "_outliers"] = jax.lax.dynamic_update_slice(
                 cache[side + "_outliers"], slab, (0, 0, 0, 0, 0, ow)
             )
-    cache["n_codes"] = cache["n_codes"] + Lt
-    cache["r"] = jnp.zeros_like(cache["r"])
+    if n < Lt:
+        # shift the surviving window down so rows [0, r - n) stay the
+        # oldest-first contiguous layout every reader assumes
+        for side in ("key", "value"):
+            cache[side + "_residual"] = jnp.roll(
+                cache[side + "_residual"], -n, axis=3
+            )
+        cache["r"] = cache["r"] - n
+    else:
+        cache["r"] = jnp.zeros_like(cache["r"])
+    cache["n_codes"] = cache["n_codes"] + n
     return cache
 
 

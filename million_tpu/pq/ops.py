@@ -155,6 +155,14 @@ def pq_encode(
         c_p = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, kpad)])
     else:
         xs_p, c_p = xs, c
+    # The argmin runs in the dot_general's NATIVE output layout (C is
+    # already minor; M is a leading batch/concat dim) and only the CODES
+    # are transposed back: transposing the (rows, M, C) f32 distance
+    # tensor first cost more HBM traffic than the matmul itself
+    # (moveaxis of 1.65 GB vs 1.6 MB of uint8 codes at the 3B flush
+    # shape — the flush-step tail's dominant term). Same argmin axis and
+    # C ordering, so codes are BIT-IDENTICAL to the transposed form.
+    C = c.shape[-2]
     if batched_cents:
         X = c.shape[0]
         g = x.shape[0] // X  # rows of x per cents bank
@@ -165,11 +173,11 @@ def pq_encode(
             precision=prec,
             preferred_element_type=jnp.float32,
         )  # (X, M, g, ..., C)
-        ip = jnp.moveaxis(ip, 1, -2).reshape(*xs.shape[:-1], c.shape[-2])
-        c_sq = jnp.repeat(jnp.sum(c_f * c_f, axis=-1), g, axis=0)  # (X*g, M, C)
-        c_sq = c_sq.reshape(
-            (x.shape[0],) + (1,) * (xs.ndim - 3) + c_sq.shape[1:]
-        )
+        c_sq = jnp.sum(c_f * c_f, axis=-1)  # (X, M, C)
+        c_sq = c_sq.reshape(X, c.shape[1], *([1] * (ip.ndim - 3)), C)
+        codes = jnp.argmin(c_sq - 2.0 * ip, axis=-1)  # (X, M, g, ...)
+        codes = jnp.moveaxis(codes, 1, -1)  # (X, g, ..., M)
+        codes = codes.reshape(*xs.shape[:-1])  # (..., M)
     else:
         ip = jax.lax.dot_general(
             xs_p, c_p,
@@ -177,10 +185,10 @@ def pq_encode(
             precision=prec,
             preferred_element_type=jnp.float32,
         )  # (M, ..., C)
-        ip = jnp.moveaxis(ip, 0, -2)  # (..., M, C)
         c_sq = jnp.sum(c_f * c_f, axis=-1)  # (M, C)
-    dists = c_sq - 2.0 * ip
-    codes = jnp.argmin(dists, axis=-1)
+        c_sq = c_sq.reshape(c.shape[0], *([1] * (ip.ndim - 2)), C)
+        codes = jnp.argmin(c_sq - 2.0 * ip, axis=-1)  # (M, ...)
+        codes = jnp.moveaxis(codes, 0, -1)  # (..., M)
     return codes.astype(jnp.uint8 if cents.shape[-2] <= 256 else jnp.int32)
 
 

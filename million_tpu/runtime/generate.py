@@ -48,6 +48,10 @@ def generate(
     prefill_chunk: int = 0,  # >0: admit the prompt in bounded-memory chunks
     prefill_hist_block: int = 4096,  # history block for chunked admission
     auto_bucket: bool = True,  # host-picked arena scan bucket (l2Ns analogue)
+    flush_chunk: int = 0,  # 0: full-window flushes (reference semantics);
+    # F < Lt: flush only the oldest F tokens when the window fills — the
+    # flush-tail spike shrinks ~Lt/F-fold and the exact-recent window
+    # never drops below Lt - F (llama._flush_windows_stacked)
 ) -> Tuple[GenerationResult, Any]:
     """Prefill + decode loop. Returns (result, final cache state).
 
@@ -75,8 +79,11 @@ def generate(
         # flushes whole Lt-sized residual windows. Arena high-water mark =
         # aligned prefix + Lt per flush that can occur while generating.
         tail0 = n_prompt % 4
-        n_flushes = (tail0 + max(max_new_tokens - 1, 0)) // lt
-        peak_codes = (n_prompt - tail0) + lt * n_flushes
+        fch = flush_chunk if 0 < flush_chunk < lt else lt
+        n_flushes = max(
+            0, (tail0 + max(max_new_tokens - 1, 0) - lt) // fch + 1
+        )
+        peak_codes = (n_prompt - tail0) + fch * n_flushes
         if peak_codes > n_max:
             raise ValueError(
                 f"prompt({n_prompt}) + max_new_tokens({max_new_tokens}) would "
@@ -121,6 +128,7 @@ def generate(
     # Lt the step must run with flush=True (static arg — see decode_step).
     r_host = n_prompt % 4 if mode != "dense" else 0
     lt_host = cache["key_residual"].shape[-2] if mode != "dense" else 0
+    f_host = flush_chunk if 0 < flush_chunk < lt_host else lt_host
     # Host mirror of n_codes (the quantized-arena fill level): the aligned
     # prompt prefix now, +Lt per flush. Drives the static scan bucket — the
     # reference's l2Ns length->kernel selection (pq_utils.py:8-22) — so
@@ -140,11 +148,12 @@ def generate(
             variants = []
             r_w, c_w = r_host, codes_host
             for _ in range(max_new_tokens - 1):
-                fl = r_w >= lt_host
-                if fl:
-                    r_w, c_w = 0, c_w + lt_host
+                if r_w >= lt_host:
+                    r_w, c_w = r_w - f_host, c_w + f_host
                 r_w += 1
-                v = (fl, bucket_for_length(c_w, n_max))
+                # the flush runs as its own host-split programs now, so
+                # decode variants differ only by scan bucket
+                v = (False, bucket_for_length(c_w, n_max))
                 if v not in variants:
                     variants.append(v)
             if len(variants) > 1:
@@ -188,8 +197,20 @@ def generate(
         pos = jnp.asarray(n_prompt + i, jnp.int32)
         flush = mode != "dense" and r_host >= lt_host
         if flush:
-            r_host = 0
-            codes_host += lt_host
+            # host-split flush (encode core + argument-fed writer with
+            # donated arenas): the in-program decode_step(flush=True) path
+            # relayout-copies the multi-GB arenas (llama.flush_windows)
+            cache = llama.flush_windows(
+                cache, cents, n=flush_chunk,
+                interp=(
+                    True
+                    if mesh is not None
+                    and mesh.devices.flat[0].platform == "cpu"
+                    else None
+                ),
+            )
+            r_host -= f_host
+            codes_host += f_host
         r_host += 1
         n_bucket = bucket_for_length(codes_host, n_max) if use_bucket else None
         if (
@@ -200,12 +221,12 @@ def generate(
             # same inputs, oracle attention; cache update rule is identical
             # so only the attention math is being diffed
             ref_logits, _ = llama.decode_step(
-                params, cfg, tok, pos, cache, cents, mode="pq", flush=flush
+                params, cfg, tok, pos, cache, cents, mode="pq"
             )
         else:
             ref_logits = None
         logits, cache = llama.decode_step(
-            params, cfg, tok, pos, cache, cents, mode=mode, flush=flush,
+            params, cfg, tok, pos, cache, cents, mode=mode,
             mesh=mesh, n_bucket=n_bucket,
         )
         if ref_logits is not None:
