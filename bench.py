@@ -63,6 +63,8 @@ def dense_bytes_per_seq(cfg):
 
 
 def measure_pq(cfg, params, bs, iters):
+    import functools
+
     from million_tpu.models.llama import build_tables, decode_step
     from million_tpu.cache.pq_cache import PQCacheConfig, init_state
     from million_tpu.utils.timing import chained_bench, chained_bench_stats
@@ -82,15 +84,31 @@ def measure_pq(cfg, params, bs, iters):
     code_shape = (L, bs, cfg.num_kv_heads, M, CTX // 4)  # packed int32 words
 
     @jax.jit
-    def make_codes(seed):
-        # random code words as a 1K-word tile repeated: kernel cost is
-        # data-independent, and GB-scale eager RNG upsets some compile
-        # backends. Built directly (no zero-arena predecessor) to avoid a
-        # 2x transient at these sizes.
-        tile = jax.random.bits(
+    def _codes_tile(seed):
+        return jax.random.bits(
             jax.random.PRNGKey(seed), (*code_shape[:-1], 1024), jnp.uint32
         ).astype(jnp.int32)
-        return jnp.tile(tile, (1,) * (len(code_shape) - 1) + (CTX // 4096,))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _codes_write(arena, tile, j):
+        return jax.lax.dynamic_update_slice(
+            arena, tile, (0, 0, 0, 0, j * 1024)
+        )
+
+    def make_codes(seed):
+        # random code words written into a zeros arena through the SAME
+        # dus-writer pattern production uses (prefill/flush) — arenas now
+        # take production's exact construction path. (Note: this did NOT
+        # change flush_device_ms — 14.19 ms under tile-built and
+        # dus-built arenas alike — so the flush cost is intrinsic to the
+        # program at this arena-fill regime, not an arena-layout
+        # artifact; see docs/PERF.md.) Donation keeps the build at 1x
+        # memory; kernel cost is data-independent.
+        arena = jnp.zeros(code_shape, jnp.int32)
+        tile = _codes_tile(seed)
+        for j in range(CTX // 4096):
+            arena = _codes_write(arena, tile, j)
+        return arena
 
     def make_state():
         cache = {
@@ -107,8 +125,6 @@ def measure_pq(cfg, params, bs, iters):
         }
         tok = jnp.zeros((bs,), jnp.int32)
         return (tok, cache)
-
-    import functools
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def step(params, tables, state):
