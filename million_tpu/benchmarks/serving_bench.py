@@ -117,6 +117,10 @@ def main():
                     "shrink below the worst-case demand to exercise "
                     "on-demand growth and preemption")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--admit-chunk", type=int, default=2048,
+                    help="chunked-admission chunk length (bigger chunks "
+                    "amortize per-chunk fixed costs; memory per chunk "
+                    "grows with it)")
     ap.add_argument("--geometry", default="dm2",
                     choices=["dm2", "dm4_outlier"],
                     help="dm2: production M=d/2 symmetric; dm4_outlier: "
@@ -193,7 +197,9 @@ def main():
         OV=OV,
     )
     def make_scheduler():
-        return Scheduler(params, cfg, pcfg, tables, SamplingConfig(temperature=0.0))
+        return Scheduler(params, cfg, pcfg, tables,
+                         SamplingConfig(temperature=0.0),
+                         admit_chunk=args.admit_chunk)
 
     if args.steady:
         steady_state(args, cfg, pcfg, make_scheduler)

@@ -102,6 +102,7 @@ class Scheduler:
         tables: Dict[str, jax.Array],
         sampling: SamplingConfig = SamplingConfig(),
         seed: int = 0,
+        admit_chunk: int = 2048,
     ):
         # fail early, not at kernel trace time deep inside the first decode:
         # the compiled paged kernel needs >= one full word tile per page
@@ -149,7 +150,7 @@ class Scheduler:
         # (paged_admit_chunked): bounded activation memory per chunk, and
         # buckets above it are multiples of it (not powers of two), so a
         # 17K prompt pads to 18K, not 32K
-        self.admit_chunk = 2048
+        self.admit_chunk = admit_chunk
         # guard the 8192-token-page admission OOM (VERDICT r3 weak #5 /
         # item 9): pages much larger than the admission chunk blow the
         # per-chunk history-gather/commit transients beside the pool
