@@ -158,7 +158,7 @@ def measure_pq(cfg, params, bs, iters):
     )
     dt = stats["p50"]
     # One step in FLUSH_CHUNK carries a sub-window residual flush (batch
-    # encode of the oldest 32 rows + slab write + roll); amortize its
+    # encode of the oldest FLUSH_CHUNK rows + slab write + roll); amortize its
     # extra cost into the reported TPOT so the number is a true
     # steady-state decode average. The flush step is also the worst-case
     # (tail) per-token latency, so flush/p50 is the serving jitter ratio.

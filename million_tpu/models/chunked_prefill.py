@@ -256,8 +256,13 @@ def _history_partial_sharded(
         i = _linear_shard_index(mesh, seq_axes)
         local_valid = jnp.clip(n_prev[0] - i * n_local, 0, n_local)
         if use_kernel:
+            # bound the scan like the jnp path's nb_loc — without it the
+            # kernel streams the FULL local arena every chunk; round up
+            # to a block multiple (pq_chunk_attention's geometry check)
+            nbk = min(-(-(nb_loc * hist_block) // blk) * blk, n_local)
             out, lse = pq_chunk_history_attention(
                 q, kc, vc, tabs[0], tabs[1], local_valid, scale,
+                n_bucket=nbk,
                 block=blk, interpret=interp, direct=d_k, v_direct=d_v,
             )
         else:

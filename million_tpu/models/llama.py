@@ -805,10 +805,12 @@ def flush_windows(cache, cents, n: int = 0, interp=None):
     wide = cache["key_codes"].dtype == jnp.int16
     arena_keys = [k for k in ("key_codes", "value_codes", "key_outliers",
                               "value_outliers") if k in cache]
+    cents_core = {"key": cents["key"], "value": cents["value"]}
+    if "key_outliers" in cache and "k_outlier_idx" in cents:
+        cents_core["k_outlier_idx"] = cents["k_outlier_idx"]
+    if "value_outliers" in cache and "v_outlier_idx" in cents:
+        cents_core["v_outlier_idx"] = cents["v_outlier_idx"]
     arenas = {k: cache.pop(k) for k in arena_keys}
-    cents_core = {k: cents[k] for k in
-                  ("key", "value", "k_outlier_idx", "v_outlier_idx")
-                  if k in cents}
     slabs, kres, vres, new_n, new_r = _flush_encode_core_flat(
         cache["key_residual"], cache["value_residual"], cents_core,
         cache["n_codes"], cache["r"], n, wide, interp,
@@ -823,26 +825,12 @@ def flush_windows(cache, cents, n: int = 0, interp=None):
 
 
 def _flush_windows_stacked(cache, cents, interp=None, n: int = 0):
-    """Flush residual windows into the stacked code arenas (decode_step's
-    static-flush path; single-layer analogue: cache/pq_cache.py
-    flush_window). One batched encode per side over ALL layer banks
-    (chunked jnp/VPU encode by default — the fused Pallas encode measured
-    ~2x slower here, see pq/ops.py RUNTIME_FUSED_ENCODE), then ONE
-    contiguous word-slab dynamic_update_slice per side. n_codes is
-    layer-uniform in the decode path, so a single (stack-wide) offset is
-    exact. Measured 19 ms for all 28x2 layer-sides at the 3B/32K bench
-    shape at full-window flushes — the flush-step tail is p50 + 19 ms,
-    amortized /Lt per token.
-
-    n = 0 flushes the FULL window and resets r (reference semantics,
-    pq_utils.py:288-302: residual empty after flush). 0 < n < Lt flushes
-    only the OLDEST n tokens (rows [0, n)) and rolls the remaining rows
-    down — the flush spike shrinks ~Lt/n-fold at the same amortized cost,
-    and the exact-recent window never drops below Lt - n (strictly better
-    recency than the reference's empty-after-flush window). The roll is a
-    ~1.5 MB/layer-side copy — microseconds next to the encode."""
-    from million_tpu.pq.ops import RUNTIME_FUSED_ENCODE
-
+    """In-program form of the residual-window flush (decode_step's static
+    flush=True path; the host-split form is flush_windows — generate and
+    bench use that one to dodge the in-program arena-relayout cost).
+    Delegates the encode/slab construction to _flush_encode_core_flat
+    (single source of truth for the flush math) and applies the arena
+    writes inside the current trace. n as in flush_windows."""
     cache = dict(cache)
     Lt = cache["key_residual"].shape[3]
     if n <= 0 or n >= Lt:
@@ -850,70 +838,25 @@ def _flush_windows_stacked(cache, cents, interp=None, n: int = 0):
     if n % WORD:
         raise ValueError(f"flush size {n} must be word-aligned")
     wide = cache["key_codes"].dtype == jnp.int16
-    start_w = cache["n_codes"][0] // (1 if wide else WORD)
-    for side in ("key", "value"):
-        window = cache[side + "_residual"][:, :, :, :n]
-        if RUNTIME_FUSED_ENCODE:
-            from million_tpu.ops.pq_encode_pallas import pq_encode_fused_stacked
-
-            codes_t = jnp.swapaxes(
-                pq_encode_fused_stacked(
-                    window, cents[side], SUBSPACE_LAYOUT,
-                    precision=RUNTIME_ENCODE_PRECISION, interpret=interp,
-                ),
-                -1, -2,
-            )  # (L, bs, nh_k, M, n)
+    cents_core = {"key": cents["key"], "value": cents["value"]}
+    if "key_outliers" in cache and "k_outlier_idx" in cents:
+        cents_core["k_outlier_idx"] = cents["k_outlier_idx"]
+    if "value_outliers" in cache and "v_outlier_idx" in cents:
+        cents_core["v_outlier_idx"] = cents["v_outlier_idx"]
+    slabs, kres, vres, new_n, new_r = _flush_encode_core_flat(
+        cache["key_residual"], cache["value_residual"], cents_core,
+        cache["n_codes"], cache["r"], n, wide, interp,
+    )
+    start = cache["n_codes"][0]
+    start_w = start // (1 if wide else WORD)
+    for key, slab in slabs.items():
+        if key.endswith("_outliers"):
+            idx = (0, 0, 0, 0, 0, start // WORD)
         else:
-            # batched_cents over LAYER GROUPS: one distance/argmin kernel
-            # per group instead of one per layer. At sub-window flush
-            # sizes the per-layer fixed cost (56 small launches) dominated
-            # the whole flush (~11 of 15 ms measured at n=32, 3B shape);
-            # the group size bounds the (rows, M, C) distance transient
-            # to ~512 MB.
-            L = window.shape[0]
-            rows = int(np.prod(window.shape[1:-1]))
-            grp = max(1, min(L, 8192 // max(rows, 1)))
-            parts = []
-            for g0 in range(0, L, grp):
-                w_g = window[g0 : g0 + grp]
-                c_g = cents[side][g0 : g0 + grp]
-                parts.append(
-                    pq_encode(w_g, c_g, SUBSPACE_LAYOUT, batched_cents=True,
-                              precision=RUNTIME_ENCODE_PRECISION)
-                )
-            codes_t = jnp.swapaxes(jnp.concatenate(parts, axis=0), -1, -2)
-        cache[side + "_codes"] = jax.lax.dynamic_update_slice(
-            cache[side + "_codes"], store_codes_t(codes_t, wide),
-            (0, 0, 0, 0, start_w),
-        )
-    # exact outlier channels of the flushed rows -> byte-plane arenas
-    for side, key in (("key", "k_outlier_idx"), ("value", "v_outlier_idx")):
-        if side + "_outliers" in cache:
-            from million_tpu.ops.pq_attention_pallas import to_byte_plane
-
-            idx = cents[key]  # (L, O)
-            res = cache[side + "_residual"][:, :, :, :n]
-            sel = jnp.take_along_axis(
-                res, idx[:, None, None, None, :], axis=-1
-            )  # (L, bs, nh_k, n, O)
-            slab = to_byte_plane(
-                jnp.swapaxes(sel, -1, -2).astype(jnp.bfloat16)
-            )  # (L, bs, nh_k, 4, O, n//4)
-            ow = cache["n_codes"][0] // WORD
-            cache[side + "_outliers"] = jax.lax.dynamic_update_slice(
-                cache[side + "_outliers"], slab, (0, 0, 0, 0, 0, ow)
-            )
-    if n < Lt:
-        # shift the surviving window down so rows [0, r - n) stay the
-        # oldest-first contiguous layout every reader assumes
-        for side in ("key", "value"):
-            cache[side + "_residual"] = jnp.roll(
-                cache[side + "_residual"], -n, axis=3
-            )
-        cache["r"] = cache["r"] - n
-    else:
-        cache["r"] = jnp.zeros_like(cache["r"])
-    cache["n_codes"] = cache["n_codes"] + n
+            idx = (0, 0, 0, 0, start_w)
+        cache[key] = jax.lax.dynamic_update_slice(cache[key], slab, idx)
+    cache["key_residual"], cache["value_residual"] = kres, vres
+    cache["n_codes"], cache["r"] = new_n, new_r
     return cache
 
 

@@ -51,7 +51,7 @@ def generate(
     flush_chunk: int = 0,  # 0: full-window flushes (reference semantics);
     # F < Lt: flush only the oldest F tokens when the window fills — the
     # flush-tail spike shrinks ~Lt/F-fold and the exact-recent window
-    # never drops below Lt - F (llama._flush_windows_stacked)
+    # never drops below Lt - F (llama.flush_windows)
 ) -> Tuple[GenerationResult, Any]:
     """Prefill + decode loop. Returns (result, final cache state).
 
@@ -66,6 +66,11 @@ def generate(
     still comes from the kernel path."""
     bs, n_prompt = input_ids.shape
     key = jax.random.PRNGKey(seed)
+    if flush_chunk % 4:
+        # fail BEFORE prefill, not at the first flush deep into decode
+        raise ValueError(
+            f"flush_chunk={flush_chunk} must be word-aligned (multiple of 4)"
+        )
 
     # Guard cache capacity on the host: inside jit, dynamic_update_slice
     # CLAMPS out-of-range writes, which would silently overwrite the newest

@@ -269,6 +269,14 @@ class Scheduler:
             self._admit_one(req, slot)
 
     # ---------------- pipelined token processing --------------------------
+    def drain(self) -> None:
+        """Public pipeline drain: process any in-flight tick's tokens so
+        slot_generated / retirement state is current. External drivers
+        that stop stepping (fixed-tick loops, shutdown) must call this —
+        run_to_completion, preemption, idle steps, and save_session drain
+        automatically."""
+        self._process_pending()
+
     def _process_pending(self) -> None:
         """Read back the PREVIOUS tick's sampled tokens and run the
         token-dependent bookkeeping (generated lists, EOS / length
@@ -465,4 +473,7 @@ class Scheduler:
                     "scheduler stalled: waiting requests but nothing admissible "
                     "(pool too small for the smallest request?)"
                 )
+        # a max_ticks exit can leave the final tick's tokens in the
+        # pipeline — drain so callers see every emitted token
+        self.drain()
         return self.finished

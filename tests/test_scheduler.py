@@ -613,3 +613,18 @@ def test_scheduler_outlier_long_prompt_chunked_admission(rng):
     assert len(done) == 1 and len(done[0].tokens) == 10
     assert np.isfinite(done[0].tokens).all()
     assert int(np.asarray(sched.state["used"]).sum()) == 0
+
+
+def test_pipeline_drain_after_partial_stepping(rng):
+    """An external driver that stops stepping mid-generation must see
+    every emitted token after drain() — the pipelined readback otherwise
+    holds the final tick's tokens in flight (round-4 review finding)."""
+    params, cents, tables, pcfg = build(rng, n_pages=8, max_seqs=2)
+    sched = Scheduler(params, CFG, pcfg, tables)
+    sched.submit(Request(rid=0, prompt=rng.integers(0, 300, 12).astype(np.int32),
+                         max_new_tokens=50))
+    for _ in range(5):
+        sched.step()
+    sched.drain()
+    # admission samples 1 token, each of the 5 ticks one more = 6
+    assert len(sched.slot_generated[0]) == 6
