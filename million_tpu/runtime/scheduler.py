@@ -138,14 +138,20 @@ class Scheduler:
         # pipelined token readback (round 4): the device->host readback of
         # the sampled tokens costs a full tunnel RTT (~28 ms/tick measured
         # at the 6x32K serving shape — 40% of the 70.6 ms tick against a
-        # ~43 ms device step). Dispatch tick t FIRST, then read tick t-1's
-        # tokens while the device runs — token-dependent bookkeeping
-        # (generated list, EOS) lags one tick; count-based retirement
-        # costs at most one extra dispatched tick per request (its token
-        # is discarded by the rid guard). Preemption and snapshotting
-        # drain the pipeline first, so no emitted token is ever lost.
+        # ~43 ms device step). Dispatch tick t FIRST, then read tick
+        # t-pipeline_depth's tokens while the device runs —
+        # token-dependent bookkeeping (generated list, EOS) lags
+        # `pipeline_depth` ticks; count-based retirement costs at most
+        # that many extra dispatched ticks per request (their tokens are
+        # discarded by the rid guard). Preemption and snapshotting drain
+        # the pipeline first, so no emitted token is ever lost. Depth 2:
+        # at depth 1 the wall per tick is the token TRANSFER time (~22 ms
+        # at bs=1, above the ~14 ms device step); a second in-flight tick
+        # gives each transfer a full extra tick to complete in the
+        # background, so the wall approaches device time.
         self.pipeline = True
-        self._pending: Optional[tuple] = None  # (device toks, [(slot, rid)])
+        self.pipeline_depth = 2
+        self._pending: List[tuple] = []  # FIFO of (device toks, [(slot, rid)])
         # prompts longer than this admit via the CHUNKED path
         # (paged_admit_chunked): bounded activation memory per chunk, and
         # buckets above it are multiples of it (not powers of two), so a
@@ -277,27 +283,28 @@ class Scheduler:
         automatically."""
         self._process_pending()
 
-    def _process_pending(self) -> None:
-        """Read back the PREVIOUS tick's sampled tokens and run the
-        token-dependent bookkeeping (generated lists, EOS / length
-        retirement). Called after the next tick is already dispatched, so
-        the readback RTT overlaps device compute."""
-        if self._pending is None:
-            return
-        toks, entries = self._pending
-        self._pending = None
-        toks_np = np.asarray(toks)
-        for slot, rid in entries:
-            req = self.slot_req[slot]
-            if req is None or req.rid != rid:
-                continue  # retired/preempted/re-admitted since dispatch
-            tok = int(toks_np[slot])
-            self.slot_generated[slot].append(tok)
-            done = len(self.slot_generated[slot]) >= req.max_new_tokens or (
-                req.eos_id is not None and tok == req.eos_id
-            )
-            if done:
-                self._retire(slot)
+    def _process_pending(self, limit: Optional[int] = None) -> None:
+        """Read back queued ticks' sampled tokens (oldest first) and run
+        the token-dependent bookkeeping (generated lists, EOS / length
+        retirement). Called after newer ticks are already dispatched, so
+        the readback RTT overlaps device compute. limit=None drains
+        everything; an int keeps at most that many ticks in flight."""
+        while self._pending and (
+            limit is None or len(self._pending) > limit
+        ):
+            toks, entries = self._pending.pop(0)
+            toks_np = np.asarray(toks)
+            for slot, rid in entries:
+                req = self.slot_req[slot]
+                if req is None or req.rid != rid:
+                    continue  # retired/preempted/re-admitted since dispatch
+                tok = int(toks_np[slot])
+                self.slot_generated[slot].append(tok)
+                done = len(self.slot_generated[slot]) >= req.max_new_tokens or (
+                    req.eos_id is not None and tok == req.eos_id
+                )
+                if done:
+                    self._retire(slot)
 
     # ---------------- preemption & on-demand growth ----------------------
     def _preempt(self, slot: int) -> None:
@@ -411,14 +418,14 @@ class Scheduler:
             self.slot_r[i] += 1  # full window flushes at the NEXT tick
         self.last_token = toks
         entries = [(i, self.slot_req[i].rid) for i in active]
-        if self.pipeline:
-            # this tick is dispatched; reading the PREVIOUS tick's tokens
-            # now overlaps the transfer RTT with device compute
-            self._process_pending()
-            self._pending = (toks, entries)
-        else:
-            self._pending = (toks, entries)
-            self._process_pending()
+        self._pending.append((toks, entries))
+        # this tick is dispatched; reading older ticks' tokens now
+        # overlaps the transfer RTT with device compute (keep up to
+        # pipeline_depth ticks in flight; pipeline=False processes
+        # everything immediately — the pre-round-4 synchronous behavior)
+        self._process_pending(
+            limit=self.pipeline_depth if self.pipeline else 0
+        )
         return len(active)
 
     def _retire(self, slot: int) -> None:
