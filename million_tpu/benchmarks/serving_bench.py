@@ -42,8 +42,11 @@ def steady_state(args, cfg, pcfg, make_scheduler):
     # FREE it before building the measured one — two live page pools plus
     # weights exceed HBM at the 32K x full-slot shapes
     warm = make_scheduler()
-    warm.submit(Request(rid=-1, prompt=np.zeros(n, np.int32),
-                        max_new_tokens=pcfg.Lt + 2))
+    # warm the BATCHED admission shape too (round 4: equal-bucket prompts
+    # admit as one group — its executables are keyed by the group size)
+    for w in range(S):
+        warm.submit(Request(rid=-1 - w, prompt=np.zeros(n, np.int32),
+                            max_new_tokens=pcfg.Lt + 2))
     warm.run_to_completion()
     del warm
     sched = make_scheduler()

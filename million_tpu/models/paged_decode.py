@@ -123,7 +123,7 @@ def _history_pages_kernel(q, kw, vw, tables, li, n_prev, scale, page_size,
                           ko_pages=None, koidx=None,
                           vo_pages=None, voidx=None):
     """Pallas chunk-kernel form of _history_partial_pages (VERDICT r3
-    item 1): the gathered pages (nph, H, M, ps_w) are page-major and
+    item 1): the gathered pages (S, nph, H, M, ps_w) are page-major and
     token-contiguous within each page, so stacking them along the word
     axis yields a flat arena (1, H, M, nph*ps_w) whose token t lives at
     global position t — exactly pq_chunk_attention's layout; positions
@@ -137,20 +137,20 @@ def _history_pages_kernel(q, kw, vw, tables, li, n_prev, scale, page_size,
     )
     from million_tpu.ops.pq_attention_pallas import pq_chunk_history_attention
 
-    nph, H = kw.shape[0], kw.shape[1]
-    arena_k = kw.transpose(1, 2, 0, 3).reshape(1, H, kw.shape[2], -1)
-    arena_v = vw.transpose(1, 2, 0, 3).reshape(1, H, vw.shape[2], -1)
+    S, nph, H = kw.shape[0], kw.shape[1], kw.shape[2]
+    arena_k = kw.transpose(0, 2, 3, 1, 4).reshape(S, H, kw.shape[3], -1)
+    arena_v = vw.transpose(0, 2, 3, 1, 4).reshape(S, H, vw.shape[3], -1)
     interpret = jax.default_backend() == "cpu"
     blk = history_kernel_block(nph * page_size, interpret)
     d_k, d_v = direct_flags(tables)
     okw = {}
     if ko_pages is not None:
-        okw["k_outliers"] = ko_pages.transpose(1, 2, 3, 0, 4).reshape(
-            1, H, 4, ko_pages.shape[3], -1)
+        okw["k_outliers"] = ko_pages.transpose(0, 2, 3, 4, 1, 5).reshape(
+            S, H, 4, ko_pages.shape[4], -1)
         okw["koidx"] = koidx
     if vo_pages is not None:
-        okw["v_outliers"] = vo_pages.transpose(1, 2, 3, 0, 4).reshape(
-            1, H, 4, vo_pages.shape[3], -1)
+        okw["v_outliers"] = vo_pages.transpose(0, 2, 3, 4, 1, 5).reshape(
+            S, H, 4, vo_pages.shape[4], -1)
         okw["voidx"] = voidx
     return pq_chunk_history_attention(
         q, arena_k, arena_v,
@@ -353,6 +353,30 @@ def _commit_words(pools, updates, pages, off):
             out[key] = _put_page(
                 out[key], upd[:, None, ..., j * cw : j * cw + w], pages[j], off
             )
+    return out
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _commit_words_multi(pools, updates, pages, off):
+    """Per-slot variant of _commit_words for batched admission: updates
+    carry a slot axis (L, S, H, ..., ncw); pages (S, npc) int32 routes
+    each slot's word-chunks to its own pages; off is the shared sub-page
+    word offset (slots in one batch sit at the same chunk position)."""
+    S = updates["key_pool"].shape[1]
+    ncw = updates["key_pool"].shape[-1]
+    ps_w = pools["key_pool"].shape[-1]
+    cw = min(ps_w, ncw)
+    npc = -(-ncw // cw)
+    out = dict(pools)
+    for si in range(S):
+        for j in range(npc):
+            w = min(cw, ncw - j * cw)
+            for key, upd in updates.items():
+                out[key] = _put_page(
+                    out[key],
+                    upd[:, si][:, None, ..., j * cw : j * cw + w],
+                    pages[si, j], off,
+                )
     return out
 
 
@@ -641,8 +665,10 @@ def _paged_prefill_chunk_core(
     params: Params,
     cfg: ModelConfig,
     pcfg: PagedPQCacheConfig,
-    seq_id: jax.Array,  # () int32
-    ids: jax.Array,  # (1, nc) int32 — one FULL chunk (nc % 4 == 0)
+    seq_ids: jax.Array,  # (S,) int32 — slots admitted TOGETHER (round 4:
+    # batched admission — the per-chunk transformer/encode/MLP costs
+    # amortize over S equal-bucket prompts)
+    ids: jax.Array,  # (S, nc) int32 — one FULL chunk per slot (nc % 4 == 0)
     key_pool: jax.Array,  # read-only (history pages)
     value_pool: jax.Array,
     k_out_pool,  # read-only byte-plane outlier pools (or None): history
@@ -651,7 +677,8 @@ def _paged_prefill_chunk_core(
     sub: Dict[str, jax.Array],  # paged state WITHOUT pools
     tables: Dict[str, jax.Array],
     pos_offset: jax.Array,  # () int32 — global position of ids[:, 0]
-    n_valid: jax.Array,  # () int32 — real prompt length (global)
+    n_valid: jax.Array,  # (S,) int32 — real prompt lengths (equal bucket,
+    # possibly different real lengths)
     hw_bucket: int,  # STATIC: history WORDS read from the slot's pages
     # (power-of-two bucket >= pos_offset//4, so executables are shared
     # across chunk indices and admissions)
@@ -668,29 +695,29 @@ def _paged_prefill_chunk_core(
     one-shot paged_prefill_seq is kept for short prompts).
 
     Pools are READ-ONLY inputs; the chunk's packed code words come back as
-    outputs (L, H, M_side, ncw) for the separate argument-fed writer
-    (_commit_words — see it for why writes must not live here). Returns
-    (logits, new substate, kwords, vwords).
+    outputs (L, S, H, M_side, ncw) for the separate argument-fed writer
+    (_commit_words_multi — see _commit_words for why writes must not live
+    here). Returns (logits (S, V), new substate, updates).
     """
     from million_tpu.models.chunked_prefill import _causal_partial
     from million_tpu.ops.pq_attention_pallas import pack_codes, to_byte_plane
 
-    nc = ids.shape[1]
+    S, nc = ids.shape
     if nc % 4:
         raise ValueError("chunk length must be a multiple of 4")
     scale = 1.0 / (cfg.head_dim**0.5)
-    nv = jnp.asarray(n_valid, jnp.int32)
+    nv = jnp.asarray(n_valid, jnp.int32)  # (S,)
     pos = pos_offset + jnp.arange(nc)
-    x = params["embed"][ids[0]][None]  # (1, nc, D)
+    x = params["embed"][ids]  # (S, nc, D)
     ps_w = pcfg.page_size // 4
     scratch = key_pool.shape[1] - 1
 
-    # history read pattern: the slot's pages covering the first hw_bucket
+    # history read pattern: each slot's pages covering the first hw_bucket
     # words (bucketed pow2; tokens >= pos_offset are masked inside
-    # _history_partial_pages). PAGE-granularity leading-axis gathers only.
+    # the history partial). PAGE-granularity leading-axis gathers only.
     if hw_bucket:
         nph = -(-hw_bucket // ps_w)  # pages covering the bucket
-        h_raw = page_table[seq_id, : max(nph, 1)]
+        h_raw = page_table[seq_ids][:, : max(nph, 1)]  # (S, nph)
         h_pages = jnp.where(h_raw >= 0, h_raw, scratch)
 
     def layer(carry, lp):
@@ -705,10 +732,10 @@ def _paged_prefill_chunk_core(
         else:
             k_st, v_st, q_h = k, v, q
 
-        kc = jnp.swapaxes(runtime_encode(k_st[0], kcent, SUBSPACE_LAYOUT), -1, -2)
-        vc = jnp.swapaxes(runtime_encode(v_st[0], vcent, SUBSPACE_LAYOUT), -1, -2)
+        kc = jnp.swapaxes(runtime_encode(k_st, kcent, SUBSPACE_LAYOUT), -1, -2)
+        vc = jnp.swapaxes(runtime_encode(v_st, vcent, SUBSPACE_LAYOUT), -1, -2)
         upd_l = {
-            "key_pool": pack_codes(kc),  # (H, M, ncw)
+            "key_pool": pack_codes(kc),  # (S, H, M, ncw)
             "value_pool": pack_codes(vc),
         }
         koidx = voidx = None
@@ -716,19 +743,19 @@ def _paged_prefill_chunk_core(
             koidx = jax.lax.dynamic_index_in_dim(
                 tables["k_outlier_idx"], li, 0, False)
             upd_l["key_outlier_pool"] = to_byte_plane(
-                jnp.swapaxes(k_st[0][..., koidx], -1, -2)
-            ).astype(jnp.bfloat16)  # (H, 4, OK, ncw)
+                jnp.swapaxes(k_st[..., koidx], -1, -2)
+            ).astype(jnp.bfloat16)  # (S, H, 4, OK, ncw)
         if "v_outlier_idx" in tables:
             voidx = jax.lax.dynamic_index_in_dim(
                 tables["v_outlier_idx"], li, 0, False)
             upd_l["value_outlier_pool"] = to_byte_plane(
-                jnp.swapaxes(v_st[0][..., voidx], -1, -2)
+                jnp.swapaxes(v_st[..., voidx], -1, -2)
             ).astype(jnp.bfloat16)
         st = dict(st)
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
         if hw_bucket:
-            kw = key_pool[li, h_pages]  # (nph, H, M, ps_w)
+            kw = key_pool[li, h_pages]  # (S, nph, H, M, ps_w)
             vw = value_pool[li, h_pages]
             if use_kernel:
                 okw = {}
@@ -743,10 +770,17 @@ def _paged_prefill_chunk_core(
                     pcfg.page_size, **okw,
                 )
             else:
-                out_h, lse_h = _history_partial_pages(
-                    q_h, kw, vw, kcent, vcent, pos_offset, scale,
-                    pcfg.page_size,
-                )
+                # jnp oracle path (CPU tests / wide codebooks): per-slot
+                # python loop — static S, test-scale only
+                parts = [
+                    _history_partial_pages(
+                        q_h[si : si + 1], kw[si], vw[si], kcent, vcent,
+                        pos_offset, scale, pcfg.page_size,
+                    )
+                    for si in range(S)
+                ]
+                out_h = jnp.concatenate([p[0] for p in parts], axis=0)
+                lse_h = jnp.concatenate([p[1] for p in parts], axis=0)
             if Rv_i is not None:
                 out_h = _rotate(out_h, Rv_i.T)
             attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
@@ -756,18 +790,22 @@ def _paged_prefill_chunk_core(
         if last_chunk:
             # ragged real tail (up to 3 tokens) -> exact residual window;
             # a full 4-row slice is written, rows past the tail are masked
-            # by seq_r (same contract as paged_prefill_seq)
-            start = jnp.clip((nv // 4) * 4 - pos_offset, 0, nc - 4)
-            kt4 = jax.lax.dynamic_slice_in_dim(k_st[0], start, 4, axis=1)
-            vt4 = jax.lax.dynamic_slice_in_dim(v_st[0], start, 4, axis=1)
-            st["key_residual"] = st["key_residual"].at[li, seq_id, :, :4].set(
+            # by seq_r (same contract as paged_prefill_seq). Per-slot tail
+            # starts (real lengths may differ within the bucket) -> a
+            # 4-row gather per slot.
+            start = jnp.clip((nv // 4) * 4 - pos_offset, 0, nc - 4)  # (S,)
+            ridx = start[:, None] + jnp.arange(4)[None, :]  # (S, 4)
+            kt4 = jnp.take_along_axis(
+                k_st, ridx[:, None, :, None], axis=2)  # (S, H, 4, d)
+            vt4 = jnp.take_along_axis(v_st, ridx[:, None, :, None], axis=2)
+            st["key_residual"] = st["key_residual"].at[li, seq_ids, :, :4].set(
                 kt4.astype(st["key_residual"].dtype)
             )
-            st["value_residual"] = st["value_residual"].at[li, seq_id, :, :4].set(
+            st["value_residual"] = st["value_residual"].at[li, seq_ids, :, :4].set(
                 vt4.astype(st["value_residual"].dtype)
             )
 
-        attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(1, nc, -1)
+        attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(S, nc, -1)
         x = x + jnp.einsum("bnf,df->bnd", attn, lp["wo"]).astype(x.dtype)
         h2 = _rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + _mlp(h2, lp).astype(x.dtype)
@@ -777,58 +815,28 @@ def _paged_prefill_chunk_core(
         layer, (x, sub, jnp.asarray(0, jnp.int32)), params["layers"]
     )
     if not last_chunk:
-        return jnp.zeros((1, cfg.vocab_size), jnp.float32), sub, updates
-    x_last = jax.lax.dynamic_slice_in_dim(
-        x, jnp.clip(nv - 1 - pos_offset, 0, nc - 1), 1, axis=1
-    )
-    logits = _logits(params, cfg, x_last)[:, 0]  # (1, V)
+        return jnp.zeros((S, cfg.vocab_size), jnp.float32), sub, updates
+    last = jnp.clip(nv - 1 - pos_offset, 0, nc - 1)  # (S,)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)  # (S, 1, D)
+    logits = _logits(params, cfg, x_last)[:, 0]  # (S, V)
     new = dict(sub)
-    new["seq_n_codes"] = sub["seq_n_codes"].at[seq_id].set((nv // 4) * 4)
-    new["seq_r"] = sub["seq_r"].at[seq_id].set(nv - (nv // 4) * 4)
-    new["seq_active"] = sub["seq_active"].at[seq_id].set(1)
+    new["seq_n_codes"] = sub["seq_n_codes"].at[seq_ids].set((nv // 4) * 4)
+    new["seq_r"] = sub["seq_r"].at[seq_ids].set(nv - (nv // 4) * 4)
+    new["seq_active"] = sub["seq_active"].at[seq_ids].set(1)
     return logits, new, updates
 
 
-def paged_admit_chunked(
-    params: Params,
-    cfg: ModelConfig,
-    pcfg: PagedPQCacheConfig,
-    seq_id,
-    prompt,  # 1-D int array (host), real tokens only
-    state: Dict[str, jax.Array],
-    tables: Dict[str, jax.Array],
-    *,
-    chunk: int = 2048,
-    hist_block: int = 2048,  # kept for API compat; history walks pages
-    use_kernel: bool | None = None,  # history partial via the Pallas chunk
-    # kernel; None = auto (packed tables present + not on CPU)
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Host-scheduled chunked admission of one long prompt into a slot's
-    pages. The prompt is padded to a multiple of `chunk`; executables
-    specialize on (history bucket, last_chunk) only, so all long
-    admissions share ~log2(max_prompt/chunk) compiles. The slot's pages
-    must already be allocated (allocate_pages) for the full prompt.
-    Per chunk: transformer core (pools read-only) then the argument-fed
-    pool writer (_commit_words). Returns (last-real-token logits (1, V),
-    new state)."""
+def _admit_chunked_impl(params, cfg, pcfg, seq_ids, prompts, n_valid,
+                        state, tables, chunk, use_kernel):
+    """Shared chunked-admission loop over S equal-bucket slots.
+    seq_ids (S,) host ints; prompts (S, n_pad) host int32 (zero-padded);
+    n_valid (S,) host ints (real lengths). Returns (logits (S, V), state).
+    """
     import numpy as np
 
-    if chunk % 4:
-        raise ValueError("chunk must be a multiple of 4")
-    if chunk % pcfg.page_size and pcfg.page_size % chunk:
-        raise ValueError(
-            f"chunk {chunk} must be a multiple of page_size "
-            f"{pcfg.page_size} (or divide it)"
-        )
-    prompt = np.asarray(prompt, np.int32)
-    n = len(prompt)
-    if n == 0:
-        raise ValueError("empty prompt")
-    n_pad = -(-n // chunk) * chunk
-    ids = np.zeros((1, n_pad), np.int32)
-    ids[0, :n] = prompt
-    sid = jnp.asarray(seq_id, jnp.int32)
-    nvj = jnp.asarray(n, jnp.int32)
+    S, n_pad = prompts.shape
+    sids = jnp.asarray(np.asarray(seq_ids, np.int32))
+    nvj = jnp.asarray(np.asarray(n_valid, np.int32))
     ps_w = pcfg.page_size // 4
     cap_w = pcfg.pages_per_seq * ps_w
     pools, sub = _split_state(state)
@@ -853,7 +861,8 @@ def paged_admit_chunked(
         else:
             uk = False
         logits, sub, updates = _paged_prefill_chunk_core(
-            params, cfg, pcfg, sid, jnp.asarray(ids[:, s0 : s0 + chunk]),
+            params, cfg, pcfg, sids,
+            jnp.asarray(prompts[:, s0 : s0 + chunk]),
             pools["key_pool"], pools["value_pool"],
             pools.get("key_outlier_pool"), pools.get("value_outlier_pool"),
             page_table, sub, tables, jnp.asarray(s0, jnp.int32),
@@ -865,12 +874,97 @@ def paged_admit_chunked(
         cw = min(ps_w, ncw)
         npc = -(-ncw // cw)
         j = jnp.arange(npc)
-        w0 = s0 // 4 + j * cw
-        raw = page_table[sid, jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)]
-        real = w0 < ((nvj + 3) // 4)
+        w0 = s0 // 4 + j * cw  # (npc,)
+        raw = page_table[
+            sids[:, None],
+            jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)[None, :],
+        ]  # (S, npc)
+        real = w0[None, :] < ((nvj[:, None] + 3) // 4)
         pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
         off = jnp.asarray((s0 // 4) % ps_w if cw < ps_w else 0, jnp.int32)
-        pools = _commit_words(pools, updates, pages, off)
+        pools = _commit_words_multi(pools, updates, pages, off)
     new = dict(sub)
     new.update(pools)
     return logits, new
+
+
+def paged_admit_chunked(
+    params: Params,
+    cfg: ModelConfig,
+    pcfg: PagedPQCacheConfig,
+    seq_id,
+    prompt,  # 1-D int array (host), real tokens only
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    *,
+    chunk: int = 2048,
+    hist_block: int = 2048,  # kept for API compat; history walks pages
+    use_kernel: bool | None = None,  # history partial via the Pallas chunk
+    # kernel; None = auto (packed tables present + not on CPU)
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Host-scheduled chunked admission of one long prompt into a slot's
+    pages. The prompt is padded to a multiple of `chunk`; executables
+    specialize on (history bucket, last_chunk) only, so all long
+    admissions share ~log2(max_prompt/chunk) compiles. The slot's pages
+    must already be allocated (allocate_pages) for the full prompt.
+    Per chunk: transformer core (pools read-only) then the argument-fed
+    pool writer. Returns (last-real-token logits (1, V), new state)."""
+    import numpy as np
+
+    if chunk % 4:
+        raise ValueError("chunk must be a multiple of 4")
+    if chunk % pcfg.page_size and pcfg.page_size % chunk:
+        raise ValueError(
+            f"chunk {chunk} must be a multiple of page_size "
+            f"{pcfg.page_size} (or divide it)"
+        )
+    prompt = np.asarray(prompt, np.int32)
+    n = len(prompt)
+    if n == 0:
+        raise ValueError("empty prompt")
+    n_pad = -(-n // chunk) * chunk
+    ids = np.zeros((1, n_pad), np.int32)
+    ids[0, :n] = prompt
+    return _admit_chunked_impl(
+        params, cfg, pcfg, [int(np.asarray(seq_id))], ids, [n], state,
+        tables, chunk, use_kernel,
+    )
+
+
+def paged_admit_chunked_batch(
+    params: Params,
+    cfg: ModelConfig,
+    pcfg: PagedPQCacheConfig,
+    seq_ids,  # sequence of S slot ids (host ints)
+    prompts,  # sequence of S 1-D int arrays padding to the SAME bucket
+    state: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    *,
+    chunk: int = 2048,
+    use_kernel: bool | None = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Batched chunked admission (round 4): S equal-bucket prompts admit
+    TOGETHER, so per-chunk encode/MLP/projection costs amortize over the
+    batch (slot-by-slot admission paid them S times). Real lengths may
+    differ within the bucket; pages must be pre-allocated per slot.
+    Returns (last-real-token logits (S, V), new state)."""
+    import numpy as np
+
+    if chunk % 4:
+        raise ValueError("chunk must be a multiple of 4")
+    lens = [len(p) for p in prompts]
+    if min(lens) == 0:
+        raise ValueError("empty prompt")
+    n_pad = -(-max(lens) // chunk) * chunk
+    if any(-(-n // chunk) * chunk != n_pad for n in lens):
+        raise ValueError(
+            f"batched admission needs one shared bucket: lengths {lens} "
+            f"pad to different multiples of chunk={chunk}"
+        )
+    ids = np.zeros((len(prompts), n_pad), np.int32)
+    for i, p in enumerate(prompts):
+        ids[i, : len(p)] = np.asarray(p, np.int32)
+    return _admit_chunked_impl(
+        params, cfg, pcfg, list(seq_ids), ids, lens, state, tables, chunk,
+        use_kernel,
+    )

@@ -47,6 +47,7 @@ from million_tpu.models.llama import ModelConfig, Params
 from million_tpu.models.paged_decode import (
     flush_paged_slots,
     paged_admit_chunked,
+    paged_admit_chunked_batch,
     paged_decode_step,
     paged_prefill_seq,
 )
@@ -103,6 +104,7 @@ class Scheduler:
         sampling: SamplingConfig = SamplingConfig(),
         seed: int = 0,
         admit_chunk: int = 2048,
+        admit_batch: int = 8,
     ):
         # fail early, not at kernel trace time deep inside the first decode:
         # the compiled paged kernel needs >= one full word tile per page
@@ -157,6 +159,11 @@ class Scheduler:
         # buckets above it are multiples of it (not powers of two), so a
         # 17K prompt pads to 18K, not 32K
         self.admit_chunk = admit_chunk
+        # batched admission (round 4): equal-bucket long prompts waiting
+        # together admit through ONE chunked pass (paged_admit_chunked_batch)
+        # so per-chunk encode/MLP/projection costs amortize over the group;
+        # admit_batch caps the group (activation transients scale with it)
+        self.admit_batch = admit_batch
         # guard the 8192-token-page admission OOM (VERDICT r3 weak #5 /
         # item 9): pages much larger than the admission chunk blow the
         # per-chunk history-gather/commit transients beside the pool
@@ -255,6 +262,44 @@ class Scheduler:
         self.slot_order.append(slot)
         self.last_token = self.last_token.at[slot].set(tok[0])
 
+    def _admit_group(self, reqs, slots) -> None:
+        """Admit equal-bucket long prompts TOGETHER through one batched
+        chunked pass — the per-chunk transformer costs amortize over the
+        group (measured: slot-by-slot 6x32K admission paid them 6x)."""
+        entries = []
+        for req, slot in zip(reqs, slots):
+            saved = self._preempt_saved.pop(req.rid, [])
+            prompt = np.concatenate([req.prompt, np.asarray(saved, np.int32)])
+            entries.append((req, slot, prompt, saved))
+            need = self._pages_for(len(prompt) + self.pcfg.Lt)
+            self.state = allocate_pages(self.state, jnp.asarray(slot), need)
+            self.slot_pages[slot] = need
+        # per-chunk activation transients scale with group_size x chunk;
+        # shrink the chunk so the product stays within ~2x the single-slot
+        # budget (S=6 at the 3B/32K shape OOM'd at the full 2048 chunk)
+        chunk_eff = self.admit_chunk
+        while len(entries) * chunk_eff > 2 * self.admit_chunk and chunk_eff > 512:
+            chunk_eff //= 2
+        logits, self.state = paged_admit_chunked_batch(
+            self.params, self.cfg, self.pcfg,
+            [slot for _, slot, _, _ in entries],
+            [p for _, _, p, _ in entries],
+            self.state, self.tables, chunk=chunk_eff,
+        )
+        self.key, sk = jax.random.split(self.key)
+        toks = sample(logits, sk, self.sampling)  # (S,)
+        toks_np = np.asarray(toks)
+        slots_j = jnp.asarray([slot for _, slot, _, _ in entries])
+        self.last_token = self.last_token.at[slots_j].set(toks)
+        for i, (req, slot, prompt, saved) in enumerate(entries):
+            n = len(prompt)
+            self.slot_req[slot] = req
+            self.slot_generated[slot] = saved + [int(toks_np[i])]
+            self.slot_pos[slot] = n
+            self.slot_codes[slot] = n - (n % 4)
+            self.slot_r[slot] = n % 4
+            self.slot_order.append(slot)
+
     def _try_admit(self) -> None:
         while self.waiting:
             slot = self._free_slot()
@@ -272,7 +317,41 @@ class Scheduler:
             if pick is None:
                 return
             req = self.waiting.pop(pick)
-            self._admit_one(req, slot)
+            n_req = len(req.prompt) + len(self._preempt_saved.get(req.rid, []))
+            bucket = self._prompt_bucket(n_req)
+            if bucket > self.admit_chunk and self.admit_batch > 1:
+                # pull same-bucket waiters while free slots and pages
+                # allow. Group members must pad to the SAME length at the
+                # FINEST auto-scaled chunk (512): a slot whose real end
+                # falls before the group's last chunk would get garbage
+                # tail rows and last-position logits (the per-slot tail
+                # logic lives in the shared last chunk).
+                g = self.admit_chunk if self.admit_chunk <= 512 else 512
+                bg = -(-n_req // g)
+                group, slots = [req], [slot]
+                committed = self._admission_need(req)
+                free_slots = [
+                    i for i, r in enumerate(self.slot_req)
+                    if r is None and i != slot
+                ]
+                k = 0
+                while (free_slots and k < len(self.waiting)
+                       and len(group) < self.admit_batch):
+                    cand = self.waiting[k]
+                    n_c = len(cand.prompt) + len(
+                        self._preempt_saved.get(cand.rid, []))
+                    need_c = self._admission_need(cand)
+                    if (self._prompt_bucket(n_c) == bucket
+                            and -(-n_c // g) == bg
+                            and committed + need_c <= self._free_pages()):
+                        committed += need_c
+                        group.append(self.waiting.pop(k))
+                        slots.append(free_slots.pop(0))
+                    else:
+                        k += 1
+                self._admit_group(group, slots)
+            else:
+                self._admit_one(req, slot)
 
     # ---------------- pipelined token processing --------------------------
     def drain(self) -> None:

@@ -628,3 +628,74 @@ def test_pipeline_drain_after_partial_stepping(rng):
     sched.drain()
     # admission samples 1 token, each of the 5 ticks one more = 6
     assert len(sched.slot_generated[0]) == 6
+
+
+def test_batched_admission_matches_sequential(rng):
+    """paged_admit_chunked_batch over 2 equal-bucket slots must reproduce
+    two sequential paged_admit_chunked admissions: identical pool words
+    and counters (layer 0 exactly; activations differ only through the
+    quantized-history noise shared by both paths), close logits."""
+    from million_tpu.cache.paged_pq_cache import allocate_pages, init_paged_state
+    from million_tpu.models.paged_decode import (
+        paged_admit_chunked,
+        paged_admit_chunked_batch,
+    )
+
+    params, cents, tables, pcfg = build(rng)
+    n0, n1 = 275, 261  # same 3-chunk bucket (chunk=128), different reals
+    p0 = rng.integers(0, CFG.vocab_size, n0).astype(np.int32)
+    p1 = rng.integers(0, CFG.vocab_size, n1).astype(np.int32)
+    need0 = -(-(n0 + pcfg.Lt) // pcfg.page_size)
+    need1 = -(-(n1 + pcfg.Lt) // pcfg.page_size)
+
+    st_a = init_paged_state(pcfg)
+    st_a = allocate_pages(st_a, jnp.asarray(0), need0)
+    st_a = allocate_pages(st_a, jnp.asarray(1), need1)
+    la0, st_a = paged_admit_chunked(
+        params, CFG, pcfg, 0, p0, st_a, tables, chunk=128)
+    la1, st_a = paged_admit_chunked(
+        params, CFG, pcfg, 1, p1, st_a, tables, chunk=128)
+
+    st_b = init_paged_state(pcfg)
+    st_b = allocate_pages(st_b, jnp.asarray(0), need0)
+    st_b = allocate_pages(st_b, jnp.asarray(1), need1)
+    lb, st_b = paged_admit_chunked_batch(
+        params, CFG, pcfg, [0, 1], [p0, p1], st_b, tables, chunk=128)
+
+    np.testing.assert_array_equal(
+        np.asarray(st_a["key_pool"][0]), np.asarray(st_b["key_pool"][0]))
+    np.testing.assert_array_equal(
+        np.asarray(st_a["value_pool"][0]), np.asarray(st_b["value_pool"][0]))
+    for k in ("seq_n_codes", "seq_r", "seq_active", "seq_n_pages"):
+        np.testing.assert_array_equal(np.asarray(st_a[k]), np.asarray(st_b[k]))
+    np.testing.assert_allclose(
+        np.asarray(lb[0]), np.asarray(la0[0]), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(lb[1]), np.asarray(la1[0]), rtol=5e-2, atol=5e-2)
+
+
+def test_scheduler_group_admission(rng):
+    """Two equal-bucket long prompts waiting together admit through ONE
+    batched chunked pass and then decode to completion; generated tokens
+    match what slot-by-slot admission produces (greedy, same state math)."""
+    params, cents, tables, pcfg = build(rng, n_pages=12, max_seqs=3)
+
+    def run(batch):
+        sched = Scheduler(params, CFG, pcfg, tables,
+                          admit_batch=(8 if batch else 1))
+        sched.admit_chunk = 128
+        for rid, n in enumerate((300, 280)):  # same 3-chunk bucket
+            sched.submit(Request(
+                rid=rid,
+                prompt=np.random.default_rng(rid).integers(
+                    0, CFG.vocab_size, n).astype(np.int32),
+                max_new_tokens=8))
+        done = sched.run_to_completion(max_ticks=60)
+        return {f.rid: f.tokens for f in done}
+
+    got = run(batch=True)
+    want = run(batch=False)
+    assert set(got) == set(want) == {0, 1}
+    for rid in got:
+        agree = (got[rid] == want[rid]).mean()
+        assert agree >= 0.85, f"rid {rid}: {agree}: {got[rid]} vs {want[rid]}"
