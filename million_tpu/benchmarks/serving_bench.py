@@ -43,10 +43,18 @@ def steady_state(args, cfg, pcfg, make_scheduler):
     # weights exceed HBM at the 32K x full-slot shapes
     warm = make_scheduler()
     # warm the BATCHED admission shape too (round 4: equal-bucket prompts
-    # admit as one group — its executables are keyed by the group size)
+    # admit as one group — its executables are keyed by the group size).
+    # Warm generation must CROSS the next page boundary: growth there
+    # bumps the decode tick's static p_bucket (16 -> 32/None at the 32K
+    # shape), and an unwarmed bucket recompiles the fused tick inside the
+    # measured loop (observed: one 2.3 s step in an otherwise 118 ms/step
+    # run)
+    to_boundary = pcfg.page_size - (n % pcfg.page_size) \
+        if n % pcfg.page_size else 0
+    warm_new = min(to_boundary + pcfg.Lt + 2, 2048)
     for w in range(S):
         warm.submit(Request(rid=-1 - w, prompt=np.zeros(n, np.int32),
-                            max_new_tokens=pcfg.Lt + 2))
+                            max_new_tokens=warm_new))
     warm.run_to_completion()
     del warm
     sched = make_scheduler()
@@ -68,9 +76,13 @@ def steady_state(args, cfg, pcfg, make_scheduler):
     # readback with the next tick's device compute, so the bench must NOT
     # force a per-tick sync — after the first tick, step() self-paces at
     # one-tick lag and the inter-step wall IS the device tick time (flush
-    # attribution shifts by one tick; with 40 ticks the p50 is robust).
-    ticks = []
-    flush_ticks = []
+    # attribution shifts by one tick; with 40 steps the p50 is robust).
+    # Round 5: step() may CHAIN up to tick_chain decode ticks per program
+    # (k tokens/slot per step), so timing is per-token: each step records
+    # (wall, tokens_per_slot) and p50s are over wall/k.
+    ticks = []  # (dt, k) non-flush steps
+    flush_ticks = []  # (dt, k) steps that ran flush_paged_slots
+    n_tok = 0
     T0 = time.perf_counter()
     for t in range(args.steady):
         t0 = time.perf_counter()
@@ -78,25 +90,33 @@ def steady_state(args, cfg, pcfg, make_scheduler):
             sched.slot_r[i] >= pcfg.Lt
             for i, r in enumerate(sched.slot_req) if r is not None
         )
-        sched.step()
+        sent = sched.step()
         dt = time.perf_counter() - t0
-        (flush_ticks if will_flush else ticks).append(dt)
+        n_tok += sent
+        (flush_ticks if will_flush else ticks).append((dt, sent // max(act, 1)))
     jax.block_until_ready(sched.last_token)  # drain the pipeline
     total = time.perf_counter() - T0
-    p50 = float(np.median(ticks))
-    n_tok = act * args.steady
+    per_tok = [dt / max(k, 1) for dt, k in ticks]
+    per_tok_flush = [dt / max(k, 1) for dt, k in flush_ticks]
+    p50 = float(np.median(per_tok))
+    log("per-token ms: p10/p50/p90/max = "
+        f"{np.percentile(per_tok, 10)*1e3:.2f}/{p50*1e3:.2f}/"
+        f"{np.percentile(per_tok, 90)*1e3:.2f}/{max(per_tok)*1e3:.2f}; "
+        f"flush steps: {[round(x*1e3,1) for x in per_tok_flush]}")
     print(json.dumps({
         "metric": f"steady-state serving decode, {args.preset}, {act} slots "
         f"x {n}-token context (paged PQ, window-flush batching)",
         "value": round(n_tok / total, 2),
         "unit": "generated tokens/s",
         "tick_p50_ms": round(p50 * 1e3, 2),
-        "flush_tick_ms": round(float(np.median(flush_ticks)) * 1e3, 2)
-        if flush_ticks else None,
-        "flush_over_p50": round(float(np.median(flush_ticks)) / p50, 2)
-        if flush_ticks else None,
+        "flush_tick_ms": round(float(np.median(per_tok_flush)) * 1e3, 2)
+        if per_tok_flush else None,
+        "flush_over_p50": round(float(np.median(per_tok_flush)) / p50, 2)
+        if per_tok_flush else None,
         "admission_ttft_s": round(admit_wall, 2),
         "ticks": args.steady,
+        "tick_chain": sched.tick_chain,
+        "tokens": n_tok,
         "preemptions": sched.preemptions,
         "geometry": getattr(args, "geometry", "dm2"),
     }))
@@ -136,6 +156,10 @@ def main():
                     "TICKS pure-decode ticks with full slots — measures "
                     "the decode loop the scheduler actually runs, "
                     "excluding admission")
+    ap.add_argument("--tick-chain", type=int, default=8,
+                    help="max decode ticks chained per device program "
+                    "(host reads k tokens per RTT); 1 = the round-4 "
+                    "one-tick pipeline")
     args = ap.parse_args()
 
     try:
@@ -202,7 +226,8 @@ def main():
     def make_scheduler():
         return Scheduler(params, cfg, pcfg, tables,
                          SamplingConfig(temperature=0.0),
-                         admit_chunk=args.admit_chunk)
+                         admit_chunk=args.admit_chunk,
+                         tick_chain=args.tick_chain)
 
     if args.steady:
         steady_state(args, cfg, pcfg, make_scheduler)

@@ -328,8 +328,7 @@ def _put_page(pool, upd, page, off):
     return jax.lax.dynamic_update_slice(pool, upd, idx)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _commit_words(pools, updates, pages, off):
+def _commit_words_body(pools, updates, pages, off):
     """Write one admission chunk's packed words (and outlier slabs) for
     ALL layers into the pools. `pools` is the dict of page pools (codes +
     optional byte-plane outlier pools), donated; `updates` maps the same
@@ -341,7 +340,9 @@ def _commit_words(pools, updates, pages, off):
     compile OOM, reproduced in isolation); argument layouts are natural,
     so this tiny writer program stays at ~0 temp memory. pages (npc,)
     int32 page ids (scratch-routed by the caller); off () int32 sub-page
-    word offset (0 for page-aligned commits)."""
+    word offset (0 for page-aligned commits). The unjitted body is shared
+    with the sp-sharded commit (parallel/paged_sharded.py), which calls
+    it per shard inside shard_map with locally-routed page ids."""
     ncw = updates["key_pool"].shape[-1]
     ps_w = pools["key_pool"].shape[-1]
     cw = min(ps_w, ncw)
@@ -356,8 +357,10 @@ def _commit_words(pools, updates, pages, off):
     return out
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _commit_words_multi(pools, updates, pages, off):
+_commit_words = partial(jax.jit, donate_argnums=(0,))(_commit_words_body)
+
+
+def _commit_words_multi_body(pools, updates, pages, off):
     """Per-slot variant of _commit_words for batched admission: updates
     carry a slot axis (L, S, H, ..., ncw); pages (S, npc) int32 routes
     each slot's word-chunks to its own pages; off is the shared sub-page
@@ -380,8 +383,12 @@ def _commit_words_multi(pools, updates, pages, off):
     return out
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _commit_flush(pools, updates, pages, offs):
+_commit_words_multi = partial(jax.jit, donate_argnums=(0,))(
+    _commit_words_multi_body
+)
+
+
+def _commit_flush_body(pools, updates, pages, offs):
     """Write flushed residual-window words (and outlier slabs) for ALL
     layers, per slot. `updates` maps pool keys to (L, S, H, ..., Ltw)
     ARGUMENT slabs (see _commit_words for why); pages/offs (S,) int32
@@ -395,6 +402,9 @@ def _commit_flush(pools, updates, pages, offs):
                 out[key], upd[:, si][:, None], pages[si], offs[si]
             )
     return out
+
+
+_commit_flush = partial(jax.jit, donate_argnums=(0,))(_commit_flush_body)
 
 
 def _split_state(state):

@@ -196,6 +196,8 @@ def load_session(
             eos_id=s["eos_id"],
         )
         sched.slot_generated[i] = list(s["generated"])
+        # save_session drains the pipeline first, so dispatched == emitted
+        sched.slot_sent[i] = len(sched.slot_generated[i])
     sched.slot_order = [
         int(i) for i in meta.get(
             "slot_order",

@@ -55,27 +55,42 @@ from million_tpu.runtime.sampling import SamplingConfig, sample
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "pcfg", "scfg", "p_bucket"),
+    jax.jit, static_argnames=("cfg", "pcfg", "scfg", "p_bucket", "k"),
     donate_argnums=(4,),
 )
 def _fused_tick(params, cfg, pcfg, tokens, state, tables, key, scfg,
-                p_bucket=None):
-    """ONE device program per decode tick: positions derived on-device
+                p_bucket=None, k=1):
+    """ONE device program per k decode ticks: positions derived on-device
     (seq_n_codes + seq_r is the incoming token's absolute position — the
-    invariant holds through appends and flushes), decode, key split, and
-    sampling fused. On a tunneled runtime each separate dispatch/upload
-    costs a host round-trip; the round-3 tick paid 3-4 of them (positions
-    upload, decode, split, sample), which DOMINATED the bs=1 tick
-    (~20 ms host vs ~14 ms device — measured 2026-08-21)."""
+    invariant holds through appends and flushes, and seq_r advances inside
+    the step so the chain needs no host bookkeeping), decode, key split,
+    and sampling fused, CHAINED k times with lax.scan. On a tunneled
+    runtime each separate dispatch/upload costs a host round-trip; the
+    round-3 tick paid 3-4 of them (positions upload, decode, split,
+    sample) which DOMINATED the bs=1 tick, and the round-4 single-tick
+    pipeline still paid one token-readback RTT per TOKEN — at bs=1 that
+    RTT (~8 ms) sat on top of a ~14 ms device step (VERDICT r4 weak #4).
+    With k ticks per program the host reads k tokens per RTT; EOS/length
+    retirement lags at most k ticks (the rid-guarded pending queue already
+    tolerates lag — overshoot tokens are discarded). The scheduler bounds
+    k so no residual window fills mid-chain (flush/growth stay host-side).
+    Returns toks of shape (k, S)."""
     from million_tpu.models.paged_decode import _paged_decode_step_impl
 
-    positions = (state["seq_n_codes"] + state["seq_r"]).astype(jnp.int32)
-    logits, state = _paged_decode_step_impl(
-        params, cfg, pcfg, tokens, positions, state, tables,
-        p_bucket=p_bucket,
+    def body(carry, _):
+        tokens, state, key = carry
+        positions = (state["seq_n_codes"] + state["seq_r"]).astype(jnp.int32)
+        logits, state = _paged_decode_step_impl(
+            params, cfg, pcfg, tokens, positions, state, tables,
+            p_bucket=p_bucket,
+        )
+        key, sk = jax.random.split(key)
+        toks = sample(logits, sk, scfg)
+        return (toks, state, key), toks
+
+    (_, state, key), toks = jax.lax.scan(
+        body, (tokens, state, key), None, length=k
     )
-    key, sk = jax.random.split(key)
-    toks = sample(logits, sk, scfg)
     return toks, state, key
 
 
@@ -105,6 +120,7 @@ class Scheduler:
         seed: int = 0,
         admit_chunk: int = 2048,
         admit_batch: int = 8,
+        tick_chain: int = 8,
     ):
         # fail early, not at kernel trace time deep inside the first decode:
         # the compiled paged kernel needs >= one full word tile per page
@@ -130,6 +146,11 @@ class Scheduler:
         self.slot_pages = np.zeros(S, np.int64)  # host mirror of seq_n_pages
         self.slot_codes = np.zeros(S, np.int64)  # host mirror of n_codes
         self.slot_r = np.zeros(S, np.int64)
+        # tokens DISPATCHED per slot (admission token + decode ticks issued,
+        # including in-flight ones whose readback is pending) — bounds the
+        # multi-tick chain so a slot near max_new_tokens doesn't drag the
+        # whole batch through wasted ticks
+        self.slot_sent = np.zeros(S, np.int64)
         self.last_token = jnp.zeros((S,), jnp.int32)
         self.waiting: List[Request] = []
         self.finished: List[FinishedRequest] = []
@@ -153,6 +174,15 @@ class Scheduler:
         # background, so the wall approaches device time.
         self.pipeline = True
         self.pipeline_depth = 2
+        # multi-tick chaining (round 5, VERDICT r4 item 2): when nothing is
+        # waiting to admit, chain up to tick_chain decode ticks in one
+        # device program — the host reads k tokens per RTT instead of one,
+        # so the per-token wall approaches the device step time at bs=1
+        # (the depth-1/2 pipeline could not hide the transfer at bs=1:
+        # 22.1 ms wall vs 14.4 ms device, r4). k is clamped so no residual
+        # window fills mid-chain and no slot overshoots max_new_tokens by
+        # more than the chain.
+        self.tick_chain = max(1, int(tick_chain))
         self._pending: List[tuple] = []  # FIFO of (device toks, [(slot, rid)])
         # prompts longer than this admit via the CHUNKED path
         # (paged_admit_chunked): bounded activation memory per chunk, and
@@ -259,6 +289,7 @@ class Scheduler:
         self.slot_pages[slot] = need
         self.slot_codes[slot] = n - (n % 4)  # prefill packs the aligned prefix
         self.slot_r[slot] = n % 4
+        self.slot_sent[slot] = len(saved) + 1
         self.slot_order.append(slot)
         self.last_token = self.last_token.at[slot].set(tok[0])
 
@@ -298,6 +329,7 @@ class Scheduler:
             self.slot_pos[slot] = n
             self.slot_codes[slot] = n - (n % 4)
             self.slot_r[slot] = n % 4
+            self.slot_sent[slot] = len(saved) + 1
             self.slot_order.append(slot)
 
     def _try_admit(self) -> None:
@@ -372,18 +404,22 @@ class Scheduler:
             limit is None or len(self._pending) > limit
         ):
             toks, entries = self._pending.pop(0)
-            toks_np = np.asarray(toks)
-            for slot, rid in entries:
-                req = self.slot_req[slot]
-                if req is None or req.rid != rid:
-                    continue  # retired/preempted/re-admitted since dispatch
-                tok = int(toks_np[slot])
-                self.slot_generated[slot].append(tok)
-                done = len(self.slot_generated[slot]) >= req.max_new_tokens or (
-                    req.eos_id is not None and tok == req.eos_id
-                )
-                if done:
-                    self._retire(slot)
+            toks_np = np.asarray(toks)  # (k, S) — k chained sub-ticks
+            for row in toks_np:
+                for slot, rid in entries:
+                    req = self.slot_req[slot]
+                    if req is None or req.rid != rid:
+                        # retired (possibly by an earlier sub-tick of this
+                        # same chain)/preempted/re-admitted since dispatch
+                        continue
+                    tok = int(row[slot])
+                    self.slot_generated[slot].append(tok)
+                    done = (
+                        len(self.slot_generated[slot]) >= req.max_new_tokens
+                        or (req.eos_id is not None and tok == req.eos_id)
+                    )
+                    if done:
+                        self._retire(slot)
 
     # ---------------- preemption & on-demand growth ----------------------
     def _preempt(self, slot: int) -> None:
@@ -403,6 +439,7 @@ class Scheduler:
         self.slot_pages[slot] = 0
         self.slot_codes[slot] = 0
         self.slot_r[slot] = 0
+        self.slot_sent[slot] = 0
         self.slot_order.remove(slot)
         self.waiting.insert(0, req)
         self.preemptions += 1
@@ -446,10 +483,13 @@ class Scheduler:
     # ---------------- one decode tick ------------------------------------
     def step(self) -> int:
         """Admit what fits, flush any full residual windows (grow pages
-        first), then decode one token for every active slot. Returns the
-        number of active slots that advanced. With `pipeline` (default),
-        the sampled-token readback of tick t is processed after tick t+1
-        is dispatched, hiding the device->host RTT behind compute."""
+        first), then decode k chained tokens for every active slot (k=1
+        when requests are waiting to admit; up to tick_chain otherwise).
+        Returns the number of tokens dispatched (active slots x k). With
+        `pipeline` (default), the sampled-token readback of tick t is
+        processed after tick t+1 is dispatched, hiding the device->host
+        RTT behind compute; chaining additionally amortizes one readback
+        over k tokens."""
         self._try_admit()
         self._grow_for_flush()
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
@@ -483,19 +523,34 @@ class Scheduler:
             p_bucket *= 2
         if p_bucket >= self.pcfg.pages_per_seq:
             p_bucket = None  # full table walk
-        # one fused program: positions-on-device + decode + split + sample
-        # (toks stays on device; see _fused_tick for the dispatch-cost
-        # rationale)
+        # chain length: >1 only when nothing is waiting (admission latency
+        # stays one tick); bounded so (a) no residual window fills
+        # mid-chain — flush and page growth are host-side — and (b) the
+        # chain stops once EVERY active slot has reached its token budget
+        # (per-slot overshoot within the chain is discarded by the
+        # rid-guarded pending queue)
+        k = 1
+        if self.tick_chain > 1 and not self.waiting:
+            max_r = max(int(self.slot_r[i]) for i in active)
+            rem = max(
+                int(self.slot_req[i].max_new_tokens - self.slot_sent[i])
+                for i in active
+            )
+            k = max(1, min(self.tick_chain, self.pcfg.Lt - max_r, rem))
+        # one fused program: positions-on-device + decode + split + sample,
+        # k times (toks stays on device; see _fused_tick for the
+        # dispatch-cost rationale)
         toks, self.state, self.key = _fused_tick(
             self.params, self.cfg, self.pcfg,
             self.last_token, self.state, self.tables, self.key,
-            self.sampling, p_bucket=p_bucket,
+            self.sampling, p_bucket=p_bucket, k=k,
         )
 
         for i in active:
-            self.slot_pos[i] += 1
-            self.slot_r[i] += 1  # full window flushes at the NEXT tick
-        self.last_token = toks
+            self.slot_pos[i] += k
+            self.slot_r[i] += k  # full window flushes at the NEXT tick
+            self.slot_sent[i] += k
+        self.last_token = toks[k - 1]
         entries = [(i, self.slot_req[i].rid) for i in active]
         self._pending.append((toks, entries))
         # this tick is dispatched; reading older ticks' tokens now
@@ -505,7 +560,7 @@ class Scheduler:
         self._process_pending(
             limit=self.pipeline_depth if self.pipeline else 0
         )
-        return len(active)
+        return len(active) * k
 
     def _retire(self, slot: int) -> None:
         req = self.slot_req[slot]
@@ -523,6 +578,7 @@ class Scheduler:
         self.slot_pages[slot] = 0
         self.slot_codes[slot] = 0
         self.slot_r[slot] = 0
+        self.slot_sent[slot] = 0
         self.slot_order.remove(slot)
 
     def stats(self) -> Dict:
