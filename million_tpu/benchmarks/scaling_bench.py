@@ -191,6 +191,75 @@ def virtual_mesh_parity(n_devices: int = 8) -> Dict:
     return diffs
 
 
+def virtual_mesh_paged_parity(n_devices: int = 8) -> Dict:
+    """Round 5 (VERDICT r4 item 1): the PAGED serving tick on a virtual
+    mesh — admit the same prompt through the single-device scheduler and
+    the ShardedScheduler (tp=2 x sp=2: pool slabs sequence-sharded,
+    heads tp-sharded), then compare one fused decode tick's logits."""
+    import jax
+
+    if jax.default_backend() != "cpu" or len(jax.devices()) < n_devices:
+        return {"skipped": f"needs {n_devices} CPU devices "
+                "(XLA_FLAGS=--xla_force_host_platform_device_count=8)"}
+    import jax.numpy as jnp
+
+    from million_tpu.cache.paged_pq_cache import PagedPQCacheConfig
+    from million_tpu.models.llama import PRESETS, build_tables, init_params
+    from million_tpu.models.paged_decode import paged_decode_step
+    from million_tpu.parallel.mesh import (
+        make_mesh, param_shardings, shard_pytree,
+    )
+    from million_tpu.runtime.scheduler import Request, Scheduler, ShardedScheduler
+
+    cfg = dataclasses.replace(PRESETS["test-tiny"], num_layers=2)
+    rng = np.random.default_rng(0)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    M = cfg.head_dim // 2
+    cents = {
+        "key": jnp.asarray(rng.standard_normal((2, M, 64, 2)), jnp.float32),
+        "value": jnp.asarray(rng.standard_normal((2, M, 64, 2)), jnp.float32),
+    }
+    tables = build_tables(cents)
+    pcfg = PagedPQCacheConfig(
+        num_layers=2, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=64,
+        Lt=8, page_size=128, n_pages=8, max_seqs=2, pages_per_seq=4,
+        dtype=jnp.float32,
+    )
+    prompt = rng.integers(0, cfg.vocab_size, 60).astype(np.int32)
+
+    def admitted(sched):
+        sched.submit(Request(rid=0, prompt=prompt, max_new_tokens=4))
+        sched.step()
+        sched.drain()
+        return sched
+
+    base = admitted(Scheduler(params, cfg, pcfg, tables))
+    mesh = make_mesh(dp=1, tp=2, sp=2)
+    p_sh = param_shardings(mesh)
+    if cfg.tie_word_embeddings and "lm_head" in p_sh:
+        del p_sh["lm_head"]
+    shrd = admitted(ShardedScheduler(
+        shard_pytree(params, p_sh), cfg, pcfg, tables, mesh=mesh))
+
+    tok = base.last_token
+    pos = jnp.asarray(
+        np.asarray(base.state["seq_n_codes"] + base.state["seq_r"]),
+        jnp.int32)
+    l_ref, base.state = paged_decode_step(
+        params, cfg, pcfg, tok, pos, base.state, tables)
+    l_sp, shrd.state = paged_decode_step(
+        shrd.params, cfg, pcfg, tok, pos, shrd.state, tables,
+        mesh=mesh)
+    return {
+        "paged_tick_sp2tp2_max_logit_diff": float(
+            jnp.max(jnp.abs(l_sp - l_ref))
+        ),
+        "admission_token_match": bool(
+            np.asarray(base.last_token[0]) == np.asarray(shrd.last_token[0])
+        ),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-mesh", action="store_true")
@@ -210,6 +279,7 @@ def main():
     print(json.dumps(throughput_scaling_note()))
     if not args.skip_mesh:
         print(json.dumps(virtual_mesh_parity()))
+        print(json.dumps(virtual_mesh_paged_parity()))
 
 
 if __name__ == "__main__":

@@ -169,6 +169,10 @@ def _paged_decode_step_impl(
     tables: Dict[str, jax.Array],  # cents + kpack/vpack, stacked (L, ...)
     p_bucket=None,  # STATIC: page-walk bound — the scheduler passes a
     # power-of-two covering the longest allocated table (l2Ns analogue)
+    mesh=None,  # STATIC jax.sharding.Mesh -> the page pool is sequence-
+    # sharded (parallel/paged_sharded.py) and attention runs per shard
+    # with the 2-collective LSE merge; everything else GSPMD-partitions
+    # over (tp,) via the input shardings
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One decode token for every slot. Returns (logits (S, V) f32, state).
 
@@ -262,12 +266,26 @@ def _paged_decode_step_impl(
             okw["k_outliers"] = st["key_outlier_pool"]
         if "value_outlier_pool" in st:
             okw["v_outliers"] = st["value_outlier_pool"]
-        res = pq_paged_attention_stacked(
-            q_pad, st["key_pool"], st["value_pool"],
-            tables["kpack"], tables["vpack"], li,
-            state["page_table"], n_codes,
-            direct=d_k, v_direct=d_v, p_bucket=p_bucket, **okw,
-        )
+        if mesh is None:
+            res = pq_paged_attention_stacked(
+                q_pad, st["key_pool"], st["value_pool"],
+                tables["kpack"], tables["vpack"], li,
+                state["page_table"], n_codes,
+                direct=d_k, v_direct=d_v, p_bucket=p_bucket, **okw,
+            )
+        else:
+            from million_tpu.parallel.paged_sharded import (
+                sharded_paged_attention_stacked,
+            )
+
+            res = sharded_paged_attention_stacked(
+                mesh, pcfg, q_pad, st["key_pool"], st["value_pool"],
+                tables["kpack"], tables["vpack"], li,
+                state["page_table"], n_codes,
+                p_bucket=p_bucket, direct=d_k, v_direct=d_v,
+                qo=okw.get("qo"), k_outliers=okw.get("k_outliers"),
+                v_outliers=okw.get("v_outliers"),
+            )
         if "value_outlier_pool" in st:
             out_c, lse_c, co = res
             voidx_l = jax.lax.dynamic_index_in_dim(
@@ -312,7 +330,8 @@ def _paged_decode_step_impl(
 # runtime/scheduler.py _fused_tick) can inline it without nested-jit
 # donation warnings
 paged_decode_step = partial(
-    jax.jit, static_argnames=("cfg", "pcfg", "p_bucket"), donate_argnums=(5,)
+    jax.jit, static_argnames=("cfg", "pcfg", "p_bucket", "mesh"),
+    donate_argnums=(5,),
 )(_paged_decode_step_impl)
 
 
@@ -468,6 +487,7 @@ def flush_paged_slots(
     state: Dict[str, jax.Array],
     tables: Dict[str, jax.Array],
     mask: jax.Array,  # (S,) bool — slots whose FULL residual window flushes
+    mesh=None,  # jax.sharding.Mesh -> per-shard commit routing
 ) -> Dict[str, jax.Array]:
     """Encode the full residual windows of the masked slots and write the
     packed words into their pages; advance seq_n_codes by Lt and reset
@@ -490,15 +510,24 @@ def flush_paged_slots(
     ps_w = pcfg.page_size // 4
     pools, sub = _split_state(state)
     updates, new_n, new_r = _flush_encode_core(pcfg, sub, tables, mask)
-    scratch = pools["key_pool"].shape[1] - 1
     w0 = state["seq_n_codes"] // 4  # (S,)
-    raw = jnp.take_along_axis(
-        state["page_table"],
-        jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)[:, None],
-        axis=1,
-    )[:, 0]
-    pages = jnp.where((raw < 0) | ~mask, scratch, raw)
-    pools = _commit_flush(pools, updates, pages, w0 % ps_w)
+    if mesh is None:
+        scratch = pools["key_pool"].shape[1] - 1
+        raw = jnp.take_along_axis(
+            state["page_table"],
+            jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)[:, None],
+            axis=1,
+        )[:, 0]
+        pages = jnp.where((raw < 0) | ~mask, scratch, raw)
+        pools = _commit_flush(pools, updates, pages, w0 % ps_w)
+    else:
+        from million_tpu.parallel.paged_sharded import sharded_commit_flush
+
+        tpos = jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)
+        pools = sharded_commit_flush(
+            mesh, pcfg, pools, updates, state["page_table"], tpos,
+            w0 % ps_w, mask,
+        )
     new = dict(sub)
     new.update(pools)
     new["seq_n_codes"] = new_n
@@ -625,6 +654,7 @@ def paged_prefill_seq(
     tables: Dict[str, jax.Array],
     n_valid: Optional[jax.Array] = None,  # () int32 — real prompt length
     # when input_ids is padded to a bucket; None = every token is real
+    mesh=None,  # jax.sharding.Mesh -> per-shard commit routing
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Admit one sequence: exact-attention prefill whose K/V are encoded
     and written into the slot's (pre-allocated) pages. Returns (last-token
@@ -656,10 +686,20 @@ def paged_prefill_seq(
         ncw = updates["key_pool"].shape[-1]
         npg = -(-ncw // ps_w)
         j = jnp.arange(npg)
-        raw = state["page_table"][seq_id, :npg]
         real = (j * ps_w) < ((nv + 3) // 4)
-        pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
-        pools = _commit_words(pools, updates, pages, jnp.int32(0))
+        if mesh is None:
+            raw = state["page_table"][seq_id, :npg]
+            pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
+            pools = _commit_words(pools, updates, pages, jnp.int32(0))
+        else:
+            from million_tpu.parallel.paged_sharded import (
+                sharded_commit_words,
+            )
+
+            pools = sharded_commit_words(
+                mesh, pcfg, pools, updates, state["page_table"], seq_id,
+                j, real, jnp.int32(0),
+            )
     new = dict(new_sub)
     new.update(pools)
     return logits, new
@@ -670,7 +710,7 @@ def paged_prefill_seq(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg", "pcfg", "hw_bucket", "last_chunk",
-                                   "use_kernel"))
+                                   "use_kernel", "mesh"))
 def _paged_prefill_chunk_core(
     params: Params,
     cfg: ModelConfig,
@@ -695,6 +735,9 @@ def _paged_prefill_chunk_core(
     last_chunk: bool,
     use_kernel: bool = False,  # STATIC: history partial via the Pallas
     # chunk kernel (_history_pages_kernel) instead of the jnp page walk
+    mesh=None,  # STATIC jax.sharding.Mesh -> history partial per shard
+    # (sharded_history_pages_kernel) + sharded commit routing by the
+    # caller; the transformer core GSPMD-partitions over tp
 ) -> Tuple[jax.Array, Dict[str, jax.Array], jax.Array, jax.Array]:
     """One admission chunk for the PAGED cache (VERDICT r2 item 3): the
     flat chunked_prefill decomposition (exact causal within the chunk +
@@ -727,8 +770,9 @@ def _paged_prefill_chunk_core(
     # the history partial). PAGE-granularity leading-axis gathers only.
     if hw_bucket:
         nph = -(-hw_bucket // ps_w)  # pages covering the bucket
-        h_raw = page_table[seq_ids][:, : max(nph, 1)]  # (S, nph)
-        h_pages = jnp.where(h_raw >= 0, h_raw, scratch)
+        if mesh is None:
+            h_raw = page_table[seq_ids][:, : max(nph, 1)]  # (S, nph)
+            h_pages = jnp.where(h_raw >= 0, h_raw, scratch)
 
     def layer(carry, lp):
         x, st, li = carry
@@ -764,7 +808,33 @@ def _paged_prefill_chunk_core(
         st = dict(st)
 
         out_c, lse_c = _causal_partial(q, k, v, scale)
-        if hw_bucket:
+        if hw_bucket and mesh is not None:
+            # sharded history: each shard gathers ITS pages covering the
+            # bucket and the shards LSE-merge (paged_sharded.py); mesh
+            # admission always runs the kernel path (packed tables
+            # required — _admit_chunked_impl enforces it)
+            from million_tpu.models.chunked_prefill import _table_layer
+            from million_tpu.parallel.paged_sharded import (
+                sharded_history_pages_kernel,
+            )
+
+            d_kf, d_vf = direct_flags(tables)
+            okw2 = {}
+            if k_out_pool is not None:
+                okw2.update(ko_pool=k_out_pool, koidx=koidx)
+            if v_out_pool is not None:
+                okw2.update(vo_pool=v_out_pool, voidx=voidx)
+            out_h, lse_h = sharded_history_pages_kernel(
+                mesh, pcfg, q_h, key_pool, value_pool,
+                _table_layer(tables["kpack"], li),
+                _table_layer(tables["vpack"], li),
+                li, seq_ids, page_table, pos_offset, scale, nph,
+                direct=d_kf, v_direct=d_vf, **okw2,
+            )
+            if Rv_i is not None:
+                out_h = _rotate(out_h, Rv_i.T)
+            attn, _ = merge_two_partials(out_c, lse_c, out_h, lse_h)
+        elif hw_bucket:
             kw = key_pool[li, h_pages]  # (S, nph, H, M, ps_w)
             vw = value_pool[li, h_pages]
             if use_kernel:
@@ -837,10 +907,13 @@ def _paged_prefill_chunk_core(
 
 
 def _admit_chunked_impl(params, cfg, pcfg, seq_ids, prompts, n_valid,
-                        state, tables, chunk, use_kernel):
+                        state, tables, chunk, use_kernel, mesh=None):
     """Shared chunked-admission loop over S equal-bucket slots.
     seq_ids (S,) host ints; prompts (S, n_pad) host int32 (zero-padded);
     n_valid (S,) host ints (real lengths). Returns (logits (S, V), state).
+    With `mesh`, the history partial and the pool commits run per
+    sequence shard (parallel/paged_sharded.py); mesh admission requires
+    packed tables (the kernel path) — wide codebooks stay single-device.
     """
     import numpy as np
 
@@ -851,6 +924,10 @@ def _admit_chunked_impl(params, cfg, pcfg, seq_ids, prompts, n_valid,
     cap_w = pcfg.pages_per_seq * ps_w
     pools, sub = _split_state(state)
     page_table = state["page_table"]
+    if mesh is not None and "kpack" not in tables:
+        raise ValueError(
+            "mesh chunked admission needs packed decode tables (C <= 256)"
+        )
     logits = None
     for s0 in range(0, n_pad, chunk):
         hw = s0 // 4
@@ -859,7 +936,9 @@ def _admit_chunked_impl(params, cfg, pcfg, seq_ids, prompts, n_valid,
             hw_b *= 2
         hw_b = min(hw_b if hw else 0, cap_w)
         uk = use_kernel
-        if hw_b:
+        if mesh is not None:
+            uk = bool(hw_b)  # sharded history always runs the kernel path
+        elif hw_b:
             from million_tpu.models.chunked_prefill import history_kernel_block
 
             interp = jax.default_backend() == "cpu"
@@ -877,7 +956,7 @@ def _admit_chunked_impl(params, cfg, pcfg, seq_ids, prompts, n_valid,
             pools.get("key_outlier_pool"), pools.get("value_outlier_pool"),
             page_table, sub, tables, jnp.asarray(s0, jnp.int32),
             nvj, hw_bucket=hw_b, last_chunk=(s0 + chunk == n_pad),
-            use_kernel=uk,
+            use_kernel=uk, mesh=mesh,
         )
         # commit this chunk's words before the next chunk reads history
         ncw = updates["key_pool"].shape[-1]
@@ -885,14 +964,25 @@ def _admit_chunked_impl(params, cfg, pcfg, seq_ids, prompts, n_valid,
         npc = -(-ncw // cw)
         j = jnp.arange(npc)
         w0 = s0 // 4 + j * cw  # (npc,)
-        raw = page_table[
-            sids[:, None],
-            jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)[None, :],
-        ]  # (S, npc)
         real = w0[None, :] < ((nvj[:, None] + 3) // 4)
-        pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
         off = jnp.asarray((s0 // 4) % ps_w if cw < ps_w else 0, jnp.int32)
-        pools = _commit_words_multi(pools, updates, pages, off)
+        if mesh is None:
+            raw = page_table[
+                sids[:, None],
+                jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)[None, :],
+            ]  # (S, npc)
+            pages = jnp.where(real & (raw >= 0), raw, pcfg.n_pages)
+            pools = _commit_words_multi(pools, updates, pages, off)
+        else:
+            from million_tpu.parallel.paged_sharded import (
+                sharded_commit_words_multi,
+            )
+
+            tpos = jnp.clip(w0 // ps_w, 0, pcfg.pages_per_seq - 1)
+            pools = sharded_commit_words_multi(
+                mesh, pcfg, pools, updates, page_table, sids, tpos, real,
+                off,
+            )
     new = dict(sub)
     new.update(pools)
     return logits, new
@@ -911,6 +1001,7 @@ def paged_admit_chunked(
     hist_block: int = 2048,  # kept for API compat; history walks pages
     use_kernel: bool | None = None,  # history partial via the Pallas chunk
     # kernel; None = auto (packed tables present + not on CPU)
+    mesh=None,  # jax.sharding.Mesh -> sharded history + commits
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Host-scheduled chunked admission of one long prompt into a slot's
     pages. The prompt is padded to a multiple of `chunk`; executables
@@ -937,7 +1028,7 @@ def paged_admit_chunked(
     ids[0, :n] = prompt
     return _admit_chunked_impl(
         params, cfg, pcfg, [int(np.asarray(seq_id))], ids, [n], state,
-        tables, chunk, use_kernel,
+        tables, chunk, use_kernel, mesh=mesh,
     )
 
 
@@ -952,6 +1043,7 @@ def paged_admit_chunked_batch(
     *,
     chunk: int = 2048,
     use_kernel: bool | None = None,
+    mesh=None,  # jax.sharding.Mesh -> sharded history + commits
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Batched chunked admission (round 4): S equal-bucket prompts admit
     TOGETHER, so per-chunk encode/MLP/projection costs amortize over the
@@ -976,5 +1068,5 @@ def paged_admit_chunked_batch(
         ids[i, : len(p)] = np.asarray(p, np.int32)
     return _admit_chunked_impl(
         params, cfg, pcfg, list(seq_ids), ids, lens, state, tables, chunk,
-        use_kernel,
+        use_kernel, mesh=mesh,
     )

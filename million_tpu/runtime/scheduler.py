@@ -55,11 +55,11 @@ from million_tpu.runtime.sampling import SamplingConfig, sample
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "pcfg", "scfg", "p_bucket", "k"),
+    jax.jit, static_argnames=("cfg", "pcfg", "scfg", "p_bucket", "k", "mesh"),
     donate_argnums=(4,),
 )
 def _fused_tick(params, cfg, pcfg, tokens, state, tables, key, scfg,
-                p_bucket=None, k=1):
+                p_bucket=None, k=1, mesh=None):
     """ONE device program per k decode ticks: positions derived on-device
     (seq_n_codes + seq_r is the incoming token's absolute position — the
     invariant holds through appends and flushes, and seq_r advances inside
@@ -82,7 +82,7 @@ def _fused_tick(params, cfg, pcfg, tokens, state, tables, key, scfg,
         positions = (state["seq_n_codes"] + state["seq_r"]).astype(jnp.int32)
         logits, state = _paged_decode_step_impl(
             params, cfg, pcfg, tokens, positions, state, tables,
-            p_bucket=p_bucket,
+            p_bucket=p_bucket, mesh=mesh,
         )
         key, sk = jax.random.split(key)
         toks = sample(logits, sk, scfg)
@@ -121,6 +121,7 @@ class Scheduler:
         admit_chunk: int = 2048,
         admit_batch: int = 8,
         tick_chain: int = 8,
+        mesh=None,
     ):
         # fail early, not at kernel trace time deep inside the first decode:
         # the compiled paged kernel needs >= one full word tile per page
@@ -137,7 +138,8 @@ class Scheduler:
         self.pcfg = pcfg
         self.tables = tables
         self.sampling = sampling
-        self.state = init_paged_state(pcfg)
+        self.mesh = mesh
+        self.state = self._init_state()
         self.key = jax.random.PRNGKey(seed)
         S = pcfg.max_seqs
         self.slot_req: List[Optional[Request]] = [None] * S
@@ -209,6 +211,37 @@ class Scheduler:
                 "Use page_size <= 4096 or raise admit_chunk."
             )
 
+    # ---------------- state / allocation hooks ---------------------------
+    # ShardedScheduler (mesh serving) overrides these four: the sharded
+    # pool needs per-shard slabs, host-side page placement, and per-shard
+    # capacity arithmetic. Everything else — admission policy, window
+    # flushes, preemption, the pipelined tick loop — is shared.
+    def _init_state(self):
+        if self.mesh is not None:
+            raise ValueError(
+                "a mesh-backed scheduler must be constructed as "
+                "ShardedScheduler (the base Scheduler's device-side page "
+                "allocator assumes a single pool slab)"
+            )
+        return init_paged_state(self.pcfg)
+
+    def _do_allocate(self, slot: int, k: int) -> None:
+        self.state = allocate_pages(self.state, jnp.asarray(slot), k)
+
+    def _do_free(self, slot: int) -> None:
+        self.state = free_sequence(self.state, jnp.asarray(slot))
+
+    def _fits_fresh(self, needs) -> bool:
+        """Can fresh slots needing `needs` pages (table positions 0..k-1
+        each) all be allocated right now?"""
+        return sum(needs) <= self._free_pages() and all(
+            k <= self.pcfg.pages_per_seq for k in needs
+        )
+
+    def _fits_grow(self, slot: int, grow: int) -> bool:
+        """Can `slot` grow by `grow` pages (at its current tail)?"""
+        return grow <= self._free_pages()
+
     # ---------------- admission -----------------------------------------
     def submit(self, req: Request) -> None:
         # reject what can never be served: a prompt whose pages exceed
@@ -235,7 +268,15 @@ class Scheduler:
         return -(-n_tokens // self.pcfg.page_size)
 
     def _free_pages(self) -> int:
-        return self.pcfg.n_pages - int(np.asarray(self.state["used"]).sum())
+        # HOST arithmetic, deliberately not a device readback: every
+        # allocate/free decision is host-driven, so slot_pages is exact,
+        # and np.asarray(state["used"]) here would SYNC the pipelined
+        # tick queue (measured: the once-per-page growth step cost ~3 s
+        # at the 6x32K serving shape — draining ~2 in-flight chained
+        # programs — against ~350 ms for its neighbors). stats() still
+        # cross-checks host vs device via the page-table sentinel
+        # readback.
+        return self.pcfg.n_pages - int(self.slot_pages.sum())
 
     def _admission_need(self, req: Request) -> int:
         """Pages charged at admission: the prompt (plus generated-so-far on
@@ -265,7 +306,7 @@ class Scheduler:
         n = len(prompt)
         need = self._pages_for(n + self.pcfg.Lt)
         sid = jnp.asarray(slot)
-        self.state = allocate_pages(self.state, sid, need)
+        self._do_allocate(slot, need)
         bucket = self._prompt_bucket(n)
         if bucket > self.admit_chunk:
             # long-prompt admission: bounded-memory chunked prefill into
@@ -273,6 +314,7 @@ class Scheduler:
             logits, self.state = paged_admit_chunked(
                 self.params, self.cfg, self.pcfg, slot, prompt,
                 self.state, self.tables, chunk=self.admit_chunk,
+                mesh=self.mesh,
             )
         else:
             ids = np.zeros((1, bucket), np.int32)
@@ -280,6 +322,7 @@ class Scheduler:
             logits, self.state = paged_prefill_seq(
                 self.params, self.cfg, self.pcfg, sid, jnp.asarray(ids),
                 self.state, self.tables, n_valid=jnp.asarray(n, jnp.int32),
+                mesh=self.mesh,
             )
         self.key, sk = jax.random.split(self.key)
         tok = sample(logits, sk, self.sampling)  # (1,)
@@ -303,7 +346,7 @@ class Scheduler:
             prompt = np.concatenate([req.prompt, np.asarray(saved, np.int32)])
             entries.append((req, slot, prompt, saved))
             need = self._pages_for(len(prompt) + self.pcfg.Lt)
-            self.state = allocate_pages(self.state, jnp.asarray(slot), need)
+            self._do_allocate(slot, need)
             self.slot_pages[slot] = need
         # per-chunk activation transients scale with group_size x chunk;
         # shrink the chunk so the product stays within ~2x the single-slot
@@ -315,7 +358,7 @@ class Scheduler:
             self.params, self.cfg, self.pcfg,
             [slot for _, slot, _, _ in entries],
             [p for _, _, p, _ in entries],
-            self.state, self.tables, chunk=chunk_eff,
+            self.state, self.tables, chunk=chunk_eff, mesh=self.mesh,
         )
         self.key, sk = jax.random.split(self.key)
         toks = sample(logits, sk, self.sampling)  # (S,)
@@ -337,13 +380,12 @@ class Scheduler:
             slot = self._free_slot()
             if slot is None:
                 return
-            free = min(self._free_pages(), self.pcfg.pages_per_seq)
             # head first; if blocked, skip ahead within a bounded window so
             # a small request can use the gap (head is retried every tick,
             # so it cannot be starved by the skips)
             pick = None
             for j, req in enumerate(self.waiting[: self.admit_skip_window]):
-                if self._admission_need(req) <= free:
+                if self._fits_fresh([self._admission_need(req)]):
                     pick = j
                     break
             if pick is None:
@@ -361,7 +403,7 @@ class Scheduler:
                 g = self.admit_chunk if self.admit_chunk <= 512 else 512
                 bg = -(-n_req // g)
                 group, slots = [req], [slot]
-                committed = self._admission_need(req)
+                needs = [self._admission_need(req)]
                 free_slots = [
                     i for i, r in enumerate(self.slot_req)
                     if r is None and i != slot
@@ -375,8 +417,8 @@ class Scheduler:
                     need_c = self._admission_need(cand)
                     if (self._prompt_bucket(n_c) == bucket
                             and -(-n_c // g) == bg
-                            and committed + need_c <= self._free_pages()):
-                        committed += need_c
+                            and self._fits_fresh(needs + [need_c])):
+                        needs.append(need_c)
                         group.append(self.waiting.pop(k))
                         slots.append(free_slots.pop(0))
                     else:
@@ -432,7 +474,7 @@ class Scheduler:
             return  # draining the pipeline already retired it
         req = self.slot_req[slot]
         self._preempt_saved[req.rid] = list(self.slot_generated[slot])
-        self.state = free_sequence(self.state, jnp.asarray(slot))
+        self._do_free(slot)
         self.slot_req[slot] = None
         self.slot_generated[slot] = []
         self.slot_pos[slot] = 0
@@ -463,7 +505,7 @@ class Scheduler:
                     f"slot {i} needs {need} pages > pages_per_seq "
                     f"({self.pcfg.pages_per_seq}); raise pages_per_seq"
                 )
-            while self._free_pages() < grow:
+            while not self._fits_grow(i, grow):
                 if len(self.slot_order) == 1:
                     raise RuntimeError(
                         "pool exhausted with a single active sequence; "
@@ -477,7 +519,7 @@ class Scheduler:
                     break
             if self.slot_req[i] is None:
                 continue  # preempted itself; re-queued for later
-            self.state = allocate_pages(self.state, jnp.asarray(i), grow)
+            self._do_allocate(i, grow)
             self.slot_pages[i] += grow
 
     # ---------------- one decode tick ------------------------------------
@@ -507,7 +549,8 @@ class Scheduler:
             mask = np.zeros(self.pcfg.max_seqs, bool)
             mask[flushing] = True
             self.state = flush_paged_slots(
-                self.pcfg, self.state, self.tables, jnp.asarray(mask)
+                self.pcfg, self.state, self.tables, jnp.asarray(mask),
+                mesh=self.mesh,
             )
             for i in flushing:
                 self.slot_codes[i] += self.pcfg.Lt
@@ -543,7 +586,7 @@ class Scheduler:
         toks, self.state, self.key = _fused_tick(
             self.params, self.cfg, self.pcfg,
             self.last_token, self.state, self.tables, self.key,
-            self.sampling, p_bucket=p_bucket, k=k,
+            self.sampling, p_bucket=p_bucket, k=k, mesh=self.mesh,
         )
 
         for i in active:
@@ -571,7 +614,7 @@ class Scheduler:
                 prompt_len=len(req.prompt),
             )
         )
-        self.state = free_sequence(self.state, jnp.asarray(slot))
+        self._do_free(slot)
         self.slot_req[slot] = None
         self.slot_generated[slot] = []
         self.slot_pos[slot] = 0
@@ -619,3 +662,126 @@ class Scheduler:
         # pipeline — drain so callers see every emitted token
         self.drain()
         return self.finished
+
+
+@jax.jit
+def _reset_counters(n_codes, r, active, sid):
+    """Zero one slot's counters. Deliberately takes ONLY the small arrays:
+    passing the whole state through an undonated jit would copy the
+    multi-GB pools on the way out (the _split_state hazard)."""
+    return n_codes.at[sid].set(0), r.at[sid].set(0), active.at[sid].set(0)
+
+
+class ShardedScheduler(Scheduler):
+    """Continuous batching over the MESH-sharded page pool (round 5,
+    VERDICT r4 item 1 — north-star config #5): every slot's coded KV is
+    sequence-sharded across the mesh's ("dcn","sp") axes in contiguous
+    token super-ranges and head-sharded over tp; decode ticks, window
+    flushes, and chunked admission run the per-shard kernels with the
+    2-collective LSE merge (parallel/paged_sharded.py).
+
+    What changes vs the base Scheduler is exactly the allocator: pages
+    live in per-shard slabs, so placement is HOST-side (the scheduler
+    already mirrors every counter — an argsort-on-device allocator buys
+    nothing once the pool is distributed, and the shard that owns table
+    position j is a pure function j // pps_l). The page table (tiny:
+    max_seqs x pages_per_seq int32) re-uploads on the rare allocation
+    events; the multi-GB pools never move. Admission policy, skip-ahead,
+    preemption, the pipelined multi-tick loop, and checkpointing are all
+    inherited unchanged.
+    """
+
+    def __init__(self, params, cfg, pcfg, tables, *args, mesh=None, **kw):
+        from million_tpu.parallel.paged_sharded import paged_shard_info
+
+        if mesh is None:
+            raise ValueError("ShardedScheduler requires a mesh")
+        n_sp, P_l, pps_l, cap_l = paged_shard_info(pcfg, mesh)
+        self._n_sp, self._P_l, self._pps_l = n_sp, P_l, pps_l
+        # host allocator state: per-shard free maps + the table mirror
+        # (entries are LOCAL page ids into the owning shard's slab)
+        self.h_used = np.zeros((n_sp, P_l), bool)
+        self.h_table = np.full(
+            (pcfg.max_seqs, pcfg.pages_per_seq), -1, np.int32
+        )
+        self.h_alloc = np.zeros(pcfg.max_seqs, np.int64)
+        super().__init__(params, cfg, pcfg, tables, *args, mesh=mesh, **kw)
+
+    def _init_state(self):
+        from million_tpu.parallel.paged_sharded import (
+            init_sharded_paged_state,
+            paged_state_shardings,
+        )
+
+        self._shardings = paged_state_shardings(self.pcfg, self.mesh)
+        return init_sharded_paged_state(self.pcfg, self.mesh)
+
+    # ---- host page placement -------------------------------------------
+    def _upload_tables(self) -> None:
+        self.state["page_table"] = jax.device_put(
+            jnp.asarray(self.h_table), self._shardings["page_table"]
+        )
+        self.state["used"] = jax.device_put(
+            jnp.asarray(self.h_used.astype(np.int32)),
+            self._shardings["used"],
+        )
+        self.state["seq_n_pages"] = jax.device_put(
+            jnp.asarray(self.h_alloc.astype(np.int32)),
+            self._shardings["seq_n_pages"],
+        )
+
+    def _do_allocate(self, slot: int, k: int) -> None:
+        start = int(self.h_alloc[slot])
+        for j in range(start, start + k):
+            s = j // self._pps_l
+            free = np.flatnonzero(~self.h_used[s])
+            if len(free) == 0:
+                raise RuntimeError(
+                    f"shard {s} pool exhausted allocating table position "
+                    f"{j} of slot {slot} (guarded by _fits_*; host/"
+                    "scheduler accounting diverged)"
+                )
+            self.h_used[s, free[0]] = True
+            self.h_table[slot, j] = free[0]
+        self.h_alloc[slot] += k
+        self._upload_tables()
+
+    def _do_free(self, slot: int) -> None:
+        for j in range(int(self.h_alloc[slot])):
+            pid = self.h_table[slot, j]
+            if pid >= 0:
+                self.h_used[j // self._pps_l, pid] = False
+        self.h_table[slot] = -1
+        self.h_alloc[slot] = 0
+        self._upload_tables()
+        nc, r, act = _reset_counters(
+            self.state["seq_n_codes"], self.state["seq_r"],
+            self.state["seq_active"], jnp.asarray(slot),
+        )
+        self.state = {**self.state, "seq_n_codes": nc, "seq_r": r,
+                      "seq_active": act}
+
+    # ---- per-shard capacity arithmetic ---------------------------------
+    def _shard_demand(self, start: int, k: int) -> np.ndarray:
+        """Pages demanded per shard by table positions [start, start+k)."""
+        d = np.zeros(self._n_sp, np.int64)
+        for j in range(start, start + k):
+            d[j // self._pps_l] += 1
+        return d
+
+    def _fits_fresh(self, needs) -> bool:
+        if any(k > self.pcfg.pages_per_seq for k in needs):
+            return False
+        free_s = self._P_l - self.h_used.sum(axis=1)
+        demand = np.zeros(self._n_sp, np.int64)
+        for k in needs:
+            demand += self._shard_demand(0, k)
+        return bool((demand <= free_s).all())
+
+    def _fits_grow(self, slot: int, grow: int) -> bool:
+        free_s = self._P_l - self.h_used.sum(axis=1)
+        demand = self._shard_demand(int(self.h_alloc[slot]), grow)
+        return bool((demand <= free_s).all())
+
+    def _free_pages(self) -> int:
+        return self.pcfg.n_pages - int(self.h_used.sum())

@@ -38,6 +38,7 @@ def rng():
 # ---------------------------------------------------------------------------
 _SLOW_PREFIXES = (
     "tests/test_sharding.py",          # mesh compiles dominate (~155s)
+    "tests/test_paged_sharding.py",    # mesh-sharded serving compiles
     "tests/test_quality_ladder.py",    # trained-checkpoint Δppl rung
     "tests/test_cache.py::TestWideCodes::test_wide_generate_e2e",
     "tests/test_checkpoint.py::test_session_resume_is_bit_identical",
