@@ -32,6 +32,7 @@ Run:  python -m million_tpu.benchmarks.eval_rows [--out results.jsonl]
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 from typing import List
 
@@ -75,20 +76,24 @@ def _paragraphs(corpus: np.ndarray, start: int, k: int, size: int) -> List[str]:
     return out
 
 
-def build_task_rows(corpus: np.ndarray, task: str, n_rows: int, rng) -> List[dict]:
+def build_task_rows(corpus: np.ndarray, task: str, n_rows: int, rng,
+                    ctx_bytes: int = 3072) -> List[dict]:
     """LongBench release-schema rows ({context, input, answers,
-    all_classes, ...}) with fixed prompt lengths per task."""
+    all_classes, ...}) with fixed prompt lengths per task. `ctx_bytes`
+    scales the code tasks' context (round 5: rows at several context
+    lengths measure quality as more conditioning flows through the
+    compressed cache)."""
     base = max(len(corpus) - 4_000_000, len(corpus) // 2)  # held-out tail
     rows = []
     for r in range(n_rows):
         if task == "lcc":
-            o = (base + r * 37_013) % max(len(corpus) - 4096, 1)
+            o = (base + r * 37_013) % max(len(corpus) - 4096 - ctx_bytes, 1)
             # context ends exactly at a newline; answer = the next line
-            span = corpus[o : o + 3072]
+            span = corpus[o : o + ctx_bytes]
             nl = np.where(span == 10)[0]
             end = int(nl[-1]) + 1 if len(nl) else len(span)
             ctx = _text(corpus[o : o + end])
-            ctx = ctx.rjust(3072)  # fixed prompt length (left-pad spaces)
+            ctx = ctx.rjust(ctx_bytes)  # fixed prompt length (left-pad)
             rest = _text(corpus[o + end : o + end + 256])
             answer = rest.split("\n", 1)[0][:64]
             rows.append({"context": ctx, "input": "", "answers": [answer],
@@ -114,6 +119,49 @@ def build_task_rows(corpus: np.ndarray, task: str, n_rows: int, rng) -> List[dic
                 "answers": [f"Paragraph {j + 1}"],
                 "all_classes": None,
             })
+        elif task == "needle_retrieval":
+            # synthetic needle task (round 5, VERDICT r4 item 4): K
+            # tag->number pairings separated by corpus filler; the query
+            # repeats a far-back pairing's prefix, so the answer requires
+            # retrieving it through the (compressed) KV. Scored by the
+            # REAL retrieval_score. Filler digits are masked so stray
+            # numbers can't pollute the fraction-of-numbers metric.
+            K = 8
+            letters = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", np.uint8)
+            tags = []
+            while len(tags) < K:
+                t = "".join(chr(c) for c in rng.choice(letters, 6))
+                if t not in tags:
+                    tags.append(t)
+            parts = []
+            for i in range(K):
+                filler = _text(_at(corpus, base + 3_000_000 + (r * K + i)
+                                   * 47_017, 220))
+                filler = re.sub(r"\d", "o", filler)
+                parts.append(
+                    f"Section {tags[i]} is Paragraph {i + 1}.\n{filler}\n"
+                )
+            j = int(rng.integers(0, K))
+            ctx = "".join(parts)
+            rows.append({
+                "context": ctx.rjust(2300),
+                "input": f"Section {tags[j]} is Paragraph ",
+                "answers": [f"Paragraph {j + 1}"],
+                "all_classes": None,
+            })
+        elif task == "repobench-p":
+            # second code task (reference repobench-p template + code_sim
+            # metric; rows from a DIFFERENT source-tree region than lcc)
+            o = (base + 2_500_000 + r * 43_019) % max(
+                len(corpus) - 4096 - ctx_bytes, 1)
+            span = corpus[o : o + ctx_bytes]
+            nl = np.where(span == 10)[0]
+            end = int(nl[-1]) + 1 if len(nl) else len(span)
+            ctx = _text(corpus[o : o + end]).rjust(ctx_bytes)
+            rest = _text(corpus[o + end : o + end + 256])
+            rows.append({"context": ctx, "input": "",
+                         "answers": [rest.split("\n", 1)[0][:64]],
+                         "all_classes": None})
         else:
             raise ValueError(task)
     return rows
@@ -139,13 +187,61 @@ def build_mc_items(corpus: np.ndarray, n_items: int, rng,
     return items
 
 
+def build_cloze_items(corpus: np.ndarray, n_items: int, rng,
+                      ctx_len: int = 256) -> List[dict]:
+    """4-way word cloze (a second lm-eval task FAMILY beyond continuation
+    ranking): the context ends at a word boundary; choices are the true
+    next word vs 3 words harvested from distant corpus offsets, ranked by
+    continuation loglikelihood."""
+    base = max(len(corpus) - 3_500_000, len(corpus) // 2)
+
+    def word_at(o):
+        span = _at(corpus, o, 64)
+        txt = _text(span)
+        words = [w for w in re.split(r"[^A-Za-z]+", txt) if 3 <= len(w) <= 10]
+        return words[1] if len(words) > 1 else "the"
+
+    items = []
+    for i in range(n_items):
+        span = _at(corpus, base + i * 37_511, ctx_len + 64)
+        txt = _text(span)
+        # cut at the LAST space inside ctx_len so the context ends at a
+        # word boundary and the true next word follows it
+        cut = txt.rfind(" ", 0, ctx_len)
+        if cut < ctx_len // 2:
+            cut = ctx_len - 8
+        ctx = txt[: cut + 1].rjust(ctx_len)
+        true = re.split(r"[^A-Za-z]+", txt[cut + 1 :] + " x")[0] or "the"
+        choices = [true]
+        for d in range(3):
+            w = word_at(base + 700_000 + (i * 11 + d) * 31_013)
+            choices.append(w if w != true else w + "s")
+        label = int(rng.integers(0, 4))
+        choices[0], choices[label] = choices[label], choices[0]
+        enc = lambda s: list(s.encode("latin-1", "replace"))
+        items.append({"context_ids": enc(ctx),
+                      "choices_ids": [enc(c) for c in choices],
+                      "label": label})
+    return items
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results.jsonl")
     ap.add_argument("--rows", type=int, default=8, help="rows per task")
     ap.add_argument("--mc-items", type=int, default=64)
+    ap.add_argument("--mc-ctx", nargs="*", type=int, default=[192],
+                    help="context lengths for the byte-MC battery (one "
+                    "lm_eval row per length)")
+    ap.add_argument("--cloze-items", type=int, default=0,
+                    help="word-cloze items (0 = skip; a second lm-eval "
+                    "task family)")
     ap.add_argument("--tasks", nargs="*", default=[
         "lcc", "passage_count", "passage_retrieval_en"])
+    ap.add_argument("--code-ctx", nargs="*", type=int, default=[3072],
+                    help="context lengths (bytes) for the code tasks "
+                    "(lcc / repobench-p): one ledger row per length — the "
+                    "long-context quality axis")
     ap.add_argument("--small", action="store_true",
                     help="use the small d=32 anchor (fast CPU smoke)")
     ap.add_argument("--seed", type=int, default=0)
@@ -185,11 +281,10 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     pq_mode = "pq_pallas" if on_tpu else "pq"
-    N_max = 8192
     tok = ByteTokenizer()
     greedy = SamplingConfig(temperature=0.0)
 
-    def make_gen(mode):
+    def make_gen(mode, n_max=8192):
         def gen(prompt: str, max_new: int) -> str:
             ids = jnp.asarray(
                 np.frombuffer(prompt.encode("latin-1", "replace"), np.uint8)
@@ -198,11 +293,11 @@ def main():
             if mode == "dense":
                 cache = init_dense_state(DenseCacheConfig(
                     bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim,
-                    N_max=N_max, dtype=cfg.dtype), cfg.num_layers)
+                    N_max=n_max, dtype=cfg.dtype), cfg.num_layers)
             else:
                 cache = init_state(PQCacheConfig(
                     bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C,
-                    Lt=128, N_max=N_max, dtype=cfg.dtype), cfg.num_layers)
+                    Lt=128, N_max=n_max, dtype=cfg.dtype), cfg.num_layers)
             res, _ = generate(
                 params, cfg, ids, cache, tables, mode=mode,
                 max_new_tokens=max_new, sampling=greedy,
@@ -210,19 +305,30 @@ def main():
             return tok.decode(np.asarray(res.tokens[0]))
         return gen
 
+    gate_failures = []
+    # code tasks run at EVERY --code-ctx length (one row per length);
+    # other tasks at their builders' fixed lengths
+    jobs = []
     for task in args.tasks:
-        rows = build_task_rows(corpus, task, args.rows, rng)
+        if task in ("lcc", "repobench-p"):
+            jobs += [(task, cb) for cb in args.code_ctx]
+        else:
+            jobs.append((task, 3072))
+    for task, ctx_bytes in jobs:
+        rows = build_task_rows(corpus, task, args.rows, rng,
+                               ctx_bytes=ctx_bytes)
+        n_max = 1 << max(13, (ctx_bytes + 512 - 1).bit_length())
         res = {}
         preds = {}
         for mode in ("dense", pq_mode):
             captured = []
-            g0 = make_gen(mode)
+            g0 = make_gen(mode, n_max=n_max)
             def gen_capture(p, n, _g=g0, _c=captured):
                 out = _g(p, n)
                 _c.append(out)
                 return out
             res[mode] = pred_longbench(
-                gen_capture, tok, task, rows, max_length=4096)
+                gen_capture, tok, task, rows, max_length=ctx_bytes + 1024)
             preds[mode] = captured
         # per-byte greedy agreement dense-vs-PQ (exact-string agreement
         # is chaotic: one flipped byte early diverges the whole tail)
@@ -234,49 +340,83 @@ def main():
         agree = float(np.mean([
             frac(a, b) for a, b in zip(preds["dense"], preds[pq_mode])
         ]))
+        # PQ-tracks-dense gate, applied ONLY where the dense score carries
+        # signal (VERDICT r4 item 4: "PQ matches dense" at 0.0 == 0.0 is
+        # vacuous); margin matches the quality-contract scale
+        gated = res["dense"]["score"] > 0.1
+        ok = (not gated) or (
+            res[pq_mode]["score"] >= res["dense"]["score"] - 0.15
+        )
+        if not ok:
+            gate_failures.append(task)
         row = {
             "stage": "longbench",
             "task": task,
             "model": anchor,
             "n": res["dense"]["n"],
+            "ctx_bytes": ctx_bytes,
             "score_dense": round(res["dense"]["score"], 4),
             "score_pq": round(res[pq_mode]["score"], 4),
             "pq_mode": pq_mode,
             "generation_agreement": round(agree, 3),
+            "gated": gated,
+            "gate_ok": ok,
             "M": M, "nbits": 8,
         }
         append_result(args.out, row)
-        log(f"longbench {task}: dense={row['score_dense']} "
-            f"pq={row['score_pq']} agree={agree:.2f}")
+        log(f"longbench {task}@{ctx_bytes}: dense={row['score_dense']} "
+            f"pq={row['score_pq']} agree={agree:.2f} "
+            f"{'GATED' if gated else 'ungated (dense<=0.1)'}"
+            f"{'' if ok else ' GATE-FAIL'}")
 
-    items = build_mc_items(corpus, args.mc_items, rng)
-    accs = {}
-    for mode in ("dense", pq_mode):
-        if mode == "dense":
-            mk = lambda: init_dense_state(DenseCacheConfig(
-                bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=256,
-                dtype=cfg.dtype), cfg.num_layers)
-        else:
-            mk = lambda: init_state(PQCacheConfig(
-                bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C,
-                Lt=128, N_max=256, dtype=cfg.dtype), cfg.num_layers)
-        accs[mode] = evaluate_multiple_choice(
-            params, cfg, mk, tables, items,
-            mode="dense" if mode == "dense" else "pq",
+    def run_lm_eval_task(task_name, items, nmax):
+        accs = {}
+        for mode in ("dense", pq_mode):
+            if mode == "dense":
+                mk = lambda: init_dense_state(DenseCacheConfig(
+                    bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, N_max=nmax,
+                    dtype=cfg.dtype), cfg.num_layers)
+            else:
+                mk = lambda: init_state(PQCacheConfig(
+                    bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C,
+                    Lt=128, N_max=nmax, dtype=cfg.dtype), cfg.num_layers)
+            accs[mode] = evaluate_multiple_choice(
+                params, cfg, mk, tables, items,
+                mode="dense" if mode == "dense" else "pq",
+            )
+        ok = accs[pq_mode]["acc"] >= accs["dense"]["acc"] - 0.15
+        if not ok:
+            gate_failures.append(task_name)
+        row = {
+            "stage": "lm_eval",
+            "task": task_name,
+            "model": anchor,
+            "n": accs["dense"]["n"],
+            "acc_dense": round(accs["dense"]["acc"], 4),
+            "acc_pq": round(accs[pq_mode]["acc"], 4),
+            "chance": 0.25,
+            "gate_ok": ok,
+            "M": M, "nbits": 8,
+        }
+        append_result(args.out, row)
+        log(f"lm_eval {task_name}: dense={row['acc_dense']} "
+            f"pq={row['acc_pq']} (chance 0.25, n={row['n']})"
+            f"{'' if ok else ' GATE-FAIL'}")
+
+    # byte-MC at several context lengths: longer contexts push more of
+    # the scored continuation's conditioning through the compressed cache
+    for ctx_len in args.mc_ctx:
+        items = build_mc_items(corpus, args.mc_items, rng, ctx_len=ctx_len)
+        nmax = -(-(ctx_len + 64) // 128) * 128
+        name = "byte_mc4" if ctx_len == 192 else f"byte_mc4_ctx{ctx_len}"
+        run_lm_eval_task(name, items, nmax)
+    if args.cloze_items:
+        items = build_cloze_items(corpus, args.cloze_items, rng)
+        run_lm_eval_task("byte_cloze", items, 384)
+    if gate_failures:
+        raise SystemExit(
+            f"PQ-tracks-dense gate FAILED on: {gate_failures}"
         )
-    row = {
-        "stage": "lm_eval",
-        "task": "byte_mc4",
-        "model": anchor,
-        "n": accs["dense"]["n"],
-        "acc_dense": round(accs["dense"]["acc"], 4),
-        "acc_pq": round(accs[pq_mode]["acc"], 4),
-        "chance": 0.25,
-        "M": M, "nbits": 8,
-    }
-    append_result(args.out, row)
-    log(f"lm_eval byte_mc4: dense={row['acc_dense']} pq={row['acc_pq']} "
-        f"(chance 0.25, n={row['n']})")
 
 
 if __name__ == "__main__":

@@ -46,6 +46,13 @@ def main():
                     help="also measure TTFT via chunked prefill with this "
                     "chunk size (0 = skip; one-shot prefill at 128K would "
                     "blow activation memory)")
+    ap.add_argument("--geometry", default="dm2",
+                    choices=["dm2", "dm4_outlier"],
+                    help="dm2: production M=d/2 symmetric; dm4_outlier: "
+                    "coarse d_m=4 both sides + 16 exact outlier channels "
+                    "per side on the 128K flat path (round 5: chunked "
+                    "prefill carries the outlier arenas — VERDICT r4 "
+                    "item 5)")
     args = ap.parse_args()
 
     try:
@@ -67,14 +74,34 @@ def main():
     CTX, bs = args.ctx, args.bs
     cfg = PRESETS[args.preset]
     rng = np.random.default_rng(0)
-    M, C, L = cfg.head_dim // 2, 256, cfg.num_layers
-    cents = {
-        "key": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
-        "value": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
-    }
+    C, L, d = 256, cfg.num_layers, cfg.head_dim
+    OK = OV = 0
+    if args.geometry == "dm4_outlier":
+        M = d // 4
+        OK = OV = 16
+        ck = rng.standard_normal((L, M, C, 4)).astype(np.float32)
+        cv = rng.standard_normal((L, M, C, 4)).astype(np.float32)
+        koidx = np.sort(rng.choice(d, OK, replace=False)).astype(np.int32)
+        voidx = np.sort(rng.choice(d, OV, replace=False)).astype(np.int32)
+        for c in koidx:
+            ck[:, c % M, :, c // M] = 0.0
+        for c in voidx:
+            cv[:, c % M, :, c // M] = 0.0
+        cents = {
+            "key": jnp.asarray(ck), "value": jnp.asarray(cv),
+            "k_outlier_idx": jnp.asarray(np.stack([koidx] * L)),
+            "v_outlier_idx": jnp.asarray(np.stack([voidx] * L)),
+        }
+    else:
+        M = d // 2
+        cents = {
+            "key": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+            "value": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+        }
     tables = build_tables(cents)
     pq_cfg = PQCacheConfig(
-        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128, N_max=CTX
+        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128,
+        N_max=CTX, OK=OK, OV=OV,
     )
     params = init_params(cfg, jax.random.PRNGKey(0))
     code_bytes = 2 * L * bs * cfg.num_kv_heads * M * CTX
@@ -163,6 +190,7 @@ def main():
                 "value": round(dt * 1e3, 2),
                 "unit": "ms/token",
                 "tokens_per_s": round(bs / dt, 2),
+                "geometry": args.geometry,
                 **({"ttft_s": round(ttft, 2)} if ttft is not None else {}),
             }
         )

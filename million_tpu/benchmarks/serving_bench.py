@@ -51,7 +51,10 @@ def steady_state(args, cfg, pcfg, make_scheduler):
     # run)
     to_boundary = pcfg.page_size - (n % pcfg.page_size) \
         if n % pcfg.page_size else 0
-    warm_new = min(to_boundary + pcfg.Lt + 2, 2048)
+    # growth fires when the NEXT flush would cross the boundary, i.e. at
+    # +to_boundary + Lt tokens; add 2 more windows so the warm run
+    # decodes past the grow AND flushes once at the bumped p_bucket
+    warm_new = min(to_boundary + 2 * pcfg.Lt + 32, 2048)
     for w in range(S):
         warm.submit(Request(rid=-1 - w, prompt=np.zeros(n, np.int32),
                             max_new_tokens=warm_new))
@@ -120,6 +123,77 @@ def steady_state(args, cfg, pcfg, make_scheduler):
         "preemptions": sched.preemptions,
         "geometry": getattr(args, "geometry", "dm2"),
     }))
+
+
+def preempt_demo(args, cfg, pcfg, make_scheduler):
+    """Recompute-preemption under real pool pressure (VERDICT r4 item 3):
+    admit max_seqs long prompts into a pool deliberately sized so that
+    on-demand GROWTH cannot be satisfied for every slot — _grow_for_flush
+    must preempt the youngest — then run every request to completion and
+    verify the no-token-loss invariant on hardware: each finished request
+    has exactly max_new tokens and the tokens stashed at preemption time
+    appear verbatim as a prefix of its final output."""
+    import json
+
+    from million_tpu.runtime.scheduler import Request
+
+    S = pcfg.max_seqs
+    n = (args.max_prompt // 4) * 4
+    rng = np.random.default_rng(args.seed)
+    warm = make_scheduler()
+    for w in range(S):
+        warm.submit(Request(rid=-1 - w, prompt=np.zeros(n, np.int32),
+                            max_new_tokens=pcfg.Lt + 2))
+    warm.run_to_completion()
+    del warm
+
+    sched = make_scheduler()
+    for rid in range(S):
+        sched.submit(Request(
+            rid=rid,
+            prompt=rng.integers(0, cfg.vocab_size, n).astype(np.int32),
+            max_new_tokens=args.max_new,
+        ))
+    stashes = {}  # rid -> tokens captured the moment it was preempted
+    seen_preempt = 0
+    t0 = time.perf_counter()
+    ticks = 0
+    while sched.waiting or any(r is not None for r in sched.slot_req):
+        if sched.step() == 0 and sched.waiting:
+            raise RuntimeError("preempt demo stalled")
+        ticks += 1
+        if sched.preemptions > seen_preempt:
+            seen_preempt = sched.preemptions
+            for rid, toks in sched._preempt_saved.items():
+                stashes.setdefault(rid, list(toks))
+        if ticks > 200000:
+            raise RuntimeError("runaway preempt demo")
+    wall = time.perf_counter() - t0
+    fin = {f.rid: f.tokens for f in sched.finished}
+    continuity = True
+    for rid, pre in stashes.items():
+        got = list(fin[rid][: len(pre)])
+        if got != pre:
+            continuity = False
+            log(f"CONTINUITY VIOLATION rid {rid}: stash {pre[:8]}... "
+                f"vs final {got[:8]}...")
+    lens_ok = all(len(t) == args.max_new for t in fin.values())
+    n_gen = sum(len(t) for t in fin.values())
+    print(json.dumps({
+        "metric": f"preemption demo, {args.preset}, {S} slots x {n}-token "
+        f"prompts x {args.max_new} new, pool {pcfg.n_pages} pages "
+        "(undersized for combined growth)",
+        "value": round(n_gen / wall, 2),
+        "unit": "generated tokens/s",
+        "preemptions": sched.preemptions,
+        "requests": len(fin),
+        "all_lengths_exact": lens_ok,
+        "stash_continuity_ok": continuity,
+        "stashed_rids": sorted(stashes),
+        "wall_s": round(wall, 2),
+    }))
+    if not (sched.preemptions > 0 and continuity and lens_ok):
+        raise SystemExit("preempt demo FAILED its invariants")
 
 
 def main():

@@ -47,6 +47,7 @@ from million_tpu.ops.pq_attention_pallas import (
     WORD,
     pack_codes,
     pq_chunk_history_attention,
+    to_byte_plane,
     unpack_codes,
 )
 from million_tpu.ops.pq_attention_ref import _gqa_expand, merge_two_partials
@@ -208,7 +209,7 @@ def _causal_partial_sharded(q, k, v, scale, mesh):
 
 def _history_partial_sharded(
     q, key_codes, value_codes, kcent, vcent, n_prev, scale, nb, hist_block,
-    mesh, kernel_tables=None,
+    mesh, kernel_tables=None, outliers=None,
 ):
     """History attention with the code arena SEQUENCE-SHARDED: each (dcn,
     sp) shard scans only its own contiguous arena slice (the same
@@ -219,7 +220,10 @@ def _history_partial_sharded(
     kernel_tables = (kpack_l, vpack_l, direct_k, direct_v) routes each
     shard's scan through the Pallas chunk kernel (pq_chunk_history_attention)
     instead of the jnp block scan; None keeps the jnp path (wide codebooks,
-    oracle tests)."""
+    oracle tests). `outliers` (kernel path only) is the per-layer dict
+    {k_outliers, koidx, v_outliers, voidx}: the byte-plane arenas shard
+    over the sequence axes with the codes and each shard folds its own
+    corrections before the merge."""
     from jax.sharding import PartitionSpec as P
 
     from million_tpu.parallel.sharded_decode import (
@@ -251,11 +255,21 @@ def _history_partial_sharded(
         tabs = (kpack_l, vpack_l)
     else:
         tabs = (kcent, vcent)  # placeholder slot with matching arity
+    if outliers is not None and not use_kernel:
+        outliers = None  # corrections ride the kernel path only
+    with_ko = outliers is not None and "k_outliers" in outliers
+    with_vo = outliers is not None and "v_outliers" in outliers
 
-    def local_fn(q, kc, vc, kcent, vcent, tabs, n_prev):
+    def local_fn(q, kc, vc, kcent, vcent, tabs, n_prev, *opt):
         i = _linear_shard_index(mesh, seq_axes)
         local_valid = jnp.clip(n_prev[0] - i * n_local, 0, n_local)
         if use_kernel:
+            okw = {}
+            it = iter(opt)
+            if with_ko:
+                okw["k_outliers"], okw["koidx"] = next(it), next(it)
+            if with_vo:
+                okw["v_outliers"], okw["voidx"] = next(it), next(it)
             # bound the scan like the jnp path's nb_loc — without it the
             # kernel streams the FULL local arena every chunk; round up
             # to a block multiple (pq_chunk_attention's geometry check)
@@ -264,6 +278,7 @@ def _history_partial_sharded(
                 q, kc, vc, tabs[0], tabs[1], local_valid, scale,
                 n_bucket=nbk,
                 block=blk, interpret=interp, direct=d_k, v_direct=d_v,
+                **okw,
             )
         else:
             out, lse = _history_partial(
@@ -272,23 +287,31 @@ def _history_partial_sharded(
             )
         return _merge_over(out, lse, seq_axes)
 
+    in_specs = [
+        P("dp", "tp", None, None),       # q (bs, nh, nc, d)
+        P("dp", "tp", None, seq_axes),   # arena words
+        P("dp", "tp", None, seq_axes),
+        P(),
+        P(),
+        (P(), P()),                      # decode tables (replicated)
+        P(),
+    ]
+    operands = [q, key_codes, value_codes, kcent, vcent, tabs,
+                n_prev.reshape(1)]
+    if with_ko:
+        in_specs += [P("dp", "tp", None, None, seq_axes), P()]
+        operands += [outliers["k_outliers"], outliers["koidx"]]
+    if with_vo:
+        in_specs += [P("dp", "tp", None, None, seq_axes), P()]
+        operands += [outliers["v_outliers"], outliers["voidx"]]
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(
-            P("dp", "tp", None, None),       # q (bs, nh, nc, d)
-            P("dp", "tp", None, seq_axes),   # arena words
-            P("dp", "tp", None, seq_axes),
-            P(),
-            P(),
-            (P(), P()),                      # decode tables (replicated)
-            P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P("dp", "tp", None, None), P("dp", "tp", None)),
         check_vma=False,
     )
-    return fn(q, key_codes, value_codes, kcent, vcent, tabs,
-              n_prev.reshape(1))
+    return fn(*operands)
 
 
 @partial(jax.jit, static_argnames=("cfg", "nb", "hist_block", "last_chunk",
@@ -356,11 +379,27 @@ def _prefill_one_chunk(
             _enc = lambda x4, c: runtime_encode(x4, c, SUBSPACE_LAYOUT)
         kc = jnp.swapaxes(_enc(k_st[:, :, :n4], kcent), -1, -2)
         vc = jnp.swapaxes(_enc(v_st[:, :, :n4], vcent), -1, -2)
+        # exact outlier channels of the chunk -> byte-plane arena slabs
+        # (round 5, VERDICT r4 item 5: the OK/OV option reaches the 128K
+        # flat chunked path; channels were zeroed before codebook training
+        # so the codes spend no mass on them — llama.prefill's contract)
+        k_out_t = v_out_t = koidx = voidx = None
+        if "k_outlier_idx" in cents:
+            koidx = jax.lax.dynamic_index_in_dim(
+                cents["k_outlier_idx"], li, 0, False)
+            k_out_t = to_byte_plane(
+                jnp.swapaxes(k_st[:, :, :n4][..., koidx], -1, -2))
+        if "v_outlier_idx" in cents:
+            voidx = jax.lax.dynamic_index_in_dim(
+                cents["v_outlier_idx"], li, 0, False)
+            v_out_t = to_byte_plane(
+                jnp.swapaxes(v_st[:, :, :n4][..., voidx], -1, -2))
         n_prev = cache["n_codes"][li]  # history BEFORE this chunk's write
         cache = stacked_prefix_write(
             cache, li, kc, vc,
             k_st[:, :, n4:] if tail else None,
             v_st[:, :, n4:] if tail else None,
+            k_out_t=k_out_t, v_out_t=v_out_t,
         )
 
         if mesh is not None:
@@ -370,6 +409,19 @@ def _prefill_one_chunk(
         if nb:
             kc_l = jax.lax.dynamic_index_in_dim(cache["key_codes"], li, 0, False)
             vc_l = jax.lax.dynamic_index_in_dim(cache["value_codes"], li, 0, False)
+            # outlier history corrections ride the KERNEL path only (the
+            # jnp fallback decodes the zeroed channels as 0 — graceful
+            # quality fallback for wide-codebook/oracle runs, same policy
+            # as the paged admission's jnp route)
+            hokw = {}
+            if use_kernel and "key_outliers" in cache:
+                hokw["k_outliers"] = jax.lax.dynamic_index_in_dim(
+                    cache["key_outliers"], li, 0, False)
+                hokw["koidx"] = koidx
+            if use_kernel and "value_outliers" in cache:
+                hokw["v_outliers"] = jax.lax.dynamic_index_in_dim(
+                    cache["value_outliers"], li, 0, False)
+                hokw["voidx"] = voidx
             if use_kernel:
                 ktabs = (
                     _table_layer(cents["kpack"], li),
@@ -382,6 +434,7 @@ def _prefill_one_chunk(
                     q_h, kc_l, vc_l, kcent, vcent, n_prev, scale, nb,
                     hist_block, mesh,
                     kernel_tables=ktabs if use_kernel else None,
+                    outliers=hokw if hokw else None,
                 )
             elif use_kernel:
                 out_h, lse_h = pq_chunk_history_attention(
@@ -390,7 +443,7 @@ def _prefill_one_chunk(
                     block=history_kernel_block(
                         nb * hist_block, jax.default_backend() == "cpu"
                     ),
-                    direct=ktabs[2], v_direct=ktabs[3],
+                    direct=ktabs[2], v_direct=ktabs[3], **hokw,
                 )
             else:
                 out_h, lse_h = _history_partial(

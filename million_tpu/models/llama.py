@@ -890,20 +890,37 @@ def _pq_pallas_attention_stacked(
             sharded_pq_codes_attention_stacked,
         )
 
-        if "key_outliers" in cache or "value_outliers" in cache:
-            raise NotImplementedError(
-                "outlier-channel arenas are not wired into the sharded "
-                "decode path yet — run the outlier geometries single-chip "
-                "(they exist to speed up the bs=1 latency path)"
+        # outlier-channel corrections on the sharded path (round 5,
+        # VERDICT r4 item 5): the byte-plane arenas shard with the codes
+        # and the corrections merge inside the per-shard kernels
+        okw = {}
+        if "key_outliers" in cache:
+            koidx_l = jax.lax.dynamic_index_in_dim(
+                cents["k_outlier_idx"], layer_idx, 0, False
             )
+            okw["qo"] = jnp.take_along_axis(
+                q_pad, koidx_l[None, None, None, :], axis=-1
+            )
+            okw["k_outliers"] = cache["key_outliers"]
+        if "value_outliers" in cache:
+            okw["v_outliers"] = cache["value_outliers"]
         # interpret-mode detection must follow the MESH's devices (a CPU
         # mesh can coexist with an accelerator default backend)
         interp = True if mesh.devices.flat[0].platform == "cpu" else None
-        out_c, lse_c = sharded_pq_codes_attention_stacked(
+        res = sharded_pq_codes_attention_stacked(
             mesh, q_pad, cache["key_codes"], cache["value_codes"],
             cents["kpack"], cents["vpack"], layer_idx, n_codes,
             interpret=interp, direct=d_k, v_direct=d_v, n_bucket=n_bucket,
+            **okw,
         )
+        if "value_outliers" in cache:
+            out_c, lse_c, co = res
+            voidx_l = jax.lax.dynamic_index_in_dim(
+                cents["v_outlier_idx"], layer_idx, 0, False
+            )
+            out_c = out_c.at[..., voidx_l].set(co)
+        else:
+            out_c, lse_c = res
     else:
         # outlier-channel corrections (north star): exact q slice for the
         # K-side score term; V side adds a third kernel output scattered

@@ -87,6 +87,10 @@ def pq_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
     return {
         "key_codes": s(None, "dp", "tp", None, seq),
         "value_codes": s(None, "dp", "tp", None, seq),
+        # byte-plane exact outlier channels (L, bs, nh_k, 4, O, NW):
+        # sequence-sharded with the codes they correct
+        "key_outliers": s(None, "dp", "tp", None, None, seq),
+        "value_outliers": s(None, "dp", "tp", None, None, seq),
         "key_residual": s(None, "dp", "tp", None, None),
         "value_residual": s(None, "dp", "tp", None, None),
         "n_codes": s(None),
@@ -104,5 +108,9 @@ def dense_cache_shardings(mesh: Mesh) -> Dict[str, Any]:
 
 
 def shard_pytree(tree: Any, shardings: Any) -> Any:
-    """device_put every leaf with its sharding."""
+    """device_put every leaf with its sharding. Dicts align by the TREE's
+    keys, so a shardings table may cover optional state (e.g. the outlier
+    arenas) that a particular cache doesn't carry."""
+    if isinstance(tree, dict) and isinstance(shardings, dict):
+        return {k: shard_pytree(v, shardings[k]) for k, v in tree.items()}
     return jax.tree.map(lambda x, sh: jax.device_put(x, sh), tree, shardings)

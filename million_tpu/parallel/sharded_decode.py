@@ -146,10 +146,20 @@ def sharded_pq_codes_attention_stacked(
     direct: bool = False,
     v_direct: bool | None = None,
     n_bucket: int | None = None,
-) -> Tuple[jax.Array, jax.Array]:
+    qo: jax.Array | None = None,  # (bs, nh_k, GROUP_PAD, OK) exact
+    # outlier-channel q (pre-scaled, sliced to this layer's k_outlier_idx)
+    k_outliers: jax.Array | None = None,  # (L, bs, nh_k, 4, OK, NW) bf16
+    # byte-plane outlier arenas, sequence-sharded like the codes
+    v_outliers: jax.Array | None = None,  # (L, bs, nh_k, 4, OV, NW)
+) -> Tuple[jax.Array, ...]:
     """Stacked-arena version of sharded_pq_codes_attention: one layer of the
     (L, ...) arenas, sequence-sharded over sp, LSE-merged across shards.
-    `n_bucket` is the GLOBAL scan bound (see sharded_pq_codes_attention)."""
+    `n_bucket` is the GLOBAL scan bound (see sharded_pq_codes_attention).
+
+    Outlier-channel mode (round 5, VERDICT r4 item 5): the byte-plane
+    arenas shard over the SAME sequence axes as the codes; each shard's
+    kernel folds its local corrections and the v-side co output rides the
+    LSE-merge psum as extra channels. Returns (out, lse[, co])."""
     seq_axes = _seq_axes(mesh)
     n_shards = int(np.prod([mesh.shape[a] for a in seq_axes]))
     N = key_codes.shape[4] * 4  # tokens
@@ -162,33 +172,64 @@ def sharded_pq_codes_attention_stacked(
     local_bucket = (
         None if n_bucket is None or n_bucket >= n_local else n_bucket
     )
+    with_ko = k_outliers is not None
+    with_vo = v_outliers is not None
+    d = q.shape[-1]
 
-    def local_fn(q, kc, vc, kp, vp, li, nc):
+    def local_fn(q, kc, vc, kp, vp, li, nc, *opt):
+        okw = {}
+        it = iter(opt)
+        if with_ko:
+            okw["qo"] = next(it)
+            okw["k_outliers"] = next(it)
+        if with_vo:
+            okw["v_outliers"] = next(it)
         i = _linear_shard_index(mesh, seq_axes)
         local_valid = jnp.clip(nc[0] - i * n_local, 0, n_local)
-        out, lse = pq_codes_attention_stacked(
+        res = pq_codes_attention_stacked(
             q, kc, vc, kp, vp, li[0], local_valid,
             block=min(block, n_local), interpret=interpret, direct=direct,
-            v_direct=v_direct, n_bucket=local_bucket,
+            v_direct=v_direct, n_bucket=local_bucket, **okw,
         )
-        return _merge_over(out, lse, seq_axes)
+        if with_vo:
+            out, lse, co = res
+            out = jnp.concatenate([out, co], axis=-1)
+        else:
+            out, lse = res
+        merged, lse_m = _merge_over(out, lse, seq_axes)
+        if with_vo:
+            return merged[..., :d], lse_m, merged[..., d:]
+        return merged, lse_m
 
+    in_specs = [
+        P("dp", "tp", None, None),
+        P(None, "dp", "tp", None, seq_axes),
+        P(None, "dp", "tp", None, seq_axes),
+        P(),
+        P(),
+        P(),
+        P(),
+    ]
+    operands = [q, key_codes, value_codes, kpack, vpack,
+                layer.reshape(1), n_codes.reshape(1)]
+    if with_ko:
+        in_specs += [P("dp", "tp", None, None),
+                     P(None, "dp", "tp", None, None, seq_axes)]
+        operands += [qo, k_outliers]
+    if with_vo:
+        in_specs.append(P(None, "dp", "tp", None, None, seq_axes))
+        operands.append(v_outliers)
+    out_specs = (
+        (P("dp", "tp", None, None), P("dp", "tp", None),
+         P("dp", "tp", None, None))
+        if with_vo
+        else (P("dp", "tp", None, None), P("dp", "tp", None))
+    )
     shmap = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(
-            P("dp", "tp", None, None),
-            P(None, "dp", "tp", None, seq_axes),
-            P(None, "dp", "tp", None, seq_axes),
-            P(),
-            P(),
-            P(),
-            P(),
-        ),
-        out_specs=(P("dp", "tp", None, None), P("dp", "tp", None)),
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
         check_vma=False,
     )
-    return shmap(
-        q, key_codes, value_codes, kpack, vpack,
-        layer.reshape(1), n_codes.reshape(1),
-    )
+    return shmap(*operands)

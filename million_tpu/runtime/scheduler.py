@@ -53,6 +53,14 @@ from million_tpu.models.paged_decode import (
 )
 from million_tpu.runtime.sampling import SamplingConfig, sample
 
+# single-program forms of the page allocator (see Scheduler._do_allocate)
+_allocate_pages_jit = functools.partial(
+    jax.jit, static_argnames="k", donate_argnums=(0,)
+)(allocate_pages)
+_free_sequence_jit = functools.partial(jax.jit, donate_argnums=(0,))(
+    free_sequence
+)
+
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "pcfg", "scfg", "p_bucket", "k", "mesh"),
@@ -226,10 +234,14 @@ class Scheduler:
         return init_paged_state(self.pcfg)
 
     def _do_allocate(self, slot: int, k: int) -> None:
-        self.state = allocate_pages(self.state, jnp.asarray(slot), k)
+        # jitted, donated: the eager op-chain form compiled lazily on the
+        # FIRST page growth — 13.8 s measured through the tunnel's remote
+        # compile, surfacing as a once-per-run serving stall (r5); one
+        # donated program dispatches in ~0 and aliases the untouched pools
+        self.state = _allocate_pages_jit(self.state, jnp.asarray(slot), k=k)
 
     def _do_free(self, slot: int) -> None:
-        self.state = free_sequence(self.state, jnp.asarray(slot))
+        self.state = _free_sequence_jit(self.state, jnp.asarray(slot))
 
     def _fits_fresh(self, needs) -> bool:
         """Can fresh slots needing `needs` pages (table positions 0..k-1

@@ -292,3 +292,81 @@ def test_chunked_prefill_kernel_history_matches_jnp(rng, setup):
     np.testing.assert_allclose(
         np.asarray(l_k), np.asarray(l_j), rtol=5e-2, atol=5e-2
     )
+
+
+def test_chunked_prefill_outlier_channels(rng):
+    """Outlier-channel chunked prefill (round 5, VERDICT r4 item 5: the
+    OK/OV option reaches the 128K flat chunked path): a single chunk
+    reproduces the flat outlier prefill's arenas bit-for-bit (codes +
+    byte-plane outlier slabs), and a multi-chunk run with the kernelized
+    history (outlier-corrected) stays close to the flat logits."""
+    from million_tpu.models.llama import build_tables
+
+    OK = OV = 4
+    M = CFG.head_dim // 2
+    L = CFG.num_layers
+    d = CFG.head_dim
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    koidx = np.sort(rng.choice(d, OK, replace=False)).astype(np.int32)
+    voidx = np.sort(rng.choice(d, OV, replace=False)).astype(np.int32)
+    ck = rng.standard_normal((L, M, 32, 2)).astype(np.float32)
+    cv = rng.standard_normal((L, M, 32, 2)).astype(np.float32)
+    for c in koidx:
+        ck[:, c % M, :, c // M] = 0.0
+    for c in voidx:
+        cv[:, c % M, :, c // M] = 0.0
+    cents = {
+        "key": jnp.asarray(ck), "value": jnp.asarray(cv),
+        "k_outlier_idx": jnp.asarray(np.stack([koidx] * L)),
+        "v_outlier_idx": jnp.asarray(np.stack([voidx] * L)),
+    }
+    tables = build_tables(cents)
+    pq_cfg = PQCacheConfig(bs=1, nh_k=CFG.num_kv_heads, d=d, M=M,
+                           C=32, Lt=8, N_max=128, dtype=jnp.float32,
+                           OK=OK, OV=OV)
+    n = 50
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, n)), jnp.int32)
+
+    # single chunk == flat prefill writes
+    l1, c1 = chunked_prefill(
+        params, CFG, ids, init_state(pq_cfg, L), tables, chunk=128)
+    lf, cf = prefill(params, CFG, ids, init_state(pq_cfg, L), tables,
+                     mode="pq", last_logit_only=True)
+    np.testing.assert_array_equal(
+        np.asarray(c1["key_codes"]), np.asarray(cf["key_codes"]))
+    np.testing.assert_allclose(
+        np.asarray(c1["key_outliers"], np.float32),
+        np.asarray(cf["key_outliers"], np.float32), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(c1["value_outliers"], np.float32),
+        np.asarray(cf["value_outliers"], np.float32), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(lf[:, -1]), rtol=1e-4, atol=1e-4)
+
+    # multi-chunk, kernelized outlier-corrected history: close to flat
+    lm, cm = chunked_prefill(
+        params, CFG, ids, init_state(pq_cfg, L), tables, chunk=16,
+        hist_block=16, use_kernel=True)
+    assert np.isfinite(np.asarray(lm)).all()
+    # layer-0 writes see no history -> identical arenas
+    np.testing.assert_array_equal(
+        np.asarray(cm["key_codes"][0]), np.asarray(cf["key_codes"][0]))
+    np.testing.assert_allclose(
+        np.asarray(cm["key_outliers"][0], np.float32),
+        np.asarray(cf["key_outliers"][0], np.float32), rtol=1e-3, atol=1e-3)
+    # the corrections must MOVE the history attention toward the exact
+    # flat answer: run the same codebooks with the outlier idx stripped
+    # (decoded channels stay 0) and compare agreement with the flat
+    # logits. Random test codebooks leave large quantization noise either
+    # way, so the assertion is the improvement, not an absolute match
+    # (measured here: corr 0.64 -> 0.87, maxdiff 1.69 -> 1.02).
+    tables_noo = {k: v for k, v in tables.items() if "outlier" not in k}
+    pq_noo = PQCacheConfig(bs=1, nh_k=CFG.num_kv_heads, d=d, M=M,
+                           C=32, Lt=8, N_max=128, dtype=jnp.float32)
+    ln, _ = chunked_prefill(
+        params, CFG, ids, init_state(pq_noo, L), tables_noo, chunk=16,
+        hist_block=16, use_kernel=True)
+    f = np.asarray(lf)[0, -1]
+    corr_o = np.corrcoef(np.asarray(lm)[0], f)[0, 1]
+    corr_n = np.corrcoef(np.asarray(ln)[0], f)[0, 1]
+    assert corr_o > corr_n + 0.05 and corr_o > 0.8, (corr_o, corr_n)

@@ -74,3 +74,50 @@ def test_mc_gate_pq_tracks_dense(anchor):
                                      mode="pq")["acc"]
     assert acc_d > 0.4, f"trained anchor should beat 0.25 chance: {acc_d}"
     assert acc_p >= acc_d - 0.21, f"PQ acc {acc_p} fell too far below dense {acc_d}"
+
+
+def test_new_task_rows_schema(anchor):
+    """Round-5 additions: repobench-p and the synthetic needle task build
+    valid release-schema rows at fixed prompt lengths; code tasks scale
+    with ctx_bytes."""
+    _, _, corpus, _, _ = anchor
+    rng = np.random.default_rng(0)
+    from million_tpu.benchmarks.longbench import dataset2metric, dataset2prompt
+
+    for task in ("repobench-p", "needle_retrieval"):
+        rows = build_task_rows(corpus, task, 3, rng)
+        assert len(rows) == 3 and task in dataset2metric
+        tok = ByteTokenizer()
+        lens = {
+            len(tok(dataset2prompt[task].format(**r))["input_ids"])
+            for r in rows
+        }
+        assert len(lens) == 1, f"{task}: variable prompt lengths {lens}"
+    # needle rows: answer parses under the real retrieval metric and a
+    # correct prediction scores 1.0 while a wrong one scores 0.0
+    from million_tpu.benchmarks.longbench import retrieval_score
+
+    r = build_task_rows(corpus, "needle_retrieval", 1, rng)[0]
+    gt = r["answers"][0]
+    num = gt.split()[-1]
+    assert retrieval_score(num + ".", gt) == 1.0
+    assert retrieval_score("99.", gt) == 0.0
+    # ctx scaling: longer rows really carry longer contexts
+    short = build_task_rows(corpus, "lcc", 1, rng, ctx_bytes=1024)[0]
+    long = build_task_rows(corpus, "lcc", 1, rng, ctx_bytes=4096)[0]
+    assert len(long["context"]) == 4 * len(short["context"])
+
+
+def test_cloze_items_schema(anchor):
+    from million_tpu.benchmarks.eval_rows import build_cloze_items
+
+    _, _, corpus, _, _ = anchor
+    items = build_cloze_items(corpus, 6, np.random.default_rng(0))
+    assert len(items) == 6
+    for it in items:
+        assert len(it["choices_ids"]) == 4
+        assert 0 <= it["label"] < 4
+        assert all(len(c) >= 1 for c in it["choices_ids"])
+        # distractors differ from the true choice
+        true = it["choices_ids"][it["label"]]
+        assert sum(c == true for c in it["choices_ids"]) == 1
