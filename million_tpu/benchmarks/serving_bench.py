@@ -234,6 +234,12 @@ def main():
                     help="max decode ticks chained per device program "
                     "(host reads k tokens per RTT); 1 = the round-4 "
                     "one-tick pipeline")
+    ap.add_argument("--preempt-demo", action="store_true",
+                    help="preemption-under-pressure mode (VERDICT r4 "
+                    "item 3): size --pool-pages BELOW the slots' combined "
+                    "growth demand, run every request to completion, and "
+                    "verify the stash-continuity/no-token-loss invariants "
+                    "on hardware")
     args = ap.parse_args()
 
     try:
@@ -303,6 +309,9 @@ def main():
                          admit_chunk=args.admit_chunk,
                          tick_chain=args.tick_chain)
 
+    if args.preempt_demo:
+        preempt_demo(args, cfg, pcfg, make_scheduler)
+        return
     if args.steady:
         steady_state(args, cfg, pcfg, make_scheduler)
         return
