@@ -62,23 +62,51 @@ def dense_bytes_per_seq(cfg):
     return 2 * cfg.num_layers * cfg.num_kv_heads * CTX * cfg.head_dim * 2
 
 
-def measure_pq(cfg, params, bs, iters):
+def measure_pq(cfg, params, bs, iters, geometry="dm2"):
+    """geometry: "dm2" (production M=d/2 symmetric codes) or
+    "dm4_outlier" (coarse d_m=4 both sides + 16 exact bf16 outlier
+    channels per side — IDENTICAL 128 B/token, i.e. the same 4-bit
+    effective point, but half the kernel's gather volume; quality-gated
+    at Δppl +0.92% rel by the ladder, docs/PERF.md)."""
     import functools
 
     from million_tpu.models.llama import build_tables, decode_step
     from million_tpu.cache.pq_cache import PQCacheConfig, init_state
     from million_tpu.utils.timing import chained_bench, chained_bench_stats
 
-    M, C = cfg.head_dim // 2, 256
+    d = cfg.head_dim
+    C = 256
     rng = np.random.default_rng(0)
     L = cfg.num_layers
-    cents = {
-        "key": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
-        "value": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
-    }
+    OK = OV = 16 if geometry == "dm4_outlier" else 0
+    if geometry == "dm4_outlier":
+        M = d // 4
+        ck = rng.standard_normal((L, M, C, 4)).astype(np.float32)
+        cv = rng.standard_normal((L, M, C, 4)).astype(np.float32)
+        koidx = np.sort(rng.choice(d, OK, replace=False)).astype(np.int32)
+        voidx = np.sort(rng.choice(d, OV, replace=False)).astype(np.int32)
+        # channels zeroed before codebook training have exactly-zero
+        # centroid components (strided layout: channel c -> subspace
+        # c % M, component c // M)
+        for c in koidx:
+            ck[:, c % M, :, c // M] = 0.0
+        for c in voidx:
+            cv[:, c % M, :, c // M] = 0.0
+        cents = {
+            "key": jnp.asarray(ck), "value": jnp.asarray(cv),
+            "k_outlier_idx": jnp.asarray(np.stack([koidx] * L)),
+            "v_outlier_idx": jnp.asarray(np.stack([voidx] * L)),
+        }
+    else:
+        M = d // 2
+        cents = {
+            "key": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+            "value": jnp.asarray(rng.standard_normal((L, M, C, 2)), jnp.float32),
+        }
     tables = build_tables(cents)
     pq_cfg = PQCacheConfig(
-        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128, N_max=CTX
+        bs=bs, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M, C=C, Lt=128,
+        N_max=CTX, OK=OK, OV=OV,
     )
 
     code_shape = (L, bs, cfg.num_kv_heads, M, CTX // 4)  # packed int32 words
@@ -123,6 +151,16 @@ def measure_pq(cfg, params, bs, iters):
             "n_codes": jnp.full((L,), CTX - 512, jnp.int32),
             "r": jnp.zeros((L,), jnp.int32),
         }
+        if OK:
+            cache["key_outliers"] = jax.random.normal(
+                jax.random.PRNGKey(3),
+                (L, bs, cfg.num_kv_heads, 4, OK, CTX // 4), jnp.bfloat16,
+            )
+        if OV:
+            cache["value_outliers"] = jax.random.normal(
+                jax.random.PRNGKey(4),
+                (L, bs, cfg.num_kv_heads, 4, OV, CTX // 4), jnp.bfloat16,
+            )
         tok = jnp.zeros((bs,), jnp.int32)
         return (tok, cache)
 
@@ -314,8 +352,8 @@ def main():
                     or "remote_compile" in msg  # flaky compile services choke
                     or "HTTP 500" in msg  # on the largest-batch graphs
                 ):
-                    log(f"OOM/compile failure at bs={bs}, halving")
-                    bs //= 2
+                    log(f"OOM/compile failure at bs={bs}, stepping down")
+                    bs -= 1
                     gc.collect()  # release the failed attempt's buffers
                     continue
                 raise
@@ -325,9 +363,22 @@ def main():
     dense_tps = bs_dense / dt_dense
     log(f"dense: bs={bs_dense} tpot={dt_dense*1e3:.2f} ms -> {dense_tps:.1f} tok/s")
 
-    dt_pq, bs_pq = with_oom_fallback(measure_pq, bs_pq)
-    pq_tps = bs_pq / dt_pq
-    log(f"pq:    bs={bs_pq} tpot={dt_pq*1e3:.2f} ms -> {pq_tps:.1f} tok/s")
+    # both 4-bit geometries at the SAME 128 B/token (so the same batch):
+    # production dm2 and the outlier-rescued coarse dm4 (round 3's bs=1
+    # winner; round 5 promotes it to the headline candidate — identical
+    # memory, half the gather volume, Δppl +0.92% rel per the ladder)
+    results = {}
+    for geom in ("dm2", "dm4_outlier"):
+        fn = lambda c, p, b, i, _g=geom: measure_pq(c, p, b, i, geometry=_g)
+        dt_g, bs_g = with_oom_fallback(fn, bs_pq)
+        results[geom] = {
+            "tps": bs_g / dt_g, "bs": bs_g, "tpot": dt_g,
+            "flush": dict(FLUSH_STATS),
+        }
+        log(f"pq[{geom}]: bs={bs_g} tpot={dt_g*1e3:.2f} ms -> "
+            f"{bs_g/dt_g:.1f} tok/s")
+    best = max(results, key=lambda g: results[g]["tps"])
+    pq_tps = results[best]["tps"]
 
     print(
         json.dumps(
@@ -336,7 +387,12 @@ def main():
                 "value": round(pq_tps, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(pq_tps / dense_tps, 3),
-                **FLUSH_STATS,
+                "geometry": best,
+                "dm2_tokens_per_s": round(results["dm2"]["tps"], 2),
+                "dm4_outlier_tokens_per_s": round(
+                    results["dm4_outlier"]["tps"], 2
+                ),
+                **results[best]["flush"],
                 **DENSE_STATS,
             }
         )
