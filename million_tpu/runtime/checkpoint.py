@@ -147,22 +147,34 @@ def load_session(
     pcfg,
     tables,
     sampling: Optional[object] = None,
+    mesh=None,
 ) -> Scheduler:
     """Restore a Scheduler saved by save_session. `params`/`cfg`/`pcfg`/
     `tables` are NOT part of the snapshot (weights and codebooks are large,
     immutable, and already on disk as their own artifacts — the reference's
     own resume model, main_pq.py:257-260); they must match the saved run.
+    With `mesh`, restores into a ShardedScheduler: state arrays re-place
+    with their mesh shardings and the host allocator mirrors (per-shard
+    free maps, local-id table) rebuild from the snapshot's device state —
+    a session saved on one mesh resumes on any mesh of the same
+    (n_sp, tp) geometry.
     """
     from million_tpu.runtime.sampling import SamplingConfig
-    from million_tpu.runtime.scheduler import FinishedRequest
+    from million_tpu.runtime.scheduler import FinishedRequest, ShardedScheduler
 
     z = np.load(path)
     meta = json.loads(bytes(z[_META_KEY]).decode())
 
-    sched = Scheduler(
-        params, cfg, pcfg, tables,
-        sampling=sampling if sampling is not None else SamplingConfig(),
-    )
+    if mesh is not None:
+        sched = ShardedScheduler(
+            params, cfg, pcfg, tables, mesh=mesh,
+            sampling=sampling if sampling is not None else SamplingConfig(),
+        )
+    else:
+        sched = Scheduler(
+            params, cfg, pcfg, tables,
+            sampling=sampling if sampling is not None else SamplingConfig(),
+        )
     got_keys = sorted(meta["state_keys"])
     want_keys = sorted(sched.state.keys())
     if got_keys != want_keys:
@@ -177,7 +189,16 @@ def load_session(
                 f"snapshot state[{k}] shape {arr.shape} != configured "
                 f"{tuple(sched.state[k].shape)} — pcfg mismatch"
             )
-        sched.state[k] = jnp.asarray(arr)
+        if mesh is not None:
+            sched.state[k] = jax.device_put(arr, sched._shardings[k])
+        else:
+            sched.state[k] = jnp.asarray(arr)
+    if mesh is not None:
+        # rebuild the host allocator mirrors from the restored device state
+        sched.h_table = z[_PREFIX_STATE + "page_table"].copy()
+        sched.h_used = z[_PREFIX_STATE + "used"].astype(bool).copy()
+        sched.h_alloc = z[_PREFIX_STATE + "seq_n_pages"].astype(
+            np.int64).copy()
     sched.slot_pos = z[_PREFIX_HOST + "slot_pos"].copy()
     sched.slot_pages = z[_PREFIX_HOST + "slot_pages"].copy()
     sched.slot_codes = z[_PREFIX_HOST + "slot_codes"].copy()

@@ -184,3 +184,35 @@ def test_sharded_preemption_per_shard_pressure(rng):
         assert np.isfinite(f.tokens).all()
     assert sched.preemptions >= 1
     assert not sched.h_used.any()
+
+
+def test_sharded_session_checkpoint_resume(rng, tmp_path):
+    """save_session/load_session on the mesh-sharded scheduler: a session
+    snapshotted mid-generation and restored (state re-placed with mesh
+    shardings, host allocator mirrors rebuilt) continues to the same
+    greedy tokens as the uninterrupted run."""
+    from million_tpu.runtime.checkpoint import load_session, save_session
+
+    params, cents, tables, pcfg = build(rng, n_pages=8, max_seqs=2)
+    mesh = make_serving_mesh(tp=2, sp=2)
+    specs = [(60, 24), (30, 18)]
+
+    ref = _sharded(params, CFG, pcfg, tables, mesh)
+    want = run_sched(ref, reqs_for(specs))
+
+    sched = _sharded(params, CFG, pcfg, tables, mesh)
+    for r in reqs_for(specs):
+        sched.submit(r)
+    for _ in range(3):
+        sched.step()
+    p = str(tmp_path / "sess.npz")
+    save_session(p, sched)
+    del sched
+    resumed = load_session(p, ref.params, CFG, pcfg, tables, mesh=mesh)
+    assert resumed.h_used.shape == (2, 4)
+    done = resumed.run_to_completion(max_ticks=200)
+    got = {f.rid: f.tokens for f in done}
+    assert set(got) == set(want)
+    for rid in got:
+        assert len(got[rid]) == len(want[rid])
+        np.testing.assert_array_equal(got[rid], want[rid])
