@@ -143,6 +143,11 @@ def ladder_rung(
         bs=1, nh_k=cfg.num_kv_heads, d=cfg.head_dim, M=M_k, M_v=M_v,
         C=2 ** max(nbits_k, nbits_v), Lt=64, N_max=max_length,
         dtype=cfg.dtype,
+        # outlier rungs need the byte-plane arenas in the cache: prefill
+        # writes them unconditionally when cents carry the idx (it
+        # KeyErrors otherwise — regression since the byte-plane-layout
+        # change; the committed r3 outlier rows predate it)
+        OK=outlier_kk, OV=outlier_k,
     )
     r = perplexity(
         params, cfg, eval_tokens,
