@@ -63,11 +63,13 @@ def dense_bytes_per_seq(cfg):
 
 
 def measure_pq(cfg, params, bs, iters, geometry="dm2"):
-    """geometry: "dm2" (production M=d/2 symmetric codes) or
-    "dm4_outlier" (coarse d_m=4 both sides + 16 exact bf16 outlier
-    channels per side — IDENTICAL 128 B/token, i.e. the same 4-bit
-    effective point, but half the kernel's gather volume; quality-gated
-    at Δppl +0.92% rel by the ladder, docs/PERF.md)."""
+    """geometry: "dm2" (production M=d/2 symmetric codes), "dm4_outlier"
+    (coarse d_m=4 both sides + 16 exact bf16 outlier channels per side —
+    IDENTICAL 128 B/token, i.e. the same 4-bit effective point, but half
+    the kernel's gather volume; ladder-gated at Δppl +0.34% rel), or
+    "dm4_outlier_c128" (same but C=128 DIRECT decode tables — nbits=7,
+    single-plane gathers, the exp_tpot_outlier bs=1 winner's layout;
+    ladder-gated at Δppl +0.57% rel)."""
     import functools
 
     from million_tpu.models.llama import build_tables, decode_step
@@ -75,11 +77,11 @@ def measure_pq(cfg, params, bs, iters, geometry="dm2"):
     from million_tpu.utils.timing import chained_bench, chained_bench_stats
 
     d = cfg.head_dim
-    C = 256
+    C = 128 if geometry == "dm4_outlier_c128" else 256
     rng = np.random.default_rng(0)
     L = cfg.num_layers
-    OK = OV = 16 if geometry == "dm4_outlier" else 0
-    if geometry == "dm4_outlier":
+    OK = OV = 16 if geometry.startswith("dm4_outlier") else 0
+    if geometry.startswith("dm4_outlier"):
         M = d // 4
         ck = rng.standard_normal((L, M, C, 4)).astype(np.float32)
         cv = rng.standard_normal((L, M, C, 4)).astype(np.float32)
@@ -368,7 +370,7 @@ def main():
     # winner; round 5 promotes it to the headline candidate — identical
     # memory, half the gather volume, Δppl +0.92% rel per the ladder)
     results = {}
-    for geom in ("dm2", "dm4_outlier"):
+    for geom in ("dm2", "dm4_outlier", "dm4_outlier_c128"):
         fn = lambda c, p, b, i, _g=geom: measure_pq(c, p, b, i, geometry=_g)
         dt_g, bs_g = with_oom_fallback(fn, bs_pq)
         results[geom] = {
@@ -388,10 +390,8 @@ def main():
                 "unit": "tokens/s",
                 "vs_baseline": round(pq_tps / dense_tps, 3),
                 "geometry": best,
-                "dm2_tokens_per_s": round(results["dm2"]["tps"], 2),
-                "dm4_outlier_tokens_per_s": round(
-                    results["dm4_outlier"]["tps"], 2
-                ),
+                **{f"{g}_tokens_per_s": round(r["tps"], 2)
+                   for g, r in results.items()},
                 **results[best]["flush"],
                 **DENSE_STATS,
             }
