@@ -47,12 +47,13 @@ def main():
                     "chunk size (0 = skip; one-shot prefill at 128K would "
                     "blow activation memory)")
     ap.add_argument("--geometry", default="dm2",
-                    choices=["dm2", "dm4_outlier"],
+                    choices=["dm2", "dm4_outlier", "dm4_outlier_c128"],
                     help="dm2: production M=d/2 symmetric; dm4_outlier: "
                     "coarse d_m=4 both sides + 16 exact outlier channels "
                     "per side on the 128K flat path (round 5: chunked "
                     "prefill carries the outlier arenas — VERDICT r4 "
-                    "item 5)")
+                    "item 5); dm4_outlier_c128: same with C=128 direct "
+                    "tables (the r5 headline geometry)")
     args = ap.parse_args()
 
     try:
@@ -74,9 +75,10 @@ def main():
     CTX, bs = args.ctx, args.bs
     cfg = PRESETS[args.preset]
     rng = np.random.default_rng(0)
-    C, L, d = 256, cfg.num_layers, cfg.head_dim
+    L, d = cfg.num_layers, cfg.head_dim
+    C = 128 if args.geometry == "dm4_outlier_c128" else 256
     OK = OV = 0
-    if args.geometry == "dm4_outlier":
+    if args.geometry.startswith("dm4_outlier"):
         M = d // 4
         OK = OV = 16
         ck = rng.standard_normal((L, M, C, 4)).astype(np.float32)

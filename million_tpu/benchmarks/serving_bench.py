@@ -219,11 +219,14 @@ def main():
                     "amortize per-chunk fixed costs; memory per chunk "
                     "grows with it)")
     ap.add_argument("--geometry", default="dm2",
-                    choices=["dm2", "dm4_outlier"],
+                    choices=["dm2", "dm4_outlier", "dm4_outlier_c128"],
                     help="dm2: production M=d/2 symmetric; dm4_outlier: "
                     "coarse d_m=4 both sides + 16 exact outlier channels "
                     "per side (the round-3 flat bs=1 winner, served "
-                    "through the paged path — VERDICT r3 item 3)")
+                    "through the paged path — VERDICT r3 item 3); "
+                    "dm4_outlier_c128: same with C=128 DIRECT tables "
+                    "(single-plane gathers — the r5 headline geometry, "
+                    "ladder-gated +0.57% rel)")
     ap.add_argument("--steady", type=int, default=0, metavar="TICKS",
                     help="steady-state mode (VERDICT r2 item 4): admit "
                     "max_seqs requests of max-prompt length, then time "
@@ -259,11 +262,12 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(args.seed))
     L, d = cfg.num_layers, cfg.head_dim
     OK = OV = 0
-    if args.geometry == "dm4_outlier":
+    C = 128 if args.geometry == "dm4_outlier_c128" else 256
+    if args.geometry.startswith("dm4_outlier"):
         M = d // 4
         OK = OV = 16
-        ck = rng.standard_normal((L, M, 256, 4)).astype(np.float32)
-        cv = rng.standard_normal((L, M, 256, 4)).astype(np.float32)
+        ck = rng.standard_normal((L, M, C, 4)).astype(np.float32)
+        cv = rng.standard_normal((L, M, C, 4)).astype(np.float32)
         koidx = np.sort(rng.choice(d, OK, replace=False)).astype(np.int32)
         voidx = np.sort(rng.choice(d, OV, replace=False)).astype(np.int32)
         # codebooks trained on zeroed channels have exactly-zero centroid
@@ -298,7 +302,7 @@ def main():
         nh_k=cfg.num_kv_heads,
         d=cfg.head_dim,
         M=M,
-        C=256,
+        C=C,
         Lt=128,
         OK=OK,
         OV=OV,
