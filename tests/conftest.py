@@ -29,6 +29,20 @@ def rng():
     return np.random.default_rng(42)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Full-suite stability: with ~200 tests' executables accumulated in
+    one process, a later pjit COMPILE segfaults inside XLA:CPU
+    (deterministic at test ~164, not reproducible in any file-level
+    subset — an upstream compiler issue the suite can only avoid).
+    Dropping the in-process caches between modules keeps the live
+    executable count bounded; the persistent on-disk cache still
+    amortizes recompiles. MT_NO_CLEAR_CACHES=1 disables (bisection)."""
+    yield
+    if not os.environ.get("MT_NO_CLEAR_CACHES"):
+        jax.clear_caches()
+
+
 # ---------------------------------------------------------------------------
 # Tiered suite (VERDICT r2 item 7): the full suite takes ~12 min of CPU
 # compiles; `pytest -m "not slow"` is the <3-min smoke tier. Slow tests are
