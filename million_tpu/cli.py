@@ -116,8 +116,19 @@ def pq_geometry(cfg: Config, mcfg):
     return M_k, nb_k, M_v, nb_v
 
 
+def outlier_geometry(cfg) -> tuple:
+    """(OK, OV) exact outlier channels per side (pq.outlier_k /
+    pq.outlier_v) — the north-star option as first-class pipeline flags.
+    The headline dm4+16/16 geometries (docs/PERF.md) are reachable as
+    e.g. `-o pq.M=32 -o pq.nbits=7 -o pq.outlier_k=16 -o pq.outlier_v=16`
+    at d=128."""
+    return (int(cfg.pq.get("outlier_k") or 0),
+            int(cfg.pq.get("outlier_v") or 0))
+
+
 def make_pq_cache_factory(cfg, mcfg, bs=1, n_max=None):
     M_k, nb_k, M_v, _ = pq_geometry(cfg, mcfg)
+    OK, OV = outlier_geometry(cfg)
     pqc = PQCacheConfig(
         bs=bs,
         nh_k=mcfg.num_kv_heads,
@@ -127,6 +138,8 @@ def make_pq_cache_factory(cfg, mcfg, bs=1, n_max=None):
         C=2**nb_k,
         Lt=cfg.pq.Lt,
         N_max=n_max or cfg.cache.N_max,
+        OK=OK,
+        OV=OV,
     )
     return lambda *_: init_state(pqc, mcfg.num_layers)
 
@@ -145,6 +158,9 @@ def cents_path(cfg: Config, mcfg) -> Path:
         name += f"_V{M_v}_{nb_v}"
     if cfg.pq.get("opq"):
         name += "_opq"
+    OK, OV = outlier_geometry(cfg)
+    if OK or OV:
+        name += f"_ok{OK}_ov{OV}"
     return art_dir(cfg) / f"{name}.npz"
 
 
@@ -156,20 +172,35 @@ def load_cents(cfg: Config, mcfg):
         if "Rk" in z:
             cents["Rk"] = jnp.asarray(z["Rk"])
             cents["Rv"] = jnp.asarray(z["Rv"])
+        if "k_outlier_idx" in z:
+            cents["k_outlier_idx"] = jnp.asarray(z["k_outlier_idx"])
+        if "v_outlier_idx" in z:
+            cents["v_outlier_idx"] = jnp.asarray(z["v_outlier_idx"])
         log(f"loaded centroids {path}")
     else:
         # reference _synthetic fallback: random codebooks (main_pq.py:252-255)
         rng = np.random.default_rng(0)
         M_k, nb_k, M_v, nb_v = pq_geometry(cfg, mcfg)
+        OK, OV = outlier_geometry(cfg)
         d, L = mcfg.head_dim, mcfg.num_layers
-        cents = {
-            "key": jnp.asarray(
-                rng.standard_normal((L, M_k, 2**nb_k, d // M_k)), jnp.float32
-            ),
-            "value": jnp.asarray(
-                rng.standard_normal((L, M_v, 2**nb_v, d // M_v)), jnp.float32
-            ),
-        }
+        ck = rng.standard_normal((L, M_k, 2**nb_k, d // M_k)).astype(np.float32)
+        cv = rng.standard_normal((L, M_v, 2**nb_v, d // M_v)).astype(np.float32)
+        cents = {}
+        if OK:
+            kidx = np.sort(rng.choice(d, OK, replace=False)).astype(np.int32)
+            # strided layout: channel c -> subspace c % M, component c // M;
+            # zero the centroid components so the synthetic run matches
+            # the trained artifact's zeroed-channel contract
+            for c in kidx:
+                ck[:, c % M_k, :, c // M_k] = 0.0
+            cents["k_outlier_idx"] = jnp.asarray(np.stack([kidx] * L))
+        if OV:
+            vidx = np.sort(rng.choice(d, OV, replace=False)).astype(np.int32)
+            for c in vidx:
+                cv[:, c % M_v, :, c // M_v] = 0.0
+            cents["v_outlier_idx"] = jnp.asarray(np.stack([vidx] * L))
+        cents["key"] = jnp.asarray(ck)
+        cents["value"] = jnp.asarray(cv)
         if cfg.pq.get("opq"):
             # random ORTHOGONAL rotations so the synthetic run exercises the
             # same rotated-cache code path the trained artifact would
@@ -378,7 +409,13 @@ def stage_training(cfg, mcfg, params=None):
             train_pq(jnp.asarray(x), M=M, nbits=nb,
                      iters=cfg.pq.train_iters, layout="strided")
         )
+    OK, OV = outlier_geometry(cfg)
+    if (OK or OV) and opq:
+        raise ValueError("pq.outlier_k/outlier_v do not compose with OPQ "
+                         "(outlier channels are defined in the original "
+                         "basis; the rotation would smear them)")
     keys, vals, rks, rvs = [], [], [], []
+    kidxs, vidxs = [], []
     # STREAM the sample files: a large sampling corpus never loads whole —
     # one-pass reservoir at O(train_samples) memory (utils/fvecs.py, the
     # reference's sample_fvecs/read_fvecs_batch role, fvecio.py:61-133)
@@ -388,6 +425,28 @@ def stage_training(cfg, mcfg, params=None):
         vs = reservoir_sample_fvecs(
             out / f"layer{L}.value.fvecs", cap, seed=1000 + L
         )
+        if OK or OV:
+            # outlier-channel split (north star): the top-energy channels
+            # are excluded from PQ — zeroed before k-means so the
+            # codebooks spend no mass on them — and stored exact at
+            # runtime (quality_ladder.ladder_rung's protocol)
+            from million_tpu.pq.ops import (
+                select_outlier_channels,
+                zero_channels,
+            )
+
+            if OK:
+                kidx = np.asarray(
+                    select_outlier_channels(jnp.asarray(ks), OK))
+                ks = np.asarray(
+                    zero_channels(jnp.asarray(ks), jnp.asarray(kidx)))
+                kidxs.append(kidx)
+            if OV:
+                vidx = np.asarray(
+                    select_outlier_channels(jnp.asarray(vs), OV))
+                vs = np.asarray(
+                    zero_channels(jnp.asarray(vs), jnp.asarray(vidx)))
+                vidxs.append(vidx)
         if opq:
             # OPQ: rotation + codebooks trained jointly (the reference
             # ships this trainer but rejects it at the CLI,
@@ -412,6 +471,10 @@ def stage_training(cfg, mcfg, params=None):
     if opq:
         arrays["Rk"] = np.stack(rks)
         arrays["Rv"] = np.stack(rvs)
+    if kidxs:
+        arrays["k_outlier_idx"] = np.stack(kidxs).astype(np.int32)
+    if vidxs:
+        arrays["v_outlier_idx"] = np.stack(vidxs).astype(np.int32)
     np.savez(path, **arrays)
     log(f"saved centroids to {path}")
 

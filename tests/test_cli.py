@@ -173,3 +173,35 @@ def test_native_trainer_pipeline(tmp_path):
     assert rows[0]["result"]["results"][0]["tpot_s"] > 0
     z = np.load(tmp_path / "artifacts/test-tiny/_synthetic/cents_M8_nbits5.npz")
     assert np.isfinite(z["key"]).all()
+
+
+def test_outlier_pipeline(tmp_path):
+    """pq.outlier_k/outlier_v as first-class pipeline flags (round 5: the
+    headline dm4+outlier geometry reachable end-to-end): training selects
+    top-energy channels per layer, zeroes them before k-means, persists
+    the idx arrays; evaluation runs the outlier-corrected cache path."""
+    os.chdir(tmp_path)
+    main([
+        "-f", "/root/repo/configs/test-tiny.json",
+        "-p", "sampling", "training", "evaluation",
+        "-o", "pq.M=4",
+        "-o", "pq.outlier_k=2",
+        "-o", "pq.outlier_v=2",
+        "-o", f"run.results={tmp_path}/out.jsonl",
+        "-o", f"run.artifacts={tmp_path}/artifacts",
+        "-o", "run.prefill_lengths=[64]",
+        "-o", "run.decode_length=8",
+    ])
+    rows = read_results(tmp_path / "out.jsonl")
+    assert rows[0]["result"]["results"][0]["tpot_s"] > 0
+    z = np.load(
+        tmp_path / "artifacts/test-tiny/_synthetic/cents_M4_nbits5_ok2_ov2.npz"
+    )
+    assert z["k_outlier_idx"].shape == (2, 2)
+    assert z["v_outlier_idx"].shape == (2, 2)
+    # zeroed-channel contract: the trained codebooks carry exactly-zero
+    # components at the selected channels (strided layout)
+    M = 4
+    for L in range(2):
+        for c in z["k_outlier_idx"][L]:
+            assert abs(z["key"][L, c % M, :, c // M]).max() == 0.0
