@@ -30,17 +30,22 @@ def rng():
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_per_module():
+def _clear_jax_caches_per_module(request):
     """Full-suite stability: with ~200 tests' executables accumulated in
     one process, a later pjit COMPILE segfaults inside XLA:CPU
     (deterministic at test ~164, not reproducible in any file-level
     subset — an upstream compiler issue the suite can only avoid).
     Dropping the in-process caches between modules keeps the live
     executable count bounded; the persistent on-disk cache still
-    amortizes recompiles. MT_NO_CLEAR_CACHES=1 disables (bisection)."""
+    amortizes recompiles. The smoke tier (-m "not slow", ~115 tests)
+    never reaches the threshold and skips the clears (they cost ~15% in
+    recompiles). MT_NO_CLEAR_CACHES=1 disables entirely (bisection)."""
     yield
-    if not os.environ.get("MT_NO_CLEAR_CACHES"):
-        jax.clear_caches()
+    if os.environ.get("MT_NO_CLEAR_CACHES"):
+        return
+    if "not slow" in (request.config.option.markexpr or ""):
+        return
+    jax.clear_caches()
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +107,12 @@ _SLOW_PREFIXES = (
     "tests/test_pq_core.py::test_outlier_channels_improve_reconstruction",
     "tests/test_pq_attention_ref.py::test_pq_attention_empty_residual",
     "tests/test_paged_cache.py::test_write_codes_roundtrip",
+    # round-5 additions
+    "tests/test_cli.py::test_outlier_pipeline",
+    "tests/test_chunked_prefill.py::test_chunked_prefill_outlier_channels",
+    "tests/test_scheduler.py::test_tick_chain_matches_single_tick",
+    "tests/test_scheduler.py::test_tick_chain_eos_mid_chain",
+    "tests/test_sharding.py::test_sharded_decode_outlier_channels",
 )
 
 
